@@ -1,0 +1,92 @@
+"""Elementwise / normalization building blocks.
+
+All functions are shape-polymorphic pure jnp and compile to fused XLA ops.
+They compute statistics in float32 regardless of input dtype (bf16-safe),
+matching what the reference gets implicitly from fp32 torch modules.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+
+def timestep_embedding(timesteps: jnp.ndarray, dim: int, max_period: float = 10000.0) -> jnp.ndarray:
+    """Sinusoidal timestep embeddings [B, dim] in [cos, sin] concat order,
+    matching the reference (`ldm/modules/diffusionmodules/util.py:154-174`):
+    half = dim//2 freqs = exp(-log(max_period) * arange(half)/half)."""
+    half = dim // 2
+    freqs = jnp.exp(
+        -math.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half
+    )
+    args = timesteps.astype(jnp.float32)[:, None] * freqs[None, :]
+    emb = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+    if dim % 2:
+        emb = jnp.concatenate([emb, jnp.zeros_like(emb[:, :1])], axis=-1)
+    return emb
+
+
+def group_norm(
+    x: jnp.ndarray,
+    scale: jnp.ndarray,
+    bias: jnp.ndarray,
+    num_groups: int = 32,
+    eps: float = 1e-6,
+) -> jnp.ndarray:
+    """GroupNorm over the channel (last) axis of an NHWC/N...C tensor.
+
+    The reference uses torch GroupNorm32 with eps 1e-6 in VAE blocks
+    (`ldm/modules/diffusionmodules/model.py:32-34`) and eps 1e-5 in the UNet
+    (torch default, `openaimodel.py` normalization()); pass eps accordingly.
+    Statistics in fp32; output cast back to x.dtype.
+    """
+    orig_dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    c = x.shape[-1]
+    g = num_groups
+    grouped = xf.reshape(*x.shape[:-1], g, c // g)
+    # reduce over all spatial axes + the intra-group channel axis
+    red_axes = tuple(range(1, grouped.ndim - 2)) + (grouped.ndim - 1,)
+    mean = grouped.mean(axis=red_axes, keepdims=True)
+    var = grouped.var(axis=red_axes, keepdims=True)
+    normed = (grouped - mean) * jax.lax.rsqrt(var + eps)
+    normed = normed.reshape(x.shape)
+    out = normed * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    return out.astype(orig_dtype)
+
+
+def layer_norm(
+    x: jnp.ndarray,
+    scale: jnp.ndarray | None,
+    bias: jnp.ndarray | None,
+    eps: float = 1e-5,
+) -> jnp.ndarray:
+    """LayerNorm over the last axis, fp32 statistics."""
+    orig_dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    mean = xf.mean(axis=-1, keepdims=True)
+    var = xf.var(axis=-1, keepdims=True)
+    out = (xf - mean) * jax.lax.rsqrt(var + eps)
+    if scale is not None:
+        out = out * scale.astype(jnp.float32)
+    if bias is not None:
+        out = out + bias.astype(jnp.float32)
+    return out.astype(orig_dtype)
+
+
+def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
+    """CLIP's quick-GELU: x * sigmoid(1.702 x)."""
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+def geglu(x: jnp.ndarray) -> jnp.ndarray:
+    """GEGLU gate used by the UNet transformer FF (`ldm/modules/attention.py`
+    GEGLU): input last dim is 2*d, output d = a * gelu(b)."""
+    a, b = jnp.split(x, 2, axis=-1)
+    return a * jax.nn.gelu(b)
+
+
+def silu(x: jnp.ndarray) -> jnp.ndarray:
+    return jax.nn.silu(x)

@@ -1,0 +1,27 @@
+"""Test configuration: force an 8-device virtual CPU mesh.
+
+Multi-chip sharding is validated on virtual host devices (the reference has
+no analog of this — SURVEY.md §4); real-TPU benchmarking happens in bench.py,
+not in the test suite. These env vars must be set before jax initializes.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+xla_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in xla_flags:
+    os.environ["XLA_FLAGS"] = (
+        xla_flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", False)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
