@@ -1,0 +1,49 @@
+"""Name mapping: HuggingFace CLIPTextModel state_dict -> adaface_tpu params.
+
+The reference consumes `openai/clip-vit-large-patch14` via HF
+(`ldm/modules/encoders/modules.py:185`); SD .ckpt files store the same
+weights under a `cond_stage_model.transformer.` prefix. This maps either
+flat dict (numpy arrays, e.g. from `torch_pickle.load_torch_checkpoint`)
+into the Flax param tree of `models.clip_text.CLIPTextEncoder`.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+
+def map_clip_text_params(sd: Dict[str, np.ndarray], num_layers: int = 12,
+                         prefix: str = "text_model.") -> dict:
+    """Build the Flax params dict. `sd` keys are HF names, optionally under
+    `prefix` (use 'cond_stage_model.transformer.text_model.' for SD ckpts)."""
+
+    def g(name):
+        return np.asarray(sd[prefix + name])
+
+    params = {
+        "token_embedding": {"embedding": g("embeddings.token_embedding.weight")},
+        "position_embedding": {"embedding": g("embeddings.position_embedding.weight")},
+        "final_layer_norm": {
+            "scale": g("final_layer_norm.weight"),
+            "bias": g("final_layer_norm.bias"),
+        },
+    }
+    for i in range(num_layers):
+        lp = f"encoder.layers.{i}."
+        dense = lambda n: {"kernel": g(lp + n + ".weight").T, "bias": g(lp + n + ".bias")}
+        ln = lambda n: {"scale": g(lp + n + ".weight"), "bias": g(lp + n + ".bias")}
+        params[f"layers_{i}"] = {
+            "self_attn": {
+                "q_proj": dense("self_attn.q_proj"),
+                "k_proj": dense("self_attn.k_proj"),
+                "v_proj": dense("self_attn.v_proj"),
+                "out_proj": dense("self_attn.out_proj"),
+            },
+            "layer_norm1": ln("layer_norm1"),
+            "layer_norm2": ln("layer_norm2"),
+            "fc1": dense("mlp.fc1"),
+            "fc2": dense("mlp.fc2"),
+        }
+    return params
