@@ -1,0 +1,63 @@
+"""Import helpers for using the read-only PyTorch reference as a test oracle.
+
+The reference at /root/reference is imported (never copied) to produce
+golden outputs from randomly-initialized torch modules; our Flax modules
+must match through the interop weight mapping. Tests using this skip
+cleanly when the reference tree is absent.
+"""
+
+import os
+import sys
+import types
+
+REFERENCE_ROOT = os.environ.get("ADAFACE_REFERENCE_ROOT", "/root/reference")
+
+
+def reference_available() -> bool:
+    return os.path.isdir(os.path.join(REFERENCE_ROOT, "ldm"))
+
+
+_stubbed = False
+
+
+def import_reference_module(name: str):
+    """Import `ldm.*` from the reference tree with unavailable heavy deps
+    (torchvision etc.) stubbed out."""
+    global _stubbed
+    if not _stubbed:
+        for mod in [
+            "torchvision", "torchvision.utils", "torchvision.transforms",
+            "torchvision.transforms.functional",
+        ]:
+            if mod not in sys.modules:
+                m = types.ModuleType(mod)
+                sys.modules[mod] = m
+        tvu = sys.modules["torchvision.utils"]
+        tvu.make_grid = lambda *a, **k: None
+        tvu.draw_bounding_boxes = lambda *a, **k: None
+        tvt = sys.modules["torchvision.transforms"]
+        for fn in ["Resize", "CenterCrop", "Compose", "ToTensor", "Normalize", "RandomAffine"]:
+            setattr(tvt, fn, lambda *a, **k: None)
+        if "pytorch_lightning" not in sys.modules:
+            import torch
+
+            pl = types.ModuleType("pytorch_lightning")
+            pl.LightningModule = torch.nn.Module
+            pl.seed_everything = lambda *a, **k: None
+            sys.modules["pytorch_lightning"] = pl
+        if "taming" not in sys.modules:
+            taming = types.ModuleType("taming")
+            tm = types.ModuleType("taming.modules")
+            tv = types.ModuleType("taming.modules.vqvae")
+            tq = types.ModuleType("taming.modules.vqvae.quantize")
+            tq.VectorQuantizer2 = object
+            for modname, mod in [("taming", taming), ("taming.modules", tm),
+                                 ("taming.modules.vqvae", tv),
+                                 ("taming.modules.vqvae.quantize", tq)]:
+                sys.modules[modname] = mod
+        if REFERENCE_ROOT not in sys.path:
+            sys.path.insert(0, REFERENCE_ROOT)
+        _stubbed = True
+    import importlib
+
+    return importlib.import_module(name)
