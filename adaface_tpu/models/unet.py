@@ -1,0 +1,306 @@
+"""SD v1.5 U-Net, TPU-native NHWC with first-class layerwise context.
+
+Re-design of the reference `ldm/modules/diffusionmodules/openaimodel.py`
+(UNetModel + SpatialTransformer/BasicTransformerBlock/CrossAttention from
+`ldm/modules/attention.py:147-341`). Differences by design (SURVEY.md §7.1):
+
+- Context is a native `[L, B, T, D]` (or broadcast `[1, B, T, D]`) tensor —
+  the reference tucks the 16 per-cross-attention-layer embeddings into the
+  batch dim (`[16·B, 77, 768]`, `openaimodel.py:863-867`) and re-splits
+  per layer. Separate K-context supported natively for the `mix_hijk`
+  compositional iterations (`openaimodel.py:885-896` chunks a doubled
+  sequence dim; here it is simply a second tensor).
+- Activation capture (`q`, `attn`, `attnscore`, `outfeat` from the 12
+  distill layers [7,8,12,16..24], `openaimodel.py:947-1035`) is a static
+  `capture: bool` returning an auxiliary pytree — no flag-stack mutation.
+- img_mask masks *keys* of self-attention only (`attention.py:223-232`),
+  resized with torch-nearest index semantics per resolution.
+- All attention softmax in fp32; matmuls hit the MXU in the module dtype.
+
+Layer numbering follows the reference exactly: input blocks 0–11 (0 is the
+stem conv), middle 12, output blocks 13–24; the 16 conditioned layers map
+via CA_LAYER_INDEX (`openaimodel.py:875-877`).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+from flax import struct
+
+from adaface_tpu.ops.basic import group_norm, timestep_embedding, geglu
+
+# layer_idx -> cross-attention (context) index, `openaimodel.py:875-877`
+CA_LAYER_INDEX = {1: 0, 2: 1, 4: 2, 5: 3, 7: 4, 8: 5, 12: 6, 16: 7,
+                  17: 8, 18: 9, 19: 10, 20: 11, 21: 12, 22: 13, 23: 14, 24: 15}
+NUM_CA_LAYERS = 16
+# layers whose activations feed the distillation losses (`openaimodel.py:949`)
+DISTILL_LAYER_INDICES = (7, 8, 12, 16, 17, 18, 19, 20, 21, 22, 23, 24)
+
+
+@struct.dataclass
+class UNetConfig:
+    in_channels: int = 4
+    out_channels: int = 4
+    model_channels: int = 320
+    channel_mult: tuple = (1, 2, 4, 4)
+    num_res_blocks: int = 2
+    attention_levels: tuple = (0, 1, 2)  # ds 1,2,4 == attention_resolutions [4,2,1]
+    num_heads: int = 8
+    context_dim: int = 768
+    transformer_depth: int = 1
+    use_remat: bool = False  # jax.checkpoint over transformer blocks
+
+    @classmethod
+    def sd_v1(cls, **kw) -> "UNetConfig":
+        return cls(**kw)
+
+    @classmethod
+    def tiny(cls, **kw) -> "UNetConfig":
+        d = dict(model_channels=32, channel_mult=(1, 2), num_res_blocks=1,
+                 attention_levels=(0, 1), num_heads=4, context_dim=16)
+        d.update(kw)
+        return cls(**d)
+
+
+def _conv(features, kernel=3, stride=1, padding=1, name=None, dtype=jnp.float32,
+          zero_init=False):
+    kinit = nn.initializers.zeros if zero_init else nn.initializers.lecun_normal()
+    return nn.Conv(features, (kernel, kernel), strides=(stride, stride),
+                   padding=[(padding, padding), (padding, padding)],
+                   kernel_init=kinit, dtype=dtype, name=name)
+
+
+def _nearest_resize_mask(m, h, w):
+    """torch F.interpolate(mode='nearest') semantics: src = floor(dst*in/out)."""
+    ih, iw = m.shape[1:3]
+    ridx = (jnp.arange(h) * ih) // h
+    cidx = (jnp.arange(w) * iw) // w
+    return m[:, ridx][:, :, cidx]
+
+
+class ResBlock(nn.Module):
+    out_ch: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, emb):
+        in_ch = x.shape[-1]
+        h = group_norm(x, self.param("in_norm_scale", nn.initializers.ones, (in_ch,)),
+                       self.param("in_norm_bias", nn.initializers.zeros, (in_ch,)), 32, 1e-5)
+        h = jax.nn.silu(h)
+        h = _conv(self.out_ch, name="in_conv", dtype=self.dtype)(h)
+        e = nn.Dense(self.out_ch, dtype=self.dtype, name="emb_proj")(jax.nn.silu(emb))
+        h = h + e[:, None, None, :]
+        h = group_norm(h, self.param("out_norm_scale", nn.initializers.ones, (self.out_ch,)),
+                       self.param("out_norm_bias", nn.initializers.zeros, (self.out_ch,)), 32, 1e-5)
+        h = jax.nn.silu(h)
+        h = _conv(self.out_ch, name="out_conv", dtype=self.dtype, zero_init=True)(h)
+        if in_ch != self.out_ch:
+            x = _conv(self.out_ch, kernel=1, padding=0, name="skip", dtype=self.dtype)(x)
+        return x + h
+
+
+class UNetCrossAttention(nn.Module):
+    """8-head attention; self-attn when ctx_v is None. Mask semantics and
+    capture payload match `attention.py:172-257`."""
+
+    num_heads: int
+    head_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, ctx_v=None, ctx_k=None, key_mask=None, capture=False):
+        h, d = self.num_heads, self.head_dim
+        inner = h * d
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        if ctx_v is None:
+            ctx_v = ctx_k = x
+        elif ctx_k is None:
+            ctx_k = ctx_v
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(ctx_k)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(ctx_v)
+        b, lq, _ = q.shape
+        lk = k.shape[1]
+        split = lambda t, l: t.reshape(b, l, h, d).transpose(0, 2, 1, 3)
+        qh, kh, vh = split(q, lq), split(k, lk), split(v, lk)
+        scale = d ** -0.5
+        sim = jnp.einsum("bhqd,bhkd->bhqk", qh, kh,
+                         preferred_element_type=jnp.float32) * scale
+        if key_mask is not None:
+            # [B, Lk] key mask, True = attend (self-attn only, see module doc)
+            sim = jnp.where(key_mask[:, None, None, :],
+                            sim, -jnp.finfo(jnp.float32).max)
+        attn = jax.nn.softmax(sim, axis=-1)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn.astype(vh.dtype), vh)
+        out = out.transpose(0, 2, 1, 3).reshape(b, lq, inner)
+        out = nn.Dense(x.shape[-1], dtype=self.dtype, name="to_out")(out)
+        if capture:
+            # q scaled by sqrt(scale) so q·qᵀ products carry the full scale
+            # (`attention.py:247-256`)
+            aux = {"q": qh * (scale ** 0.5), "attn": attn, "attnscore": sim}
+            return out, aux
+        return out, None
+
+
+class TransformerBlock(nn.Module):
+    num_heads: int
+    head_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, ctx_v, ctx_k, key_mask, capture=False):
+        ln = lambda name: nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=name)
+        a1, _ = UNetCrossAttention(self.num_heads, self.head_dim, self.dtype,
+                                   name="attn1")(ln("norm1")(x), key_mask=key_mask)
+        x = x + a1
+        a2, aux = UNetCrossAttention(self.num_heads, self.head_dim, self.dtype,
+                                     name="attn2")(ln("norm2")(x), ctx_v, ctx_k,
+                                                   capture=capture)
+        x = x + a2
+        y = ln("norm3")(x)
+        y = nn.Dense(x.shape[-1] * 8, dtype=self.dtype, name="ff_in")(y)  # GEGLU: 2*4x
+        y = geglu(y)
+        y = nn.Dense(x.shape[-1], dtype=self.dtype, name="ff_out")(y)
+        return x + y, aux
+
+
+class SpatialTransformer(nn.Module):
+    num_heads: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, ctx_v, ctx_k, img_mask=None, capture=False):
+        b, hh, ww, c = x.shape
+        head_dim = c // self.num_heads
+        h = group_norm(x, self.param("norm_scale", nn.initializers.ones, (c,)),
+                       self.param("norm_bias", nn.initializers.zeros, (c,)), 32, 1e-6)
+        h = _conv(c, kernel=1, padding=0, name="proj_in", dtype=self.dtype)(h)
+        h = h.reshape(b, hh * ww, c)
+        key_mask = None
+        if img_mask is not None:
+            key_mask = _nearest_resize_mask(img_mask, hh, ww).reshape(b, hh * ww) > 0
+        h, aux = TransformerBlock(self.num_heads, head_dim, self.dtype,
+                                  name="block_0")(h, ctx_v, ctx_k, key_mask, capture)
+        h = h.reshape(b, hh, ww, c)
+        h = _conv(c, kernel=1, padding=0, name="proj_out", dtype=self.dtype,
+                  zero_init=True)(h)
+        return x + h, aux
+
+
+class Downsample(nn.Module):
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(x.shape[-1], (3, 3), strides=(2, 2),
+                       padding=[(1, 1), (1, 1)], dtype=self.dtype, name="conv")(x)
+
+
+class Upsample(nn.Module):
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
+        return _conv(c, name="conv", dtype=self.dtype)(x)
+
+
+class UNetModel(nn.Module):
+    cfg: UNetConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,  # [B, H, W, in_channels]
+        timesteps: jnp.ndarray,  # [B]
+        context: jnp.ndarray,  # [L_or_1, B, T, context_dim] V-context
+        context_k: Optional[jnp.ndarray] = None,  # separate K-context, same shape
+        img_mask: Optional[jnp.ndarray] = None,  # [B, H0, W0, 1]
+        capture: bool = False,
+    ):
+        """Returns eps prediction [B, H, W, out_channels]; with capture=True
+        also a dict layer_idx -> {q, attn, attnscore, outfeat}."""
+        c = self.cfg
+        ch0 = c.model_channels
+
+        t_emb = timestep_embedding(timesteps, ch0).astype(self.dtype)
+        emb = nn.Dense(ch0 * 4, dtype=self.dtype, name="time_embed_0")(t_emb)
+        emb = nn.Dense(ch0 * 4, dtype=self.dtype, name="time_embed_2")(jax.nn.silu(emb))
+
+        if context.ndim == 3:  # [B, T, D] -> broadcastable [1, B, T, D]
+            context = context[None]
+        if context_k is not None and context_k.ndim == 3:
+            context_k = context_k[None]
+
+        def layer_ctx(layer_idx):
+            if layer_idx not in CA_LAYER_INDEX:
+                return None, None
+            i = CA_LAYER_INDEX[layer_idx]
+            cv = context[i % context.shape[0]]
+            ck = cv if context_k is None else context_k[i % context_k.shape[0]]
+            return cv, ck
+
+        captures = {}
+
+        def spatial(layer_idx, h, name):
+            cv, ck = layer_ctx(layer_idx)
+            do_cap = capture and layer_idx in DISTILL_LAYER_INDICES
+            st = SpatialTransformer(c.num_heads, self.dtype, name=name)
+            h, aux = st(h, cv, ck, img_mask, do_cap)
+            if do_cap:
+                aux["outfeat"] = h
+                captures[layer_idx] = aux
+            return h
+
+        # ---- input blocks (layer_idx 0..) ----
+        hs = []
+        h = _conv(ch0, name="in_conv", dtype=self.dtype)(x.astype(self.dtype))
+        hs.append(h)
+        layer_idx = 1
+        for level, mult in enumerate(c.channel_mult):
+            out_ch = ch0 * mult
+            for blk in range(c.num_res_blocks):
+                h = ResBlock(out_ch, self.dtype, name=f"down_{level}_res_{blk}")(h, emb)
+                if level in c.attention_levels:
+                    h = spatial(layer_idx, h, f"down_{level}_attn_{blk}")
+                hs.append(h)
+                layer_idx += 1
+            if level != len(c.channel_mult) - 1:
+                h = Downsample(self.dtype, name=f"down_{level}_downsample")(h)
+                hs.append(h)
+                layer_idx += 1
+
+        # ---- middle (layer_idx 12 for SD) ----
+        mid_ch = h.shape[-1]
+        h = ResBlock(mid_ch, self.dtype, name="mid_res_0")(h, emb)
+        h = spatial(layer_idx, h, "mid_attn")
+        h = ResBlock(mid_ch, self.dtype, name="mid_res_1")(h, emb)
+        layer_idx += 1
+
+        # ---- output blocks ----
+        for level in reversed(range(len(c.channel_mult))):
+            out_ch = ch0 * c.channel_mult[level]
+            for blk in range(c.num_res_blocks + 1):
+                skip = hs.pop()
+                h = jnp.concatenate([h, skip], axis=-1)
+                h = ResBlock(out_ch, self.dtype, name=f"up_{level}_res_{blk}")(h, emb)
+                if level in c.attention_levels:
+                    h = spatial(layer_idx, h, f"up_{level}_attn_{blk}")
+                if level != 0 and blk == c.num_res_blocks:
+                    h = Upsample(self.dtype, name=f"up_{level}_upsample")(h)
+                layer_idx += 1
+
+        h = group_norm(h, self.param("out_norm_scale", nn.initializers.ones, (h.shape[-1],)),
+                       self.param("out_norm_bias", nn.initializers.zeros, (h.shape[-1],)), 32, 1e-5)
+        h = jax.nn.silu(h)
+        eps = _conv(c.out_channels, name="out_conv", dtype=self.dtype, zero_init=True)(h)
+        eps = eps.astype(jnp.float32)
+        if capture:
+            return eps, captures
+        return eps

@@ -45,6 +45,19 @@ def import_reference_module(name: str):
             pl.LightningModule = torch.nn.Module
             pl.seed_everything = lambda *a, **k: None
             sys.modules["pytorch_lightning"] = pl
+        if "omegaconf" not in sys.modules:
+            oc = types.ModuleType("omegaconf")
+            lc = types.ModuleType("omegaconf.listconfig")
+
+            class ListConfig(list):
+                pass
+
+            lc.ListConfig = ListConfig
+            oc.ListConfig = ListConfig
+            oc.OmegaConf = types.SimpleNamespace(create=lambda *a, **k: a[0] if a else {})
+            oc.listconfig = lc
+            sys.modules["omegaconf"] = oc
+            sys.modules["omegaconf.listconfig"] = lc
         if "taming" not in sys.modules:
             taming = types.ModuleType("taming")
             tm = types.ModuleType("taming.modules")

@@ -1,0 +1,136 @@
+"""UNet parity vs the reference torch UNetModel oracle.
+
+Uses the FULL SD v1.5 topology (25 layers, 16 CA layers — the reference
+hardcodes this geometry in its layerwise-context map) at reduced width
+(model_channels 64, context_dim 96) so the test runs fast on CPU while
+exercising every block type and the exact layer numbering.
+"""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from adaface_tpu.models.unet import UNetModel, UNetConfig, CA_LAYER_INDEX, DISTILL_LAYER_INDICES
+from adaface_tpu.interop.sd_unet import map_unet_params
+from tests.reference_oracle import reference_available, import_reference_module
+
+pytestmark = pytest.mark.skipif(not reference_available(), reason="reference tree absent")
+
+CFG = UNetConfig(model_channels=64, channel_mult=(1, 2, 4, 4), num_res_blocks=2,
+                 attention_levels=(0, 1, 2), num_heads=8, context_dim=96)
+B, HW, T = 1, 32, 77
+
+
+@pytest.fixture(scope="module")
+def torch_unet():
+    m = import_reference_module("ldm.modules.diffusionmodules.openaimodel")
+    torch.manual_seed(0)
+    unet = m.UNetModel(
+        image_size=HW, in_channels=4, out_channels=4, model_channels=CFG.model_channels,
+        attention_resolutions=[4, 2, 1], num_res_blocks=2, channel_mult=[1, 2, 4, 4],
+        num_heads=8, use_spatial_transformer=True, transformer_depth=1,
+        context_dim=CFG.context_dim, use_checkpoint=False, legacy=False,
+    )
+    return unet.eval()
+
+
+@pytest.fixture(scope="module")
+def jax_unet(torch_unet):
+    sd = {k: v.numpy() for k, v in torch_unet.state_dict().items()}
+    params = map_unet_params(sd, CFG, prefix="")
+    return UNetModel(CFG), {"params": params}
+
+
+def _extra_info(**kw):
+    d = dict(use_layerwise_context=True, iter_type="normal_recon", is_training=False,
+             capture_distill_attn=False, use_conv_attn_kernel_size=-1,
+             placeholder2indices=None, img_mask=None,
+             compel_cfg_weight_level_range=None, apply_compel_cfg_prob=0,
+             empty_context=None, debug_attn=False)
+    d.update(kw)
+    return d
+
+
+def _inputs(rng):
+    x = rng.standard_normal((B, HW, HW, 4)).astype(np.float32)
+    t = np.array([500], dtype=np.int64)
+    ctx = rng.standard_normal((16, B, T, CFG.context_dim)).astype(np.float32)
+    return x, t, ctx
+
+
+def _torch_ctx(ctx):
+    # ours [L, B, T, D] -> reference [B*16, T, D] with per-instance adjacency
+    return torch.tensor(ctx.transpose(1, 0, 2, 3).reshape(16 * B, ctx.shape[2], ctx.shape[-1]))
+
+
+def test_eps_parity_layerwise_context(torch_unet, jax_unet, rng):
+    model, variables = jax_unet
+    x, t, ctx = _inputs(rng)
+    with torch.no_grad():
+        ref = torch_unet(torch.tensor(x).permute(0, 3, 1, 2), torch.tensor(t),
+                         context=_torch_ctx(ctx), extra_info=_extra_info())
+    ref = ref.permute(0, 2, 3, 1).numpy()
+    out = model.apply(variables, jnp.asarray(x), jnp.asarray(t), jnp.asarray(ctx))
+    np.testing.assert_allclose(np.asarray(out), ref, atol=3e-4)
+
+
+def test_vk_split_context(torch_unet, jax_unet, rng):
+    """mix_hijk iteration: context seq dim doubled [V;K] in the reference;
+    native second tensor here."""
+    model, variables = jax_unet
+    x, t, ctx_v = _inputs(rng)
+    ctx_k = rng.standard_normal(ctx_v.shape).astype(np.float32)
+    both = np.concatenate([ctx_v, ctx_k], axis=2)  # seq-dim concat per layer
+    with torch.no_grad():
+        ref = torch_unet(torch.tensor(x).permute(0, 3, 1, 2), torch.tensor(t),
+                         context=_torch_ctx(both),
+                         extra_info=_extra_info(iter_type="mix_hijk"))
+    ref = ref.permute(0, 2, 3, 1).numpy()
+    out = model.apply(variables, jnp.asarray(x), jnp.asarray(t),
+                      jnp.asarray(ctx_v), context_k=jnp.asarray(ctx_k))
+    np.testing.assert_allclose(np.asarray(out), ref, atol=3e-4)
+
+
+def test_img_mask_parity(torch_unet, jax_unet, rng):
+    model, variables = jax_unet
+    x, t, ctx = _inputs(rng)
+    mask = (rng.random((B, HW, HW, 1)) > 0.3).astype(np.float32)
+    with torch.no_grad():
+        ref = torch_unet(torch.tensor(x).permute(0, 3, 1, 2), torch.tensor(t),
+                         context=_torch_ctx(ctx),
+                         extra_info=_extra_info(img_mask=torch.tensor(mask).permute(0, 3, 1, 2)))
+    ref = ref.permute(0, 2, 3, 1).numpy()
+    out = model.apply(variables, jnp.asarray(x), jnp.asarray(t), jnp.asarray(ctx),
+                      img_mask=jnp.asarray(mask))
+    np.testing.assert_allclose(np.asarray(out), ref, atol=3e-4)
+
+
+def test_capture_parity(torch_unet, jax_unet, rng):
+    model, variables = jax_unet
+    x, t, ctx = _inputs(rng)
+    extra = _extra_info(capture_distill_attn=True)
+    with torch.no_grad():
+        torch_unet(torch.tensor(x).permute(0, 3, 1, 2), torch.tensor(t),
+                   context=_torch_ctx(ctx), extra_info=extra)
+    ref_acts = extra["ca_layers_activations"]
+    out, captures = model.apply(variables, jnp.asarray(x), jnp.asarray(t),
+                                jnp.asarray(ctx), capture=True)
+    assert set(captures) == set(DISTILL_LAYER_INDICES)
+    for li in (7, 12, 24):
+        np.testing.assert_allclose(
+            np.asarray(captures[li]["attn"]), ref_acts["attn"][li].numpy(), atol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(captures[li]["q"]), ref_acts["q"][li].numpy(), atol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(captures[li]["outfeat"]),
+            ref_acts["outfeat"][li].permute(0, 2, 3, 1).numpy(), atol=3e-4)
+
+
+def test_ca_layer_map_matches_reference():
+    """The 16-entry layer map is load-bearing; pin it."""
+    assert CA_LAYER_INDEX == {1: 0, 2: 1, 4: 2, 5: 3, 7: 4, 8: 5, 12: 6, 16: 7,
+                              17: 8, 18: 9, 19: 10, 20: 11, 21: 12, 22: 13,
+                              23: 14, 24: 15}
