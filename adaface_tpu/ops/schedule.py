@@ -147,6 +147,10 @@ def make_ddim_schedule(
     a linspace over sampling order.
     """
     ddim_ts = make_ddim_timesteps(num_ddim_steps, base.num_timesteps, method)
+    # uniform stride can yield MORE steps than requested (e.g. 6 -> 7 at
+    # T=1000); the reference sizes everything off the actual array
+    # (`ddim.py:163` total_steps = timesteps.shape[0]) — so do we.
+    num_ddim_steps = len(ddim_ts)
     acp = np.asarray(base.alphas_cumprod, dtype=np.float64)
     # The reference indexes alphacums[ddim_timesteps] with the +1 offset
     # already folded into ddim_timesteps (`util.py:65-76`).
