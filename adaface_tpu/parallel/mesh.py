@@ -1,0 +1,66 @@
+"""Device mesh + sharding rules.
+
+The reference's distributed story is pure data parallelism under Lightning
+DDP/NCCL (SURVEY.md §2.8). The TPU-native mapping: a 1-D `dp` mesh over
+chips; batch-dim NamedSharding on inputs; replicated params; XLA inserts
+the gradient all-reduce over ICI. CFG's doubled batch and the 4-type
+prompt batch shard naturally on the batch dim.
+
+A second `tp` axis is plumbed through for tensor-sharding the UNet/CLIP
+matmuls when serving wants lower latency per image than DP can give —
+shardings are expressed as PartitionSpec rules so the same jitted function
+runs 1-chip or N-chip unchanged.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: Optional[int] = None, dp: Optional[int] = None,
+              tp: int = 1, devices: Optional[Sequence] = None) -> Mesh:
+    """1-D (dp) or 2-D (dp, tp) mesh over the available devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = n_devices or len(devices)
+    devices = devices[:n]
+    dp = dp or (n // tp)
+    assert dp * tp == n, f"dp({dp}) * tp({tp}) != devices({n})"
+    arr = np.array(devices).reshape(dp, tp)
+    return Mesh(arr, ("dp", "tp"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) dim over dp, replicate the rest."""
+    return NamedSharding(mesh, P("dp"))
+
+
+def context_sharding(mesh: Mesh) -> NamedSharding:
+    """Layerwise context [L, B, T, D]: batch is dim 1."""
+    return NamedSharding(mesh, P(None, "dp"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, tree):
+    """Device-put a host batch pytree with batch-dim sharding (leading axis
+    for >=1-D leaves; scalars replicated)."""
+    bs = batch_sharding(mesh)
+    rep = replicated(mesh)
+
+    def put(x):
+        if hasattr(x, "ndim") and x.ndim >= 1:
+            return jax.device_put(x, bs)
+        return jax.device_put(x, rep)
+
+    return jax.tree_util.tree_map(put, tree)
+
+
+def replicate_params(mesh: Mesh, params):
+    rep = replicated(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), params)

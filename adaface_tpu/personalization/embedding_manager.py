@@ -1,0 +1,216 @@
+"""Embedding manager: placeholder registry + layerwise prompt patching.
+
+TPU-native re-design of the reference `EmbeddingManager`
+(`ldm/modules/embedding_manager.py:940-2259`). The reference intercepts the
+CLIP token-embedding layer, repeats each prompt 16× along the batch dim and
+scatter-writes subject embeddings at dynamically-found placeholder indices.
+Here (SURVEY.md §7.1):
+
+- placeholder occupancy is a dense `[B, T]` slot map (k-index or -1) built
+  on host at tokenization time — device code is a static-shape gather +
+  where, no dynamic scatter;
+- the layer dim is a leading axis `[L, B, T, D]`, never tucked into batch;
+- multi-vector tokens occupy K *consecutive* slots, exactly like the
+  reference which overwrites the K-1 following positions (`:1556-1559`;
+  the data pipeline pads prompts with ", " to make room,
+  `personalized.py:888-893`).
+
+Checkpoint import reads the reference's `embeddings_gs-*.pt` (pickled
+torch modules) through the restricted unpickler; native checkpoints are
+plain .npz trees.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from adaface_tpu.personalization.static_embedding import (
+    StaticEmbedderParams,
+    compute_static_embedding,
+    init_static_embedder,
+    static_embedder_from_torch_stub,
+)
+from adaface_tpu.interop.torch_pickle import (
+    TorchObjectStub,
+    load_torch_checkpoint,
+    walk_stub_tree,
+)
+
+NUM_CA_LAYERS = 16
+
+
+@dataclasses.dataclass
+class PlaceholderInfo:
+    """Host-side static metadata for one placeholder string."""
+
+    string: str
+    token_id: int  # id in the (extended) vocab
+    num_vectors: int  # K
+    is_background: bool = False
+
+
+class EmbeddingManager:
+    """Host-side orchestrator. Embedder params live in a dict pytree so they
+    can be passed through jit/grad; this object only holds static metadata
+    and the param tree."""
+
+    def __init__(self):
+        self.placeholders: Dict[str, PlaceholderInfo] = {}
+        self.embedders: Dict[str, StaticEmbedderParams] = {}
+        self.emb_global_scale_scores: Dict[str, float] = {}
+        self.subj_basis_generators: Dict[str, dict] = {}  # zero-shot (filled by subj_basis module)
+        self.use_conv_attn_kernel_size: int = -1
+
+    # ------------------------------------------------------------------ setup
+    def add_placeholder(self, string: str, token_id: int, num_vectors: int = 1,
+                        is_background: bool = False,
+                        embedder: Optional[StaticEmbedderParams] = None,
+                        init_key: Optional[jax.Array] = None,
+                        init_vecs: Optional[np.ndarray] = None,
+                        init_vec_weights: Optional[np.ndarray] = None,
+                        rank: int = 6):
+        info = PlaceholderInfo(string, token_id, num_vectors, is_background)
+        self.placeholders[string] = info
+        if embedder is None:
+            key = init_key if init_key is not None else jax.random.PRNGKey(len(self.placeholders))
+            embedder = init_static_embedder(
+                key, NUM_CA_LAYERS, num_vectors, rank=rank,
+                init_vecs=init_vecs, init_vec_weights=init_vec_weights)
+        self.embedders[string] = embedder
+        self.emb_global_scale_scores.setdefault(string, 0.0)
+
+    # --------------------------------------------------------------- host side
+    def build_slot_maps(self, token_ids: np.ndarray) -> Dict[str, np.ndarray]:
+        """For each placeholder: [B, T] int map, value k in [0, K) if the
+        position is the k-th vector slot of that placeholder, else -1.
+        Only the FIRST occurrence per instance becomes the subject slots
+        (`embedding_manager.py:1369-1371`); later occurrences are left as
+        ordinary tokens."""
+        token_ids = np.asarray(token_ids)
+        B, T = token_ids.shape
+        maps = {}
+        for s, info in self.placeholders.items():
+            m = np.full((B, T), -1, dtype=np.int32)
+            for b in range(B):
+                pos = np.nonzero(token_ids[b] == info.token_id)[0]
+                if len(pos) == 0:
+                    continue
+                p = int(pos[0])
+                for k in range(info.num_vectors):
+                    if p + k < T:
+                        m[b, p + k] = k
+            maps[s] = m
+        return maps
+
+    # -------------------------------------------------------------- device side
+    def compute_subject_embeddings(self) -> Dict[str, jnp.ndarray]:
+        """placeholder -> [L, K, D] (jit-able through the param pytree)."""
+        return {s: compute_static_embedding(p) for s, p in self.embedders.items()}
+
+    @staticmethod
+    def patch_prompt_embeddings(
+        embedded_text: jnp.ndarray,  # [B, T, D] CLIP token embeddings
+        slot_maps: Dict[str, jnp.ndarray],  # placeholder -> [B, T]
+        subject_embs: Dict[str, jnp.ndarray],  # placeholder -> [L, K, D]
+    ) -> jnp.ndarray:
+        """Returns [L, B, T, D]: per-CA-layer token embeddings with
+        placeholder slots replaced by the subject embeddings."""
+        out = jnp.broadcast_to(embedded_text[None],
+                               (NUM_CA_LAYERS,) + embedded_text.shape)
+        for s, emb in subject_embs.items():
+            sm = jnp.asarray(slot_maps[s])  # [B, T]
+            gathered = emb[:, jnp.clip(sm, 0)]  # [L, B, T, D]
+            keep = (sm >= 0)[None, :, :, None]
+            out = jnp.where(keep, gathered.astype(out.dtype), out)
+        return out
+
+    # ------------------------------------------------------------- checkpoints
+    def save_native(self, path: str):
+        """Native checkpoint: flat .npz + a tiny JSON header."""
+        import json
+
+        arrays = {}
+        header = {"placeholders": [], "use_conv_attn_kernel_size": self.use_conv_attn_kernel_size}
+        for s, info in self.placeholders.items():
+            header["placeholders"].append(dataclasses.asdict(info))
+            header.setdefault("scores", {})[s] = float(self.emb_global_scale_scores[s])
+            p = self.embedders[s]
+            for fname in ("basis_rand_weights", "basis_comm_weights", "basis_vecs",
+                          "pre_vecs", "bias"):
+                v = getattr(p, fname)
+                if v is not None:
+                    arrays[f"{s}::{fname}"] = np.asarray(v)
+        arrays["__header__"] = np.frombuffer(json.dumps(header).encode(), dtype=np.uint8)
+        np.savez(path, **arrays)
+
+    @classmethod
+    def load_native(cls, path: str) -> "EmbeddingManager":
+        import json
+
+        z = np.load(path)
+        header = json.loads(bytes(z["__header__"]).decode())
+        mgr = cls()
+        mgr.use_conv_attn_kernel_size = header.get("use_conv_attn_kernel_size", -1)
+        for pdict in header["placeholders"]:
+            s = pdict["string"]
+            fields = {}
+            for fname in ("basis_rand_weights", "basis_comm_weights", "basis_vecs",
+                          "pre_vecs", "bias"):
+                key = f"{s}::{fname}"
+                fields[fname] = jnp.asarray(z[key]) if key in z.files else None
+            mgr.placeholders[s] = PlaceholderInfo(**pdict)
+            mgr.embedders[s] = StaticEmbedderParams(**fields)
+            mgr.emb_global_scale_scores[s] = header.get("scores", {}).get(s, 0.0)
+        return mgr
+
+    def load_reference_checkpoint(self, path: str,
+                                  token_id_resolver=None,
+                                  placeholder_remap: Optional[Dict[str, str]] = None):
+        """Import a reference `embeddings_gs-*.pt` (format:
+        `embedding_manager.py:1820-1834`). `token_id_resolver(string)` maps a
+        placeholder string to a token id in OUR vocab (defaults to sequential
+        ids starting at 49408). `placeholder_remap` renames placeholders on
+        load, the analog of the reference's `ckpt:z-z2` syntax
+        (`embedding_manager.py:1869-1883`)."""
+        ckpt = load_torch_checkpoint(path)
+        remap = placeholder_remap or {}
+        token2num = {str(k): int(np.asarray(v)) for k, v in
+                     dict(ckpt.get("token2num_vectors", {})).items()}
+        bg_strings = list(ckpt.get("background_strings") or [])
+        embedders = ckpt["string_to_static_embedder"]
+        # ParameterDict stub: modules under _parameters/_modules or plain attrs
+        if isinstance(embedders, TorchObjectStub):
+            d = embedders.__dict__
+            items = dict(d.get("_parameters") or {})
+            items.update(d.get("_modules") or {})
+        else:
+            items = dict(embedders)
+        next_id = 49408 + len(self.placeholders)
+        for name, stub in items.items():
+            target = remap.get(name, name)
+            flat = walk_stub_tree(stub)
+            params = static_embedder_from_torch_stub(flat)
+            K = token2num.get(name, 1)
+            if params.bias is not None:
+                K = params.bias.shape[1]
+            if token_id_resolver is not None:
+                tid = token_id_resolver(target)
+            else:
+                tid = next_id
+                next_id += 1
+            self.placeholders[target] = PlaceholderInfo(
+                string=target, token_id=tid, num_vectors=K,
+                is_background=(name in bg_strings))
+            self.embedders[target] = params
+            self.emb_global_scale_scores.setdefault(target, 0.0)
+        if "use_conv_attn_kernel_size" in ckpt and ckpt["use_conv_attn_kernel_size"] is not None:
+            try:
+                self.use_conv_attn_kernel_size = int(np.asarray(ckpt["use_conv_attn_kernel_size"]))
+            except (TypeError, ValueError):
+                pass
+        return self

@@ -1,0 +1,183 @@
+"""End-to-end subject-driven txt2img pipeline.
+
+The TPU-native equivalent of `scripts/stable_txt2img.py` (L6/L7 of
+SURVEY.md): tokenize -> patch placeholder embeddings (EmbeddingManager) ->
+CLIP-encode the 16-layer prompt batch -> lax.scan DDIM/PLMS with annealed
+CFG -> VAE decode. Everything device-side is jitted; compiled executables
+are cached per (batch, size, steps) signature.
+
+The layerwise prompt batch is encoded as ONE [L*B, 77, 768] CLIP forward —
+big MXU-friendly matmuls instead of the reference's per-call python loop.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from adaface_tpu.data.tokenizer import TokenizerBase
+from adaface_tpu.models.clip_text import CLIPTextConfig, CLIPTextEncoder
+from adaface_tpu.models.unet import UNetConfig, UNetModel, NUM_CA_LAYERS
+from adaface_tpu.models.vae import AutoencoderKL, VAEConfig, SD_VAE_SCALE_FACTOR
+from adaface_tpu.ops.schedule import (
+    DiffusionSchedule, make_diffusion_schedule, make_ddim_schedule,
+)
+from adaface_tpu.personalization.embedding_manager import EmbeddingManager
+from adaface_tpu.samplers import ddim_sample, plms_sample, make_cfg_eps_fn
+
+# The predefined negative prompt of `stable_txt2img.py:349-352`.
+DEFAULT_NEGATIVE_PROMPT = (
+    "duplicate faces, deformed, distorted, disfigured, poorly drawn, bad anatomy, "
+    "wrong anatomy, extra limb, missing limb, floating limbs, mutated hands and "
+    "fingers, disconnected limbs, mutation, mutated, ugly, disgusting, amputation"
+)
+
+
+@dataclasses.dataclass
+class StableDiffusionPipeline:
+    tokenizer: TokenizerBase
+    clip: CLIPTextEncoder
+    clip_params: dict
+    unet: UNetModel
+    unet_params: dict
+    vae: AutoencoderKL
+    vae_params: dict
+    embedding_manager: EmbeddingManager
+    base_sched: DiffusionSchedule
+    dtype: jnp.dtype = jnp.float32
+    skip_weights: Tuple[float, float] = (0.5, 0.5)
+
+    def __post_init__(self):
+        self._encode_jit = jax.jit(self._encode_device)
+        self._encode_plain_jit = jax.jit(self._encode_plain_device)
+        self._sample_cache: dict = {}
+
+    # ----------------------------------------------------------- construction
+    @classmethod
+    def from_random(cls, key: jax.Array, tokenizer: TokenizerBase,
+                    unet_cfg: Optional[UNetConfig] = None,
+                    vae_cfg: Optional[VAEConfig] = None,
+                    clip_cfg: Optional[CLIPTextConfig] = None,
+                    dtype=jnp.float32, num_extra_tokens: int = 8) -> "StableDiffusionPipeline":
+        """Random-weight pipeline (bench / smoke-test path; weight-file
+        loading goes through interop.sd_ckpt + from_params)."""
+        unet_cfg = unet_cfg or UNetConfig.sd_v1()
+        vae_cfg = vae_cfg or VAEConfig.sd_v1()
+        clip_cfg = clip_cfg or CLIPTextConfig.vit_l_14(num_extra_tokens=num_extra_tokens)
+        k1, k2, k3 = jax.random.split(key, 3)
+        clip = CLIPTextEncoder(clip_cfg, dtype)
+        clip_params = clip.init(k1, input_ids=jnp.zeros((1, 77), jnp.int32))["params"]
+        unet = UNetModel(unet_cfg, dtype)
+        latc = unet_cfg.in_channels
+        unet_params = unet.init(
+            k2, jnp.zeros((1, 8, 8, latc)), jnp.zeros((1,), jnp.int32),
+            jnp.zeros((NUM_CA_LAYERS, 1, 77, unet_cfg.context_dim)))["params"]
+        # SD's zero-initialized output convs make a *random* UNet context-blind
+        # (eps == 0); give them small random values so smoke/bench pipelines
+        # actually exercise the conditioning path.
+        def _fill_zeros(path, leaf):
+            if leaf.ndim >= 2 and not jnp.any(leaf):
+                seed = abs(hash("/".join(str(p) for p in path))) % (2**31)
+                return jax.random.normal(jax.random.PRNGKey(seed), leaf.shape,
+                                         leaf.dtype) * 0.02
+            return leaf
+        unet_params = jax.tree_util.tree_map_with_path(_fill_zeros, unet_params)
+        vae = AutoencoderKL(vae_cfg, dtype)
+        vae_params = vae.init(k3, jnp.zeros((1, 32, 32, 3)), jax.random.PRNGKey(0))["params"]
+        return cls(tokenizer=tokenizer, clip=clip, clip_params=clip_params,
+                   unet=unet, unet_params=unet_params, vae=vae, vae_params=vae_params,
+                   embedding_manager=EmbeddingManager(),
+                   base_sched=make_diffusion_schedule(), dtype=dtype)
+
+    # ------------------------------------------------------------- encoding
+    def _encode_device(self, ids: jnp.ndarray, slot_maps: Dict[str, jnp.ndarray],
+                       embedders: dict) -> jnp.ndarray:
+        """ids [B,77] + slot maps + embedder param-tree -> [L, B, 77, 768]."""
+        from adaface_tpu.personalization.static_embedding import compute_static_embedding
+
+        embedded = self.clip.apply({"params": self.clip_params}, ids,
+                                   method=CLIPTextEncoder.embed_tokens)
+        subj = {s: compute_static_embedding(p) for s, p in embedders.items()}
+        patched = EmbeddingManager.patch_prompt_embeddings(embedded, slot_maps, subj)
+        L, B, T, D = patched.shape
+        flat = patched.reshape(L * B, T, D)
+        ctx = self.clip.apply({"params": self.clip_params}, input_embeds=flat,
+                              skip_weights=jnp.asarray(self.skip_weights))
+        return ctx.reshape(L, B, T, D)
+
+    def _encode_plain_device(self, ids: jnp.ndarray) -> jnp.ndarray:
+        ctx = self.clip.apply({"params": self.clip_params}, ids,
+                              skip_weights=jnp.asarray(self.skip_weights))
+        return ctx[None]  # [1, B, T, D]
+
+    def encode_prompts(self, prompts: Sequence[str]) -> jnp.ndarray:
+        """Personalized encoding: [L, B, 77, 768] with placeholders patched."""
+        ids = self.tokenizer(list(prompts))
+        slot_maps = self.embedding_manager.build_slot_maps(ids)
+        if not slot_maps:
+            return jnp.broadcast_to(self._encode_plain_jit(jnp.asarray(ids)), (1,) + ids.shape + (self.clip.cfg.hidden_size,))
+        return self._encode_jit(jnp.asarray(ids),
+                                {k: jnp.asarray(v) for k, v in slot_maps.items()},
+                                self.embedding_manager.embedders)
+
+    def encode_negative(self, prompt: str, batch: int) -> jnp.ndarray:
+        ids = self.tokenizer([prompt] * batch)
+        return self._encode_plain_jit(jnp.asarray(ids))
+
+    # ------------------------------------------------------------- sampling
+    def _get_sampler_fn(self, batch: int, latent_hw: Tuple[int, int], steps: int,
+                        guidance, sampler: str):
+        sig = (batch, latent_hw, steps,
+               tuple(guidance) if isinstance(guidance, (tuple, list)) else guidance,
+               sampler)
+        if sig in self._sample_cache:
+            return self._sample_cache[sig]
+        sched = make_ddim_schedule(self.base_sched, steps, guidance_scale=guidance)
+
+        def unet_apply(x, t, ctx, ctx_k):
+            return self.unet.apply({"params": self.unet_params}, x, t, ctx,
+                                   context_k=ctx_k)
+
+        @jax.jit
+        def run(ctx_c, ctx_u, x_T):
+            eps_fn = make_cfg_eps_fn(unet_apply, ctx_c, ctx_u)
+            if sampler == "plms":
+                g = guidance if not isinstance(guidance, (tuple, list)) else guidance[0]
+                z = plms_sample(eps_fn, sched, x_T, guide_scale=g)
+            else:
+                z = ddim_sample(eps_fn, sched, x_T)
+            imgs = self.vae.apply({"params": self.vae_params},
+                                  z / SD_VAE_SCALE_FACTOR,
+                                  method=AutoencoderKL.decode)
+            return jnp.clip((imgs + 1.0) / 2.0, 0.0, 1.0)
+
+        self._sample_cache[sig] = run
+        return run
+
+    def generate(
+        self,
+        prompts: Sequence[str],
+        negative_prompt: str = DEFAULT_NEGATIVE_PROMPT,
+        num_steps: int = 50,
+        guidance_scale=(10.0, 4.0),
+        height: int = 512,
+        width: int = 512,
+        seed: int = 0,
+        sampler: str = "ddim",
+    ) -> np.ndarray:
+        """Returns uint8 images [B, H, W, 3]."""
+        b = len(prompts)
+        f = 2 ** (len(self.vae.cfg.ch_mult) - 1)  # VAE spatial factor (8 for SD)
+        lh, lw = height // f, width // f
+        ctx_c = self.encode_prompts(prompts)
+        ctx_u = self.encode_negative(negative_prompt, b)
+        x_T = jax.random.normal(jax.random.PRNGKey(seed),
+                                (b, lh, lw, self.unet.cfg.in_channels), jnp.float32)
+        run = self._get_sampler_fn(b, (lh, lw), num_steps, guidance_scale, sampler)
+        imgs = run(ctx_c, ctx_u, x_T)
+        return np.asarray((imgs * 255).astype(jnp.uint8))

@@ -1,0 +1,66 @@
+"""Headline benchmark: images/sec/chip, 512x512, DDIM-50, CFG, bf16.
+
+Mirrors BASELINE config 2 (single-subject 512², DDIM-50, annealed CFG
+(10→4), subject embedding spliced) with random weights — throughput is
+weight-independent. The reference publishes no numbers (BASELINE.md);
+`vs_baseline` is computed against the commonly-reported PyTorch SD-v1.5
+fp16 xformers figure of ~2.0 images/sec at 512px/DDIM-50 on an A100 —
+the closest thing to a reference operating point.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+N_SAMPLES = 4
+STEPS = 50
+SIZE = 512
+TORCH_A100_BASELINE_IMG_S = 2.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from adaface_tpu.data.tokenizer import HashTokenizer
+    from adaface_tpu.pipeline import StableDiffusionPipeline
+    from adaface_tpu.personalization.static_embedding import init_static_embedder
+
+    tok = HashTokenizer()
+    pipe = StableDiffusionPipeline.from_random(
+        jax.random.PRNGKey(0), tok, dtype=jnp.bfloat16)
+    tid = tok.add_placeholder("z")
+    pipe.embedding_manager.add_placeholder("z", token_id=tid, num_vectors=9,
+                                           init_key=jax.random.PRNGKey(7))
+
+    prompts = ["a photo of a z , , , , , , , , person"] * N_SAMPLES
+
+    def run(seed):
+        return pipe.generate(prompts, num_steps=STEPS, guidance_scale=(10.0, 4.0),
+                             height=SIZE, width=SIZE, seed=seed)
+
+    t0 = time.time()
+    run(0)  # compile + first run
+    compile_s = time.time() - t0
+
+    times = []
+    for i in range(3):
+        t0 = time.time()
+        run(i + 1)
+        times.append(time.time() - t0)
+    best = min(times)
+    img_s = N_SAMPLES / best
+    print(json.dumps({
+        "metric": "images/sec/chip @512px DDIM-50 CFG bf16",
+        "value": round(img_s, 4),
+        "unit": "images/sec",
+        "vs_baseline": round(img_s / TORCH_A100_BASELINE_IMG_S, 4),
+    }))
+    print(f"# compile+first: {compile_s:.1f}s; runs: {[round(t,2) for t in times]}; "
+          f"n_samples={N_SAMPLES} steps={STEPS}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

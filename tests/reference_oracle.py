@@ -25,12 +25,15 @@ def import_reference_module(name: str):
     (torchvision etc.) stubbed out."""
     global _stubbed
     if not _stubbed:
+        import importlib.machinery
+
         for mod in [
             "torchvision", "torchvision.utils", "torchvision.transforms",
             "torchvision.transforms.functional",
         ]:
             if mod not in sys.modules:
                 m = types.ModuleType(mod)
+                m.__spec__ = importlib.machinery.ModuleSpec(mod, loader=None)
                 sys.modules[mod] = m
         tvu = sys.modules["torchvision.utils"]
         tvu.make_grid = lambda *a, **k: None
@@ -68,6 +71,20 @@ def import_reference_module(name: str):
                                  ("taming.modules.vqvae", tv),
                                  ("taming.modules.vqvae.quantize", tq)]:
                 sys.modules[modname] = mod
+        os.environ.setdefault("HF_HUB_OFFLINE", "1")
+        os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
+        # ldm.modules.subj_basis_generator downloads a CLIP tokenizer at
+        # import time (line 22) — impossible under zero egress, so stub the
+        # whole module; embedding_manager only imports the class name.
+        if "ldm.modules.subj_basis_generator" not in sys.modules:
+            sbg = types.ModuleType("ldm.modules.subj_basis_generator")
+
+            class SubjBasisGenerator:  # placeholder, never instantiated in tests
+                pass
+
+            sbg.SubjBasisGenerator = SubjBasisGenerator
+            sbg.CLIPVisionModelWithMask = object
+            sys.modules["ldm.modules.subj_basis_generator"] = sbg
         if REFERENCE_ROOT not in sys.path:
             sys.path.insert(0, REFERENCE_ROOT)
         _stubbed = True

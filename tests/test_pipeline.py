@@ -1,0 +1,108 @@
+"""End-to-end pipeline smoke tests (tiny random models) + tokenizer tests."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from adaface_tpu.data.tokenizer import HashTokenizer, CLIPBPETokenizer
+from adaface_tpu.models.clip_text import CLIPTextConfig
+from adaface_tpu.models.unet import UNetConfig
+from adaface_tpu.models.vae import VAEConfig
+from adaface_tpu.pipeline import StableDiffusionPipeline
+
+
+def _tiny_pipeline():
+    tok = HashTokenizer()
+    unet_cfg = UNetConfig(model_channels=32, channel_mult=(1, 2), num_res_blocks=1,
+                          attention_levels=(0, 1), num_heads=4, context_dim=64)
+    vae_cfg = VAEConfig.tiny()
+    clip_cfg = CLIPTextConfig.tiny(vocab_size=49408, hidden_size=64,
+                                   max_position_embeddings=77, num_extra_tokens=4)
+    return StableDiffusionPipeline.from_random(
+        jax.random.PRNGKey(0), tok, unet_cfg, vae_cfg, clip_cfg)
+
+
+# NOTE: tiny UNet has a different CA layer count than 16; the pipeline
+# broadcasts context so this still exercises the full path.
+
+
+def test_generate_plain_prompt():
+    pipe = _tiny_pipeline()
+    imgs = pipe.generate(["a photo of a cat"], num_steps=2, height=64, width=64,
+                         guidance_scale=(7.5, 2.0), seed=1)
+    assert imgs.shape == (1, 64, 64, 3)
+    assert imgs.dtype == np.uint8
+
+
+def test_generate_with_subject_embedding():
+    pipe = _tiny_pipeline()
+    tid = pipe.tokenizer.add_placeholder("z")
+    pipe.embedding_manager.add_placeholder("z", token_id=tid, num_vectors=2,
+                                           init_key=jax.random.PRNGKey(5))
+    # shrink embedder to the tiny clip dim
+    from adaface_tpu.personalization.static_embedding import init_static_embedder
+    pipe.embedding_manager.embedders["z"] = init_static_embedder(
+        jax.random.PRNGKey(5), num_vectors=2, emb_dim=64, rank=4)
+
+    imgs_a = pipe.generate(["a photo of a z ,"], num_steps=2, height=64, width=64, seed=3)
+    imgs_b = pipe.generate(["a photo of a q ,"], num_steps=2, height=64, width=64, seed=3)
+    assert imgs_a.shape == (1, 64, 64, 3)
+    # subject embedding must change the output vs an ordinary word
+    assert np.abs(imgs_a.astype(int) - imgs_b.astype(int)).max() > 0
+
+
+def test_plms_path():
+    pipe = _tiny_pipeline()
+    imgs = pipe.generate(["hello world"], num_steps=4, height=64, width=64,
+                         sampler="plms", guidance_scale=5.0, seed=0)
+    assert imgs.shape == (1, 64, 64, 3)
+
+
+def test_hash_tokenizer_contract():
+    tok = HashTokenizer()
+    ids = tok(["a photo of a cat", "dog"])
+    assert ids.shape == (2, 77)
+    assert ids[0, 0] == tok.bos_id
+    assert ids[1, 2] == tok.eos_id  # "dog" -> BOS, word, EOS...
+    # determinism + distinct words distinct ids (overwhelmingly likely)
+    ids2 = tok(["a photo of a cat", "dog"])
+    np.testing.assert_array_equal(ids, ids2)
+    tid = tok.add_placeholder("z")
+    assert tid == tok.vocab_size
+    ids3 = tok(["a z portrait"])
+    assert tid in ids3[0]
+
+
+def test_clip_bpe_tokenizer_with_synthetic_vocab(tmp_path):
+    """Real BPE mechanics on a constructed vocab: bytes + merges."""
+    import json
+
+    # vocab: all single byte-units and with </w>, plus merged tokens
+    from adaface_tpu.data.tokenizer import bytes_to_unicode
+
+    b2u = bytes_to_unicode()
+    units = sorted(set(b2u.values()))
+    vocab = {}
+    for u in units:
+        vocab[u] = len(vocab)
+    for u in units:
+        vocab[u + "</w>"] = len(vocab)
+    merges = ["h e", "he l", "hel l", "hell o</w>"]
+    for m in merges:
+        tok = m.replace(" ", "")
+        if tok not in vocab:
+            vocab[tok] = len(vocab)
+    vocab["<|startoftext|>"] = len(vocab)
+    vocab["<|endoftext|>"] = len(vocab)
+    (tmp_path / "vocab.json").write_text(json.dumps(vocab))
+    (tmp_path / "merges.txt").write_text("#version: 0.2\n" + "\n".join(merges))
+
+    tok = CLIPBPETokenizer(str(tmp_path / "vocab.json"), str(tmp_path / "merges.txt"))
+    ids = tok.encode("hello")
+    assert ids == [vocab["hello</w>"]]
+    ids2 = tok.encode("help")  # h+e->he, he+l->hel; p</w> unmerged
+    assert ids2 == [vocab["hel"], vocab["p</w>"]]
+    batch = tok(["hello hello"])
+    assert batch[0, 0] == tok.bos_id and batch[0, 3] == tok.eos_id
