@@ -53,6 +53,7 @@ class UNetConfig:
     context_dim: int = 768
     transformer_depth: int = 1
     use_remat: bool = False  # jax.checkpoint over transformer blocks
+    use_flash_attention: bool = True  # Pallas flash kernel on long self-attn
 
     @classmethod
     def sd_v1(cls, **kw) -> "UNetConfig":
@@ -106,11 +107,14 @@ class ResBlock(nn.Module):
 
 class UNetCrossAttention(nn.Module):
     """8-head attention; self-attn when ctx_v is None. Mask semantics and
-    capture payload match `attention.py:172-257`."""
+    capture payload match `attention.py:172-257`. Long self-attention runs
+    through the Pallas flash kernel (capture forces the einsum path since
+    the probability tensor must be materialized for the distill losses)."""
 
     num_heads: int
     head_dim: int
     dtype: jnp.dtype = jnp.float32
+    use_flash: bool = True
 
     @nn.compact
     def __call__(self, x, ctx_v=None, ctx_k=None, key_mask=None, capture=False):
@@ -128,6 +132,17 @@ class UNetCrossAttention(nn.Module):
         split = lambda t, l: t.reshape(b, l, h, d).transpose(0, 2, 1, 3)
         qh, kh, vh = split(q, lq), split(k, lk), split(v, lk)
         scale = d ** -0.5
+
+        if self.use_flash and not capture:
+            from adaface_tpu.ops.flash_attention import flash_attention
+
+            key_bias = None
+            if key_mask is not None:
+                key_bias = jnp.where(key_mask, 0.0, -1e30).astype(jnp.float32)
+            oh = flash_attention(qh, kh, vh, key_bias=key_bias, scale=scale)
+            out = oh.transpose(0, 2, 1, 3).reshape(b, lq, inner)
+            return nn.Dense(x.shape[-1], dtype=self.dtype, name="to_out")(out), None
+
         sim = jnp.einsum("bhqd,bhkd->bhqk", qh, kh,
                          preferred_element_type=jnp.float32) * scale
         if key_mask is not None:
@@ -150,14 +165,17 @@ class TransformerBlock(nn.Module):
     num_heads: int
     head_dim: int
     dtype: jnp.dtype = jnp.float32
+    use_flash: bool = True
 
     @nn.compact
     def __call__(self, x, ctx_v, ctx_k, key_mask, capture=False):
         ln = lambda name: nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=name)
         a1, _ = UNetCrossAttention(self.num_heads, self.head_dim, self.dtype,
+                                   self.use_flash,
                                    name="attn1")(ln("norm1")(x), key_mask=key_mask)
         x = x + a1
         a2, aux = UNetCrossAttention(self.num_heads, self.head_dim, self.dtype,
+                                     self.use_flash,
                                      name="attn2")(ln("norm2")(x), ctx_v, ctx_k,
                                                    capture=capture)
         x = x + a2
@@ -171,6 +189,7 @@ class TransformerBlock(nn.Module):
 class SpatialTransformer(nn.Module):
     num_heads: int
     dtype: jnp.dtype = jnp.float32
+    use_flash: bool = True
 
     @nn.compact
     def __call__(self, x, ctx_v, ctx_k, img_mask=None, capture=False):
@@ -184,6 +203,7 @@ class SpatialTransformer(nn.Module):
         if img_mask is not None:
             key_mask = _nearest_resize_mask(img_mask, hh, ww).reshape(b, hh * ww) > 0
         h, aux = TransformerBlock(self.num_heads, head_dim, self.dtype,
+                                  self.use_flash,
                                   name="block_0")(h, ctx_v, ctx_k, key_mask, capture)
         h = h.reshape(b, hh, ww, c)
         h = _conv(c, kernel=1, padding=0, name="proj_out", dtype=self.dtype,
@@ -251,7 +271,8 @@ class UNetModel(nn.Module):
         def spatial(layer_idx, h, name):
             cv, ck = layer_ctx(layer_idx)
             do_cap = capture and layer_idx in DISTILL_LAYER_INDICES
-            st = SpatialTransformer(c.num_heads, self.dtype, name=name)
+            st = SpatialTransformer(c.num_heads, self.dtype,
+                                    c.use_flash_attention, name=name)
             h, aux = st(h, cv, ck, img_mask, do_cap)
             if do_cap:
                 aux["outfeat"] = h
