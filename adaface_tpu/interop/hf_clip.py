@@ -47,3 +47,43 @@ def map_clip_text_params(sd: Dict[str, np.ndarray], num_layers: int = 12,
             "fc2": dense("mlp.fc2"),
         }
     return params
+
+
+def map_clip_vision_params(sd: Dict[str, np.ndarray], num_layers: int = 24,
+                           prefix: str = "vision_model.") -> dict:
+    """HF CLIPVisionModel state_dict -> `models.clip_vision.CLIPVisionEncoder`
+    params. The patch-embedding conv weight is torch OIHW -> flax HWIO."""
+
+    def g(name):
+        return np.asarray(sd[prefix + name])
+
+    params = {
+        "class_embedding": g("embeddings.class_embedding"),
+        "patch_embedding": {
+            "kernel": g("embeddings.patch_embedding.weight").transpose(2, 3, 1, 0),
+        },
+        "position_embedding": {"embedding": g("embeddings.position_embedding.weight")},
+        "pre_layrnorm": {
+            "scale": g("pre_layrnorm.weight"), "bias": g("pre_layrnorm.bias"),
+        },
+        "post_layernorm": {
+            "scale": g("post_layernorm.weight"), "bias": g("post_layernorm.bias"),
+        },
+    }
+    for i in range(num_layers):
+        lp = f"encoder.layers.{i}."
+        dense = lambda n: {"kernel": g(lp + n + ".weight").T, "bias": g(lp + n + ".bias")}
+        ln = lambda n: {"scale": g(lp + n + ".weight"), "bias": g(lp + n + ".bias")}
+        params[f"layers_{i}"] = {
+            "self_attn": {
+                "q_proj": dense("self_attn.q_proj"),
+                "k_proj": dense("self_attn.k_proj"),
+                "v_proj": dense("self_attn.v_proj"),
+                "out_proj": dense("self_attn.out_proj"),
+            },
+            "layer_norm1": ln("layer_norm1"),
+            "layer_norm2": ln("layer_norm2"),
+            "fc1": dense("mlp.fc1"),
+            "fc2": dense("mlp.fc2"),
+        }
+    return params

@@ -46,6 +46,12 @@ class CLIPTextConfig:
     max_position_embeddings: int = 77
     layer_norm_eps: float = 1e-5
     num_extra_tokens: int = 0  # appended trainable vocab rows (placeholders)
+    # Per-layer K/V head-multipliers — the native form of the reference's
+    # `CLIPAttentionMKV` capacity-extension surgery
+    # (`ldm/modules/arc2face_models.py:16-176`): each token contributes
+    # `m` key/value copies (extra copies noise-perturbed at extension time),
+    # softmax runs over the m-times-longer key axis. None = all 1.
+    kv_multipliers: Optional[tuple] = None
 
     @classmethod
     def vit_l_14(cls, **kw) -> "CLIPTextConfig":
@@ -63,37 +69,48 @@ class CLIPTextConfig:
 class CLIPAttention(nn.Module):
     cfg: CLIPTextConfig
     dtype: jnp.dtype = jnp.float32
+    kv_multiplier: int = 1
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, causal_mask: jnp.ndarray) -> jnp.ndarray:
         c = self.cfg
         h, d = c.num_heads, c.hidden_size // c.num_heads
-        dense = lambda name: nn.Dense(c.hidden_size, dtype=self.dtype, name=name)
-        q = dense("q_proj")(x)
-        k = dense("k_proj")(x)
-        v = dense("v_proj")(x)
+        m = self.kv_multiplier
+        dense = lambda feat, name: nn.Dense(feat, dtype=self.dtype, name=name)
+        q = dense(c.hidden_size, "q_proj")(x)
+        k = dense(c.hidden_size * m, "k_proj")(x)
+        v = dense(c.hidden_size * m, "v_proj")(x)
         b, l, _ = x.shape
-        split = lambda t: t.reshape(b, l, h, d).transpose(0, 2, 1, 3)
+        split_q = lambda t: t.reshape(b, l, h, d).transpose(0, 2, 1, 3)
+        # K/V copies are laid out [tok0_c0, .., tok0_cm, tok1_c0, ..]: copy
+        # index innermost next to seq, matching the reference's `_shape` of a
+        # repeated-weight projection (`arc2face_models.py:43-44,100-105`).
+        split_kv = lambda t: (t.reshape(b, l, m, h, d)
+                               .transpose(0, 3, 1, 2, 4)
+                               .reshape(b, h, l * m, d))
         logits = jnp.einsum(
-            "bhqd,bhkd->bhqk", split(q) * (d**-0.5), split(k),
+            "bhqd,bhkd->bhqk", split_q(q) * (d**-0.5), split_kv(k),
             preferred_element_type=jnp.float32,
         )
-        logits = jnp.where(causal_mask, logits, jnp.finfo(jnp.float32).min)
+        mask = causal_mask if m == 1 else jnp.repeat(causal_mask, m, axis=-1)
+        logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
         probs = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhqk,bhkd->bhqd", probs, split(v))
+        out = jnp.einsum("bhqk,bhkd->bhqd", probs, split_kv(v))
         out = out.transpose(0, 2, 1, 3).reshape(b, l, c.hidden_size)
-        return dense("out_proj")(out)
+        return dense(c.hidden_size, "out_proj")(out)
 
 
 class CLIPEncoderLayer(nn.Module):
     cfg: CLIPTextConfig
     dtype: jnp.dtype = jnp.float32
+    kv_multiplier: int = 1
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, causal_mask: jnp.ndarray) -> jnp.ndarray:
         c = self.cfg
         ln = lambda name: nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype, name=name)
-        x = x + CLIPAttention(c, self.dtype, name="self_attn")(ln("layer_norm1")(x), causal_mask)
+        x = x + CLIPAttention(c, self.dtype, self.kv_multiplier,
+                              name="self_attn")(ln("layer_norm1")(x), causal_mask)
         y = ln("layer_norm2")(x)
         y = nn.Dense(c.intermediate_size, dtype=self.dtype, name="fc1")(y)
         y = quick_gelu(y)
@@ -117,7 +134,8 @@ class CLIPTextEncoder(nn.Module):
                 name="extra_token_embedding")
         self.position_embedding = nn.Embed(c.max_position_embeddings, c.hidden_size,
                                            dtype=self.dtype, name="position_embedding")
-        self.layers = [CLIPEncoderLayer(c, self.dtype, name=f"layers_{i}")
+        mults = c.kv_multipliers or (1,) * c.num_layers
+        self.layers = [CLIPEncoderLayer(c, self.dtype, mults[i], name=f"layers_{i}")
                        for i in range(c.num_layers)]
         self.final_layer_norm = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype,
                                              name="final_layer_norm")
@@ -154,7 +172,9 @@ class CLIPTextEncoder(nn.Module):
         x = input_embeds + pos[None]
         causal = jnp.tril(jnp.ones((l, l), dtype=bool))[None, None]
 
-        n = max(1, num_skip_layers)
+        n = min(max(1, num_skip_layers), c.num_layers)
+        if skip_weights is not None and skip_weights.shape[0] > n:
+            skip_weights = skip_weights[-n:]
         collected = []  # hidden states AFTER layers num_layers-n .. num_layers-1
         for i, layer in enumerate(self.layers):
             x = layer(x, causal)
@@ -163,8 +183,13 @@ class CLIPTextEncoder(nn.Module):
         if skip_weights is None or n == 1:
             blended = x
         else:
+            # skip_weights: [N], [N, 1] or [N, D] (per-channel), normalized to
+            # sum to 1 across layers (`modules.py:361-370`,
+            # `arc2face_models.py:240-249`).
             w = skip_weights.astype(jnp.float32)
-            w = w / jnp.sum(w)
+            if w.ndim == 1:
+                w = w[:, None]
+            w = w / jnp.sum(w, axis=0, keepdims=True)
             stack = jnp.stack(collected, axis=0).astype(jnp.float32)
-            blended = jnp.einsum("n,nbld->bld", w, stack).astype(self.dtype)
+            blended = jnp.sum(stack * w[:, None, None, :], axis=0).astype(self.dtype)
         return self.final_layer_norm(blended)

@@ -63,8 +63,72 @@ class EmbeddingManager:
         self.placeholders: Dict[str, PlaceholderInfo] = {}
         self.embedders: Dict[str, StaticEmbedderParams] = {}
         self.emb_global_scale_scores: Dict[str, float] = {}
-        self.subj_basis_generators: Dict[str, dict] = {}  # zero-shot (filled by subj_basis module)
+        # zero-shot: placeholder -> (SubjBasisGenerator module, params)
+        self.subj_basis_generators: Dict[str, tuple] = {}
+        # frozen Arc2Face text encoder (module, params) for the forward pass
+        self.arc2face_encoder = None
         self.use_conv_attn_kernel_size: int = -1
+
+    # ---------------------------------------------------------------- zero-shot
+    def add_zero_shot_placeholder(self, string: str, token_id: int,
+                                  generator, generator_params: dict,
+                                  num_vectors: int = 16,
+                                  is_background: bool = False):
+        """Register a placeholder whose embeddings come from a
+        `SubjBasisGenerator` instead of an optimized static embedder
+        (`embedding_manager.py:1160-1177`). In zero-shot mode the static
+        embedder degenerates to a passthrough (`:507-514`), so none is
+        created here."""
+        self.placeholders[string] = PlaceholderInfo(
+            string, token_id, num_vectors, is_background)
+        self.subj_basis_generators[string] = (generator, generator_params)
+        self.emb_global_scale_scores.setdefault(string, 0.0)
+
+    def compute_zero_shot_embeddings(
+        self,
+        features,  # ZeroShotFeatures
+        inverse_template_ids: jnp.ndarray,  # [1, 77]
+        forward_template_ids: Optional[jnp.ndarray] = None,  # [1, 77]
+        arcface_token_id: Optional[int] = None,
+        out_id_embs_scale: float = 1.0,
+        is_face: bool = True,
+        is_training: bool = False,
+        inf_emb_type: str = "full_half_pad",
+    ) -> Tuple[Dict[str, jnp.ndarray], Optional[jnp.ndarray]]:
+        """placeholder -> [L, B, K, D] zero-shot subject embeddings, plus the
+        inverse prompt embeddings of the (single) fg subject. The zero-shot
+        dataflow of `get_static_embedding` (`embedding_manager.py:1400-1505`):
+        id embs -> frozen Arc2Face forward -> SubjBasisGenerator inverse.
+        """
+        from adaface_tpu.personalization.arc2face import forward_face_embs
+
+        arc2face_id_embs = None
+        if is_face and features.id_embs is not None:
+            assert self.arc2face_encoder is not None, \
+                "set arc2face_encoder=(module, params) for zero-shot faces"
+            enc, enc_params = self.arc2face_encoder
+            _, arc2face_id_embs = forward_face_embs(
+                enc, enc_params, jax.lax.stop_gradient(features.id_embs),
+                forward_template_ids, arcface_token_id)
+
+        out: Dict[str, jnp.ndarray] = {}
+        inverse_prompt_embs = None
+        for s, (gen, gparams) in self.subj_basis_generators.items():
+            info = self.placeholders[s]
+            clip_feats = features.clip_bg if info.is_background else features.clip_fg
+            embs, inv = gen.apply(
+                {"params": gparams}, clip_feats,
+                None if is_face else features.id_embs,
+                arc2face_id_embs,
+                out_id_embs_scale=out_id_embs_scale,
+                is_face=is_face, is_training=is_training,
+                inverse_template_ids=inverse_template_ids,
+                arc2face_inverse_prompt_embs_inf_type=inf_emb_type)
+            # [B, L, K, D] -> [L, B, K, D] (our layerwise-leading layout)
+            out[s] = jnp.transpose(embs, (1, 0, 2, 3))
+            if inv is not None and not info.is_background:
+                inverse_prompt_embs = inv
+        return out, inverse_prompt_embs
 
     # ------------------------------------------------------------------ setup
     def add_placeholder(self, string: str, token_id: int, num_vectors: int = 1,
@@ -116,15 +180,23 @@ class EmbeddingManager:
     def patch_prompt_embeddings(
         embedded_text: jnp.ndarray,  # [B, T, D] CLIP token embeddings
         slot_maps: Dict[str, jnp.ndarray],  # placeholder -> [B, T]
-        subject_embs: Dict[str, jnp.ndarray],  # placeholder -> [L, K, D]
+        subject_embs: Dict[str, jnp.ndarray],  # placeholder -> [L, K, D] or [L, B, K, D]
     ) -> jnp.ndarray:
         """Returns [L, B, T, D]: per-CA-layer token embeddings with
-        placeholder slots replaced by the subject embeddings."""
+        placeholder slots replaced by the subject embeddings. Static
+        [L, K, D] embeddings (per-subject inversion) broadcast over the
+        batch; zero-shot embeddings are per-instance [L, B, K, D]
+        (`embedding_manager.py:1505-1559`)."""
         out = jnp.broadcast_to(embedded_text[None],
                                (NUM_CA_LAYERS,) + embedded_text.shape)
+        B = embedded_text.shape[0]
         for s, emb in subject_embs.items():
             sm = jnp.asarray(slot_maps[s])  # [B, T]
-            gathered = emb[:, jnp.clip(sm, 0)]  # [L, B, T, D]
+            k = jnp.clip(sm, 0)
+            if emb.ndim == 3:
+                gathered = emb[:, k]  # [L, B, T, D]
+            else:
+                gathered = emb[:, jnp.arange(B)[:, None], k]  # [L, B, T, D]
             keep = (sm >= 0)[None, :, :, None]
             out = jnp.where(keep, gathered.astype(out.dtype), out)
         return out

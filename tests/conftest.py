@@ -16,6 +16,10 @@ if "xla_force_host_platform_device_count" not in xla_flags:
 
 import jax  # noqa: E402
 
+# The environment may register a TPU PJRT plugin at interpreter startup
+# (before this conftest), which overrides JAX_PLATFORMS from the env; the
+# config knob still wins as long as no backend has been initialized yet.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
 import numpy as np  # noqa: E402

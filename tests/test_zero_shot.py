@@ -1,0 +1,132 @@
+"""End-to-end zero-shot path: images -> masked CLIP features + face embs ->
+Arc2Face forward -> SubjBasisGenerator -> patched prompt embeddings.
+
+Mirrors the dataflow of SURVEY.md §3.4 on tiny configs.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from adaface_tpu.data.tokenizer import HashTokenizer
+from adaface_tpu.models.clip_text import CLIPTextConfig, CLIPTextEncoder
+from adaface_tpu.models.clip_vision import CLIPVisionConfig, CLIPVisionEncoder
+from adaface_tpu.personalization.arc2face import (
+    FORWARD_TEMPLATE,
+    INVERSE_TEMPLATE,
+)
+from adaface_tpu.personalization.embedding_manager import (
+    NUM_CA_LAYERS,
+    EmbeddingManager,
+)
+from adaface_tpu.personalization.subj_basis_generator import SubjBasisGenerator
+from adaface_tpu.personalization.zero_shot import (
+    ZeroShotFeatureExtractor,
+    ZeroShotFeatures,
+)
+
+T, D = 32, 64
+
+
+@pytest.fixture(scope="module")
+def stack():
+    tok = HashTokenizer()
+    tok.max_length = T
+    vis_cfg = CLIPVisionConfig.tiny(hidden_size=48)
+    vision = CLIPVisionEncoder(vis_cfg)
+    vparams = vision.init(jax.random.PRNGKey(0),
+                          jnp.zeros((1, 28, 28, 3)))["params"]
+
+    txt_cfg = CLIPTextConfig.tiny(vocab_size=512, hidden_size=D, num_layers=2,
+                                  max_position_embeddings=T)
+    arc_enc = CLIPTextEncoder(txt_cfg)
+    arc_params = arc_enc.init(jax.random.PRNGKey(1),
+                              input_ids=jnp.zeros((1, T), jnp.int32))["params"]
+
+    gen = SubjBasisGenerator(placeholder_is_bg=False, num_out_layers=NUM_CA_LAYERS,
+                             num_out_embs_per_layer=16, output_dim=D,
+                             proj_cfg=txt_cfg, pad_token_id=tok.eos_id)
+    inv_ids = jnp.asarray(tok([INVERSE_TEMPLATE], max_length=T))
+    gparams = gen.init(jax.random.PRNGKey(2), None, None,
+                       jnp.zeros((1, 16, D)),
+                       inverse_template_ids=inv_ids)["params"]
+
+    bg_gen = SubjBasisGenerator(placeholder_is_bg=True, num_out_layers=NUM_CA_LAYERS,
+                                num_out_embs_per_layer=4, output_dim=D,
+                                image_embedding_dim=48, num_heads=4,
+                                bg_num_id_vecs=vis_cfg.num_tokens)
+    bg_params = bg_gen.init(jax.random.PRNGKey(3),
+                            jnp.zeros((1, vis_cfg.num_tokens, 48)),
+                            None, None)["params"]
+    return tok, vision, vparams, arc_enc, arc_params, gen, gparams, bg_gen, bg_params, inv_ids
+
+
+def test_feature_extractor(stack):
+    tok, vision, vparams, *_ = stack
+    rng = np.random.default_rng(0)
+    imgs = [rng.integers(0, 255, (40, 32, 3), dtype=np.uint8) for _ in range(3)]
+    masks = [np.ones((40, 32), np.float32) * (i % 2) for i in range(3)]
+    face_calls = []
+
+    def face_fn(img):
+        face_calls.append(img.shape)
+        if len(face_calls) == 2:
+            return None  # second image: no face -> random fallback
+        return np.ones(512, np.float32)
+
+    ex = ZeroShotFeatureExtractor(vision, vparams, face_embed_fn=face_fn)
+    feats = ex.encode(imgs, masks, is_face=True, calc_avg=True)
+    assert feats.clip_fg.shape == (1, vision.cfg.num_tokens, 48)
+    assert feats.clip_bg.shape == (1, vision.cfg.num_tokens, 48)
+    assert feats.clip_features.shape == (1, 2 * vision.cfg.num_tokens, 48)
+    assert feats.id_embs.shape == (1, 512)
+    assert feats.faceless_img_count == 1
+    np.testing.assert_allclose(
+        float(jnp.linalg.norm(feats.id_embs)), 1.0, rtol=1e-5)
+
+
+def test_zero_shot_embedding_manager_path(stack):
+    (tok, vision, vparams, arc_enc, arc_params, gen, gparams,
+     bg_gen, bg_params, inv_ids) = stack
+    mgr = EmbeddingManager()
+    z_id = tok.add_placeholder("z")
+    y_id = tok.add_placeholder("y")
+    mgr.add_zero_shot_placeholder("z", z_id, gen, gparams, num_vectors=16)
+    mgr.add_zero_shot_placeholder("y", y_id, bg_gen, bg_params, num_vectors=4,
+                                  is_background=True)
+    mgr.arc2face_encoder = (arc_enc, arc_params)
+
+    B = 2
+    rng = np.random.default_rng(1)
+    n_tok = vision.cfg.num_tokens
+    features = ZeroShotFeatures(
+        clip_fg=jnp.asarray(rng.standard_normal((B, n_tok, 48)), jnp.float32),
+        clip_bg=jnp.asarray(rng.standard_normal((B, n_tok, 48)), jnp.float32),
+        id_embs=jnp.asarray(rng.standard_normal((B, 50)), jnp.float32),
+    )
+    fwd_ids = jnp.asarray(tok([FORWARD_TEMPLATE], max_length=T))
+    arc_tid = int(tok.encode("id")[0])
+    embs, inv = mgr.compute_zero_shot_embeddings(
+        features, inv_ids, forward_template_ids=fwd_ids,
+        arcface_token_id=arc_tid, is_face=True)
+    assert embs["z"].shape == (NUM_CA_LAYERS, B, 16, D)
+    assert embs["y"].shape == (NUM_CA_LAYERS, B, 4, D)
+    assert inv.shape == (B, T, D)
+
+    # patch into a prompt batch
+    prompt = "a photo of a z , , , , person with background y , , ,"
+    ids = tok([prompt] * B, max_length=T)
+    slot_maps = mgr.build_slot_maps(ids)
+    embedded = jnp.asarray(rng.standard_normal((B, T, D)), jnp.float32)
+    out = EmbeddingManager.patch_prompt_embeddings(embedded, slot_maps, embs)
+    assert out.shape == (NUM_CA_LAYERS, B, T, D)
+    zpos = int(np.nonzero(ids[0] == z_id)[0][0])
+    np.testing.assert_allclose(np.asarray(out[3, 1, zpos]),
+                               np.asarray(embs["z"][3, 1, 0]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out[3, 1, zpos + 5]),
+                               np.asarray(embs["z"][3, 1, 5]), atol=1e-6)
+    # non-slot positions untouched
+    np.testing.assert_array_equal(np.asarray(out[0, 0, 0]),
+                                  np.asarray(embedded[0, 0]))
