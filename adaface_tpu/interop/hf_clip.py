@@ -49,6 +49,21 @@ def map_clip_text_params(sd: Dict[str, np.ndarray], num_layers: int = 12,
     return params
 
 
+def map_clip_model_params(sd: Dict[str, np.ndarray],
+                          text_layers: int = 12, vision_layers: int = 12):
+    """Full HF `CLIPModel` (dual tower + projections, e.g.
+    openai/clip-vit-base-patch32 for the CLIP-I/CLIP-T scorer) ->
+    (text_params, vision_params, text_projection, visual_projection).
+    Projections are returned [D_tower, D_joint] ready for `pooled @ proj`."""
+    text = map_clip_text_params(sd, num_layers=text_layers,
+                                prefix="text_model.")
+    vision = map_clip_vision_params(sd, num_layers=vision_layers,
+                                    prefix="vision_model.")
+    tp = np.asarray(sd["text_projection.weight"]).T
+    vp = np.asarray(sd["visual_projection.weight"]).T
+    return text, vision, tp, vp
+
+
 def map_clip_vision_params(sd: Dict[str, np.ndarray], num_layers: int = 24,
                            prefix: str = "vision_model.") -> dict:
     """HF CLIPVisionModel state_dict -> `models.clip_vision.CLIPVisionEncoder`

@@ -1,0 +1,172 @@
+"""Evaluation harness: ViT/DINO parity vs HF, CLIP scorer reductions,
+folder comparison, subject-file parsing, prompt sets."""
+
+import os
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+transformers = pytest.importorskip("transformers")
+from transformers import ViTConfig as HFViTConfig
+from transformers import ViTModel
+
+from adaface_tpu.models.vit import (
+    ViTConfig,
+    ViTEncoder,
+    map_vit_params,
+    preprocess_vit_images,
+)
+from adaface_tpu.models.clip_text import CLIPTextConfig, CLIPTextEncoder
+from adaface_tpu.models.clip_vision import CLIPVisionConfig, CLIPVisionEncoder
+from adaface_tpu.data.tokenizer import HashTokenizer
+from adaface_tpu.evaluation.scorers import CLIPScorer, DINOScorer
+from adaface_tpu.evaluation import eval_utils
+from adaface_tpu.evaluation.prompt_sets import get_prompt_list
+from adaface_tpu.interop.torch_pickle import load_torch_checkpoint
+
+
+def test_vit_parity_vs_hf(tmp_path):
+    torch.manual_seed(0)
+    hf_cfg = HFViTConfig(hidden_size=64, num_hidden_layers=2,
+                         num_attention_heads=4, intermediate_size=128,
+                         image_size=32, patch_size=16)
+    hf = ViTModel(hf_cfg, add_pooling_layer=False).eval()
+    torch.save(hf.state_dict(), str(tmp_path / "vit.pt"))
+    sd = load_torch_checkpoint(str(tmp_path / "vit.pt"))
+    params = map_vit_params(sd, num_layers=2)
+    model = ViTEncoder(ViTConfig.tiny())
+
+    rng = np.random.default_rng(0)
+    px = rng.standard_normal((2, 32, 32, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref = hf(pixel_values=torch.tensor(px.transpose(0, 3, 1, 2))
+                 ).last_hidden_state.numpy()
+    out = model.apply({"params": params}, jnp.asarray(px))
+    np.testing.assert_allclose(np.asarray(out), ref, atol=3e-5)
+
+
+@pytest.fixture(scope="module")
+def scorer():
+    tok = HashTokenizer()
+    text = CLIPTextEncoder(CLIPTextConfig.tiny(
+        vocab_size=HashTokenizer.vocab_size, max_position_embeddings=77))
+    tp = text.init(jax.random.PRNGKey(0),
+                   input_ids=jnp.zeros((1, 77), jnp.int32))["params"]
+    vis = CLIPVisionEncoder(CLIPVisionConfig.tiny())
+    vp = vis.init(jax.random.PRNGKey(1), jnp.zeros((1, 28, 28, 3)))["params"]
+    rng = np.random.default_rng(0)
+    proj_t = rng.standard_normal((64, 32)).astype(np.float32) * 0.1
+    proj_v = rng.standard_normal((64, 32)).astype(np.float32) * 0.1
+    return CLIPScorer(tok, text, tp, vis, vp, proj_t, proj_v)
+
+
+def test_clip_scorer_reductions(scorer):
+    rng = np.random.default_rng(1)
+    imgs1 = rng.integers(0, 255, (3, 40, 40, 3)).astype(np.uint8)
+    imgs2 = rng.integers(0, 255, (3, 40, 40, 3)).astype(np.uint8)
+    full = scorer.image_pairwise_similarity(imgs1, imgs2, reduction="none")
+    assert full.shape == (3, 3)
+    assert np.all(np.abs(np.asarray(full)) <= 1.0 + 1e-5)
+    m = scorer.image_pairwise_similarity(imgs1, imgs2, reduction="mean")
+    np.testing.assert_allclose(float(m), float(jnp.mean(full)), rtol=1e-6)
+    d = scorer.image_pairwise_similarity(imgs1, imgs2, reduction="diagmean")
+    np.testing.assert_allclose(float(d), float(jnp.mean(jnp.diagonal(full))),
+                               rtol=1e-6)
+    # self-similarity is 1 on the diagonal
+    self_d = scorer.image_pairwise_similarity(imgs1, imgs1, reduction="diag")
+    np.testing.assert_allclose(np.asarray(self_d), 1.0, atol=1e-5)
+
+
+def test_clip_t_and_evaluate(scorer):
+    rng = np.random.default_rng(2)
+    gen = rng.integers(0, 255, (2, 40, 40, 3)).astype(np.uint8)
+    ref = rng.integers(0, 255, (4, 40, 40, 3)).astype(np.uint8)
+    sim_i, sim_t = scorer.evaluate(gen, ref, "a photo of a cat")
+    assert -1.0 <= float(sim_i) <= 1.0
+    assert -1.0 <= float(sim_t) <= 1.0
+
+
+def test_dino_scorer():
+    vit = ViTEncoder(ViTConfig.tiny())
+    params = vit.init(jax.random.PRNGKey(2), jnp.zeros((1, 32, 32, 3)))["params"]
+    sc = DINOScorer(vit, params)
+    rng = np.random.default_rng(3)
+    imgs = rng.integers(0, 255, (2, 50, 50, 3)).astype(np.uint8)
+    s = sc.image_pairwise_similarity(imgs, imgs, reduction="diag")
+    np.testing.assert_allclose(np.asarray(s), 1.0, atol=1e-5)
+
+
+def test_compare_folders_and_face_sim(tmp_path, scorer):
+    from PIL import Image
+
+    rng = np.random.default_rng(4)
+    for d in ("gen", "gt"):
+        os.makedirs(tmp_path / d)
+        for i in range(2):
+            Image.fromarray(rng.integers(0, 255, (48, 48, 3)).astype(np.uint8)
+                            ).save(tmp_path / d / f"{i}.png")
+    # mask companions must be skipped
+    Image.fromarray(np.zeros((48, 48, 3), np.uint8)).save(
+        tmp_path / "gt" / "0_mask.png")
+    vit = ViTEncoder(ViTConfig.tiny())
+    params = vit.init(jax.random.PRNGKey(3), jnp.zeros((1, 32, 32, 3)))["params"]
+    dino = DINOScorer(vit, params)
+    ci, ct, dn = eval_utils.compare_folders(
+        scorer, dino, str(tmp_path / "gen"), str(tmp_path / "gt"), "a photo")
+    assert all(-1.0 <= v <= 1.0 for v in (ci, ct, dn))
+    assert len(eval_utils.list_image_files(str(tmp_path / "gt"))) == 2
+
+    calls = []
+
+    def face_fn(img):
+        calls.append(1)
+        if len(calls) == 1:
+            return None
+        return np.ones(512, np.float32)
+
+    sim, nf1, nf2 = eval_utils.compare_face_folders(
+        face_fn, str(tmp_path / "gen"), str(tmp_path / "gt"))
+    assert nf1 == 1
+    np.testing.assert_allclose(sim, 1.0, rtol=1e-5)
+
+
+def test_parse_subject_file(tmp_path):
+    info = tmp_path / "info.sh"
+    info.write_text(
+        'set -g subjects  alice bob\n'
+        'set -g class_names "woman" "man"\n'
+        'set -g cls_delta_strings "young woman" man\n'
+        'set -g data_folder subjects-celebrity\n'
+        'set -g broad_classes 1 1\n'
+        'set -g are_faces 1 0\n'
+        'set -g cls_strings $cls_delta_strings\n'
+        'set -g sel_set 1 2\n')
+    subj_info, subj2attr = eval_utils.parse_subject_file(str(info))
+    assert subj_info["subjects"] == ["alice", "bob"]
+    assert subj_info["cls_delta_strings"] == ["young woman", "man"]
+    assert subj_info["cls_strings"] == ["young woman", "man"]  # $indirection
+    assert subj_info["sel_set"] == [0, 1]  # 1-offset fixed
+    assert subj2attr["are_faces"]["bob"] == 0
+
+
+def test_parse_range_str():
+    assert eval_utils.parse_range_str("3-7,8,10") == [2, 3, 4, 5, 6, 7, 9]
+    assert eval_utils.parse_range_str("3-7,8,10", fix_1_offset=False) == \
+        [3, 4, 5, 6, 7, 8, 10]
+    assert eval_utils.parse_range_str(None) is None
+
+
+def test_get_prompt_list():
+    subj, cls_s, cls_l = get_prompt_list(
+        "z", "face portrait of", "", " with background y",
+        "person", "young person", broad_class=1, set_name="dreambench")
+    assert len(subj) == len(cls_s) == len(cls_l) == 22
+    assert "z with background y" in subj[0]
+    assert "person with background y" in cls_s[0]
+    obj, _, _ = get_prompt_list("z", "", "", "", "toy", "plush toy",
+                                broad_class=0)
+    assert len(obj) == 25
