@@ -1,0 +1,156 @@
+"""Data pipeline: folder scan, mask pairing, augmentation invariants,
+delta-prompt battery, subject sampler, compositions."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from adaface_tpu.data.compositions import expand_template, sample_compositions
+from adaface_tpu.data.personalized import (
+    IMAGENET_TEMPLATES_SMALL,
+    PersonalizedDataset,
+    SubjectSampler,
+    SubjectSpec,
+    collate_examples,
+    empty_margin_shift,
+    scale_about_center,
+)
+
+
+@pytest.fixture()
+def subjects(tmp_path):
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    specs = []
+    for name, n_imgs, is_face in (("alice", 3, True), ("rex", 2, False)):
+        d = tmp_path / name
+        os.makedirs(d)
+        for i in range(n_imgs):
+            img = rng.integers(0, 255, (64, 48, 3)).astype(np.uint8)
+            Image.fromarray(img).save(d / f"{i}.jpg")
+            if i == 0:  # first image gets a mask + caption
+                m = np.zeros((64, 48), np.uint8)
+                m[16:48, 12:36] = 255
+                Image.fromarray(m).save(d / f"{i}_mask.png")
+                (d / f"{i}.txt").write_text("a custom caption of z")
+        (d / "metainfo.json").write_text(json.dumps({"person_type": "young woman"})
+                                         if name == "alice" else "{}")
+        specs.append(SubjectSpec(name=name, folder=str(d),
+                                 cls_delta_string="person", is_face=is_face,
+                                 is_animal=True, broad_class=1))
+    return specs
+
+
+def test_scan_and_example_keys(subjects):
+    ds = PersonalizedDataset(subjects, size=32, seed=0)
+    assert len(ds.records) == 5
+    assert ds.num_images(0) == 3
+    # metainfo.json overrides cls_delta_string
+    assert ds.subjects[0].cls_delta_string == "young woman"
+    ex = ds[0]
+    for key in ("image", "image_unnorm", "fg_mask", "aug_mask", "has_fg_mask",
+                "caption", "caption_bg", "subj_prompt_single",
+                "cls_prompt_single", "subj_prompt_comp", "cls_prompt_comp",
+                "subj_prompt_single_bg", "cls_prompt_single_bg",
+                "subj_prompt_single_fp", "cls_prompt_single_fp",
+                "subject_name"):
+        assert key in ex, key
+    assert ex["image"].shape == (32, 32, 3)
+    assert ex["image"].dtype == np.float32
+    assert -1.0 <= ex["image"].min() and ex["image"].max() <= 1.0
+    assert set(np.unique(ex["fg_mask"])) <= {0, 1}
+
+
+def test_multi_vector_padding_and_bg_suffix(subjects):
+    ds = PersonalizedDataset(subjects, size=16, num_vectors_per_subj_token=3,
+                             num_vectors_per_bg_token=2, seed=1)
+    ex = ds[0]
+    assert "z, , " in ex["subj_prompt_single"]
+    assert "y, " in ex["caption_bg"]
+    assert "with background" in ex["caption_bg"]
+    # cls prompts use the class delta string, not the placeholder
+    assert "z" not in ex["cls_prompt_single"].split("with background")[0]
+    # fp prompts are token-aligned face-portrait variants
+    assert ex["subj_prompt_single_fp"].startswith("a face portrait of a")
+
+
+def test_comp_prompts_extend_single(subjects):
+    ds = PersonalizedDataset(subjects, size=16, num_compositions_per_image=2,
+                             seed=2)
+    ex = ds[0]
+    comps = ex["subj_prompt_comp"].split("|")
+    assert len(comps) == 2
+    for c in comps:
+        assert c.startswith(ex["subj_prompt_single"])
+        assert len(c) > len(ex["subj_prompt_single"])
+
+
+def test_caption_file_overrides(subjects):
+    ds = PersonalizedDataset(subjects, size=16, flip_p=0.0, scale_range=None,
+                             seed=3)
+    # record 0 of alice has the .txt caption
+    ex = ds[0]
+    assert ex["caption"] == "a custom caption of z"
+
+
+def test_subject_indexed_access(subjects):
+    ds = PersonalizedDataset(subjects, size=16, seed=4)
+    ex = ds[(1, True)]
+    assert ex["subject_name"] == "rex"
+
+
+def test_scale_and_shift_invariants():
+    rng = np.random.default_rng(5)
+    img = np.full((40, 40, 1), 255, np.uint8)
+    scaled = scale_about_center(img, 0.5)
+    # content shrinks to the center; corners become zero padding
+    assert scaled[0, 0, 0] == 0 and scaled[20, 20, 0] == 255
+    assert scaled.sum() < img.sum()
+
+    ext = np.concatenate([scaled, (scaled > 0).astype(np.uint8)], axis=-1)
+    shifted = empty_margin_shift(ext, aug_channel=1, rng=rng, margin=2)
+    # mass is preserved by the roll
+    assert shifted[..., 0].sum() == scaled.sum()
+
+
+def test_aug_mask_covers_fg(subjects):
+    ds = PersonalizedDataset(subjects, size=32, seed=6)
+    for _ in range(5):
+        ex = ds[0]
+        # fg content never escapes the aug-mask region (`:677-679`)
+        assert np.all(ex["fg_mask"] * ex["aug_mask"] == ex["fg_mask"])
+
+
+def test_subject_sampler_weights(subjects):
+    ds = PersonalizedDataset(subjects, size=16, seed=7)
+    s = SubjectSampler(ds, skip_non_faces=True, seed=0)
+    draws = [s.sample() for _ in range(50)]
+    assert set(draws) == {0}  # rex is not a face -> excluded
+    s2 = SubjectSampler(ds, skip_non_faces=False, seed=0)
+    draws2 = np.asarray([s2.sample() for _ in range(300)])
+    frac0 = (draws2 == 0).mean()
+    assert 0.45 < frac0 < 0.75  # 3:2 image-count weighting
+
+
+def test_collate(subjects):
+    ds = PersonalizedDataset(subjects, size=16, seed=8)
+    batch = collate_examples([ds[0], ds[1]])
+    assert batch["image"].shape == (2, 16, 16, 3)
+    assert isinstance(batch["caption"], list) and len(batch["caption"]) == 2
+
+
+def test_templates_and_compositions():
+    assert all("{}" in t for t in IMAGENET_TEMPLATES_SMALL)
+    assert len(IMAGENET_TEMPLATES_SMALL) > 50
+    rng = np.random.default_rng(9)
+    s = expand_template("run {fast|slow} and {hard|soft}", rng)
+    assert s in {"run fast and hard", "run fast and soft",
+                 "run slow and hard", "run slow and soft"}
+    comps = sample_compositions(8, "animal", is_training=True, rng=rng)
+    assert len(comps) == 8 and all(c for c in comps)
+    assert all("{" not in c and "}" not in c for c in comps)
+    obj = sample_compositions(4, "object", is_training=False, rng=rng)
+    assert all("wearing" not in c for c in obj)  # static bank only
