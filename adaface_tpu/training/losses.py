@@ -106,6 +106,256 @@ def prompt_delta_loss(
     return ref_cosine_loss(d_subj, d_cls, emb_weights=weights)
 
 
+def calc_align_coeffs(a: jnp.ndarray, b: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
+    """Optimal projection coefficient of a onto b along the last dim
+    (`calc_align_coeffs`, `ldm/util.py:344-373`)."""
+    dot_ab = jnp.sum(a * b, axis=-1)
+    dot_bb = jnp.sum(b * b, axis=-1)
+    return dot_ab / (dot_bb + eps)
+
+
+def masked_mean(x: jnp.ndarray, mask: jnp.ndarray,
+                axis=None, keepdims: bool = False,
+                instance_weights: Optional[jnp.ndarray] = None,
+                do_sqr: bool = False, eps: float = 1e-8) -> jnp.ndarray:
+    """Mean of x over elements where mask is truthy (the reference's
+    `masked_mean`, `subj_basis_generator.py:36-44` / ddpm call sites).
+    With do_sqr, squares x first (more sensitivity to small values)."""
+    m = mask.astype(jnp.float32)
+    v = x.astype(jnp.float32)
+    if do_sqr:
+        v = v * v
+    if instance_weights is not None:
+        w_shape = (m.shape[0],) + (1,) * (m.ndim - 1)
+        m = m * instance_weights.reshape(w_shape)
+    return jnp.sum(v * m, axis=axis, keepdims=keepdims) / (
+        jnp.sum(m, axis=axis, keepdims=keepdims) + eps)
+
+
+def normalized_sum(losses, norm_pow: float = 0.0) -> jnp.ndarray:
+    """Sum of per-layer losses; with norm_pow > 0, reweights each by
+    1/|loss|^pow, rescaled to preserve the plain sum's value
+    (`normalized_sum`, `ldm/util.py:2349-2362`). Values are treated as
+    constants for the reweighting (stop_gradient), like `.item()` there."""
+    if not losses:
+        return jnp.asarray(0.0)
+    total = sum(losses)
+    if norm_pow == 0:
+        return total
+    consts = [jax.lax.stop_gradient(jnp.abs(l)) + 1e-8 for l in losses]
+    normed = sum(l / c ** norm_pow for l, c in zip(losses, consts))
+    scale = jax.lax.stop_gradient(total) / (jax.lax.stop_gradient(normed) + 1e-8)
+    return normed * scale
+
+
+def calc_dyn_loss_scale(loss_value: float, loss_base: float,
+                        loss_scale_base: float,
+                        min_scale_base_ratio: float = 1.0,
+                        max_scale_base_ratio: float = 2.0) -> float:
+    """Host-side dynamic loss scale (`calc_dyn_loss_scale`,
+    `ldm/util.py:2333-2341`); call with a concrete float."""
+    if loss_base == 0:
+        return 0.0
+    scale = float(loss_value) * loss_scale_base / loss_base
+    return max(min(loss_scale_base * max_scale_base_ratio, scale),
+               loss_scale_base * min_scale_base_ratio)
+
+
+# Per-CA-layer alignment weights (`ddpm.py:3936-3944,4060-4068`), already
+# normalized to sum to 1 by `normalize_dict_values` there.
+ATTN_ALIGN_LAYER_WEIGHTS = {7: 0.5, 8: 0.5, 12: 1.0, 16: 1.0, 17: 1.0,
+                            18: 1.0, 19: 1.0, 20: 1.0, 21: 1.0, 22: 1.0,
+                            23: 1.0, 24: 1.0}
+# Cross-layer alignment maps + weights (`ddpm.py:4258-4277`)
+XLAYER_WEIGHTS = {8: 0.5, 12: 1.0, 16: 1.0, 17: 1.0, 18: 1.0, 19: 0.5,
+                  20: 0.5, 21: 0.5, 22: 0.25, 23: 0.25, 24: 0.25}
+XLAYER_MAPS = {8: 7, 12: 8, 16: 12, 17: 16, 18: 17, 19: 18, 20: 19,
+               21: 20, 22: 21, 23: 22, 24: 23}
+
+
+def _normalize_weights(d: dict) -> dict:
+    s = sum(d.values())
+    return {k: v / s for k, v in d.items()}
+
+
+def _token_score(attn: jnp.ndarray, token_mask: jnp.ndarray) -> jnp.ndarray:
+    """[B, h, Q, T] x [B, T] -> [B, h, Q]: attention summed over the K
+    token slots of one placeholder (`sel_emb_attns_by_indices` with
+    do_sum=True)."""
+    return jnp.einsum("bhqt,bt->bhq", attn.astype(jnp.float32),
+                      token_mask.astype(jnp.float32))
+
+
+def _resize_fg_mask_to_q(fg_mask: jnp.ndarray, q_len: int) -> jnp.ndarray:
+    """[B, H, W(, 1)] spatial mask -> binarized [B, Q] at the attention's
+    spatial resolution (nearest; `resize_mask_for_feat_or_attn`)."""
+    if fg_mask.ndim == 4:
+        fg_mask = fg_mask[..., 0]
+    B, H, W = fg_mask.shape
+    s = int(round(q_len ** 0.5))
+    ri = (jnp.arange(s) * (H / s)).astype(jnp.int32)
+    ci = (jnp.arange(s) * (W / s)).astype(jnp.int32)
+    small = fg_mask[:, ri][:, :, ci].reshape(B, s * s)
+    return (small > 1e-6).astype(jnp.float32)
+
+
+def fg_mb_suppress_loss(ca_attnscores: dict, subj_token_mask: jnp.ndarray,
+                        fg_mask: jnp.ndarray,
+                        instance_mask: Optional[jnp.ndarray] = None,
+                        margin: float = 0.4,
+                        subj_mb_suppress_scale: float = 0.05) -> jnp.ndarray:
+    """Suppress subject-token attention leaking into the background
+    (`calc_fg_mb_suppress_loss`, `ddpm.py:3928-4037`): the average subject
+    score inside the fg mask must beat every background-location score by
+    `margin`. ca_attnscores: {ca_layer_idx: [B, h, Q, T]} softmaxed scores.
+    """
+    weights = _normalize_weights(ATTN_ALIGN_LAYER_WEIGHTS)
+    losses = []
+    for idx, attn in ca_attnscores.items():
+        if idx not in weights:
+            continue
+        subj_score = _token_score(attn, subj_token_mask)  # [B, h, Q]
+        fg3 = _resize_fg_mask_to_q(fg_mask, subj_score.shape[-1])[:, None]
+        fg3 = jnp.broadcast_to(fg3, subj_score.shape)
+        bg3 = 1.0 - fg3
+        subj_at_mf = grad_scale(subj_score * fg3, 0.5)
+        subj_at_mb = subj_score * bg3
+        avg_mf = masked_mean(subj_at_mf, fg3, axis=(1, 2), keepdims=True)
+        excess = subj_at_mb + margin - avg_mf
+        loss = masked_mean(excess, excess > 0, instance_weights=instance_mask)
+        losses.append(loss * weights[idx] * subj_mb_suppress_scale)
+    return normalized_sum(losses)
+
+
+def fg_bg_complementary_loss(
+    ca_attnscores: dict,
+    subj_token_mask: jnp.ndarray,  # [B, T]
+    bg_token_mask: jnp.ndarray,  # [B, T]
+    fg_mask: Optional[jnp.ndarray] = None,  # [B, H, W(,1)]
+    instance_mask: Optional[jnp.ndarray] = None,
+    fg_grad_scale: float = 0.1,
+    K_fg: int = 9, K_bg: int = 4,
+):
+    """Subject vs background token attention complementarity + four
+    margin-contrast suppressions (`calc_fg_bg_complementary_loss`,
+    `ddpm.py:4039-4253`). Returns (complementary, subj_mb_suppress,
+    bg_mf_suppress, fg_bg_mask_contrast)."""
+    weights = _normalize_weights(ATTN_ALIGN_LAYER_WEIGHTS)
+    subj_mb_scale, bg_mf_scale, contrast_scale = 0.05, 0.1, 0.05
+    mfmb_margin = 0.4
+    subj_bg_at_mf_margin = 0.4 * K_fg / K_bg
+    bg_subj_at_mb_margin = 0.4
+
+    l_comple, l_subj_mb, l_bg_mf, l_contrast = [], [], [], []
+    for idx, attn in ca_attnscores.items():
+        if idx not in weights:
+            continue
+        w = weights[idx]
+        subj_score = _token_score(attn, subj_token_mask)
+        bg_score = _token_score(attn, bg_token_mask)
+        # push bg attention to be orthogonal to subject attention
+        l_comple.append(w * ref_cosine_loss(
+            bg_score, subj_score, exponent=2.0, do_demean_first=False,
+            ref_grad_scale=fg_grad_scale, aim_to_align=False))
+
+        if fg_mask is None:
+            continue
+        fg3 = _resize_fg_mask_to_q(fg_mask, subj_score.shape[-1])[:, None]
+        fg3 = jnp.broadcast_to(fg3, subj_score.shape)
+        bg3 = 1.0 - fg3
+        subj_at_mf = grad_scale(subj_score * fg3, 0.5)
+        bg_at_mf = bg_score * fg3
+        subj_at_mb = subj_score * bg3
+        bg_at_mb = bg_score * bg3
+        avg_subj_mf = masked_mean(subj_at_mf, fg3, axis=(1, 2), keepdims=True)
+        avg_bg_mb = masked_mean(bg_at_mb, bg3, axis=(1, 2), keepdims=True)
+
+        def hinge(excess):
+            return masked_mean(excess, excess > 0,
+                               instance_weights=instance_mask)
+
+        l_subj_mb.append(w * subj_mb_scale
+                         * hinge(subj_at_mb + mfmb_margin - avg_subj_mf))
+        l_bg_mf.append(w * bg_mf_scale
+                       * hinge(bg_at_mf + mfmb_margin - avg_bg_mb))
+        l_contrast.append(w * contrast_scale * (
+            hinge(bg_at_mf + subj_bg_at_mf_margin - avg_subj_mf)
+            + hinge(subj_at_mb + bg_subj_at_mb_margin - avg_bg_mb)))
+    return (normalized_sum(l_comple), normalized_sum(l_subj_mb),
+            normalized_sum(l_bg_mf), normalized_sum(l_contrast))
+
+
+def fg_bg_xlayer_consist_loss(ca_attnscores: dict,
+                              subj_token_mask: jnp.ndarray,
+                              bg_token_mask: Optional[jnp.ndarray] = None):
+    """Cross-layer attention-map consistency (`calc_fg_bg_xlayer_consist_
+    loss`, `ddpm.py:4255-4373`): each layer's head-averaged subject/bg
+    attention map (bilinear-resized to the coarser grid) cosine-aligned
+    with the layer below. Returns (fg_consist, bg_consist)."""
+    weights = _normalize_weights(XLAYER_WEIGHTS)
+
+    def head_avg_map(attn, token_mask):
+        # [B,h,Q,T] -> [B,Q]: mean over heads, sum over token slots
+        return jnp.einsum("bhqt,bt->bq", attn.astype(jnp.float32),
+                          token_mask.astype(jnp.float32)) / attn.shape[1]
+
+    def to_grid(v):  # [B, Q] -> [B, s, s, 1]
+        B, Q = v.shape
+        s = int(round(Q ** 0.5))
+        return v.reshape(B, s, s, 1)
+
+    l_fg, l_bg = [], []
+    for idx, attn in ca_attnscores.items():
+        if idx not in weights or XLAYER_MAPS[idx] not in ca_attnscores:
+            continue
+        w = weights[idx]
+        attn_x = ca_attnscores[XLAYER_MAPS[idx]]
+        if attn_x.shape[2] > attn.shape[2]:
+            attn, attn_x = attn_x, attn
+        for masks, acc in ((subj_token_mask, l_fg), (bg_token_mask, l_bg)):
+            if masks is None:
+                continue
+            a = head_avg_map(attn, masks)
+            ax = head_avg_map(attn_x, masks)
+            sx = int(round(ax.shape[1] ** 0.5))
+            a_grid = to_grid(a)
+            a_small = jax.image.resize(
+                a_grid, (a_grid.shape[0], sx, sx, 1), "bilinear")
+            a_small = a_small.reshape(a.shape[0], sx * sx)
+            acc.append(w * ref_cosine_loss(a_small, ax, exponent=2.0,
+                                           do_demean_first=True,
+                                           ref_grad_scale=1.0))
+    return normalized_sum(l_fg), normalized_sum(l_bg)
+
+
+def delta_alignment_loss(feat_base, feat_ex, ref_feat_base, ref_feat_ex,
+                         ref_grad_scale: float = 0.1,
+                         feat_base_grad_scale: float = 0.05,
+                         cosine_exponent: float = 2.0,
+                         delta_types=("feat_to_ref", "ex_to_base")) -> dict:
+    """Delta alignment between (base -> extended) feature pairs and their
+    reference pair (`calc_delta_alignment_loss`, `ldm/util.py:537-597`).
+    Last dim is channels; all leading dims flatten into the batch."""
+    if feat_base_grad_scale == -1:
+        feat_base_grad_scale = min(ref_grad_scale / 2, 1.0)
+    ref_base = grad_scale(ref_feat_base, ref_grad_scale)
+    ref_ex = grad_scale(ref_feat_ex, ref_grad_scale)
+    base = grad_scale(feat_base, feat_base_grad_scale)
+    out = {}
+    for t in delta_types:
+        if t == "feat_to_ref":
+            src = ortho_subtract(base, ref_base)
+            tgt = ortho_subtract(feat_ex, ref_ex)
+        elif t == "ex_to_base":
+            src = ortho_subtract(ref_ex, ref_base)
+            tgt = ortho_subtract(feat_ex, base)
+        else:
+            raise ValueError(t)
+        out[t] = ref_cosine_loss(tgt, src, exponent=cosine_exponent,
+                                 do_demean_first=False, ref_grad_scale=1.0)
+    return out
+
+
 def embedding_norm_loss(emb: jnp.ndarray, target_norm: float = 1.0) -> jnp.ndarray:
     """Keep subject embedding norms near the typical CLIP token norm
     (`embedding_manager.embedding_reg_loss`, `embedding_manager.py:2098-2207`).
