@@ -1,0 +1,155 @@
+"""Host-side iteration planning — the reference's iteration-type machine as
+a pure function.
+
+The reference mutates ~20 `iter_flags` per step with `random.random()`
+branches scattered across `training_step` (`ddpm.py:519-576`) and
+`shared_step` (`ddpm.py:1427-1934`). Here the whole dice roll is
+`plan_iteration(rng, step, cfg)` -> `IterPlan`, decided on host BEFORE the
+jitted step runs, so each iteration *type* hits one stable compiled variant
+(SURVEY.md §7.1). All probabilities and t-sampling strategies preserve the
+reference's values (citations inline).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+
+RECON = "recon"
+COMPOS_DISTILL = "compos_distill"
+ARC2FACE_DISTILL = "arc2face_distill"
+
+
+@dataclasses.dataclass
+class IterPlanConfig:
+    """Static training-policy knobs (`ddpm.py:109-177` defaults +
+    `v1-finetune-ada.yaml`)."""
+
+    composition_regs_iter_gap: int = 3
+    mix_prompt_distill_weight: float = 2e-4
+    prompt_emb_delta_reg_weight: float = 2e-4
+    arc2face_distill_iter_prob: float = 0.0
+    p_gen_arc2face_rand_face: float = 0.4  # `ddpm.py:130`
+    p_add_noise_to_real_id_embs: float = 0.6  # `ddpm.py:131`
+    p_use_fp_trick: float = 0.9  # `ddpm.py:1480`
+    use_fp_trick: bool = True
+    p_use_background_token_recon: float = 0.9  # `ddpm.py:1574-1579`
+    p_use_background_token_compos: float = 0.5  # `ddpm.py:1561`
+    p_reuse_init_conds: float = 1.0  # 0.25 in mix-subject folders (`:1457-1458`)
+    num_candidate_teachers: int = 2  # `ddpm.py:121`
+    num_timesteps: int = 1000
+    max_steps: int = 2000
+    do_zero_shot: bool = True
+    # multi-step arc2face distillation: 1/3/5/7 teacher steps (`:1835-1878`)
+    arc2face_denoising_steps: tuple = (1, 3, 5, 7)
+
+
+@dataclasses.dataclass
+class IterPlan:
+    """Everything the (host) step driver needs to assemble one iteration."""
+
+    iter_type: str = RECON
+    training_percent: float = 0.0
+    do_prompt_delta_reg: bool = True
+    use_background_token: bool = False
+    use_fp_trick: bool = False
+    reuse_init_conds: bool = False
+    do_teacher_filter: bool = False
+    calc_clip_loss: bool = False
+    # arc2face
+    gen_arc2face_rand_face: bool = False
+    add_noise_to_real_id_embs: bool = False
+    num_denoising_steps: int = 1
+
+
+def anneal_value(training_percent: float, final_percent: float,
+                 value_range) -> float:
+    """Linear anneal, clamped at final (`ldm/util.py:1708-1717`)."""
+    v_init, v_final = value_range
+    if training_percent < final_percent:
+        return v_init + (v_final - v_init) * training_percent
+    return v_final
+
+
+def probably_anneal_t(t: np.ndarray, training_percent: float,
+                      num_timesteps: int, ratio_range,
+                      keep_prob_range=(0.0, 0.5),
+                      rng: Optional[np.random.Generator] = None) -> np.ndarray:
+    """Per-element t rescaling with an annealed keep probability
+    (`probably_anneal_t`, `ldm/util.py:1748-1770`)."""
+    rng = rng or np.random.default_rng()
+    keep_p = anneal_value(training_percent, 1.0, keep_prob_range)
+    if rng.random() < keep_p:
+        return t
+    lb, ub = ratio_range
+    t = np.asarray(t)
+    lo = np.clip((t * lb).astype(np.int64), 0, num_timesteps - 1)
+    hi = np.minimum((t * ub).astype(np.int64) + 1, num_timesteps)
+    return rng.integers(lo, hi)
+
+
+def plan_iteration(rng: np.random.Generator, global_step: int,
+                   cfg: IterPlanConfig) -> IterPlan:
+    """One host-side dice roll (`training_step`, `ddpm.py:519-576` +
+    `shared_step` flag logic)."""
+    plan = IterPlan(training_percent=min(global_step / max(cfg.max_steps, 1), 1.0))
+
+    # compositional distillation every composition_regs_iter_gap steps
+    if (cfg.composition_regs_iter_gap > 0
+            and (cfg.mix_prompt_distill_weight > 0
+                 or cfg.prompt_emb_delta_reg_weight > 0)
+            and global_step % cfg.composition_regs_iter_gap == 0):
+        plan.iter_type = COMPOS_DISTILL
+        plan.calc_clip_loss = True
+        plan.do_teacher_filter = cfg.mix_prompt_distill_weight > 0
+        plan.reuse_init_conds = False  # caller flips it when a cache entry exists
+        plan.use_fp_trick = (cfg.use_fp_trick
+                             and rng.random() < cfg.p_use_fp_trick)
+        plan.use_background_token = (
+            rng.random() < cfg.p_use_background_token_compos)
+        return plan
+
+    # arc2face distillation iters carved out of recon iters (`:572-576`)
+    if cfg.arc2face_distill_iter_prob > 0 and rng.random() < cfg.arc2face_distill_iter_prob:
+        plan.iter_type = ARC2FACE_DISTILL
+        plan.do_prompt_delta_reg = False  # `:575-576`
+        plan.gen_arc2face_rand_face = rng.random() < cfg.p_gen_arc2face_rand_face
+        if not plan.gen_arc2face_rand_face:
+            plan.add_noise_to_real_id_embs = (
+                rng.random() < cfg.p_add_noise_to_real_id_embs)
+        plan.num_denoising_steps = int(
+            rng.choice(np.asarray(cfg.arc2face_denoising_steps)))
+        return plan
+
+    plan.iter_type = RECON
+    plan.use_background_token = (
+        rng.random() < cfg.p_use_background_token_recon)
+    return plan
+
+
+def sample_timesteps(rng: np.random.Generator, plan: IterPlan,
+                     batch_size: int, cfg: IterPlanConfig,
+                     prev_t: Optional[np.ndarray] = None) -> np.ndarray:
+    """Per-iteration-type t sampling (`ddpm.py:2604-2862`)."""
+    T = cfg.num_timesteps
+    if plan.iter_type == COMPOS_DISTILL:
+        if plan.reuse_init_conds and prev_t is not None:
+            # mid-range, >= 150 steps below the previous t (`:2627-2635`)
+            t_mid = rng.integers(int(T * 0.4), int(T * 0.7), batch_size)
+            return np.minimum(t_mid, prev_t - int(T * 0.15))
+        return rng.integers(int(T * 0.8), T, batch_size)  # `:2639-2642`
+
+    t = rng.integers(0, T, batch_size)
+    if plan.iter_type == ARC2FACE_DISTILL or cfg.do_zero_shot:
+        t = probably_anneal_t(t, plan.training_percent, T, (1.0, 1.3),
+                              keep_prob_range=(0.4, 0.2), rng=rng)
+        if plan.num_denoising_steps > 1:
+            # shift t upward for multi-step trajectories (`:2852-2856`)
+            n = plan.num_denoising_steps
+            t = (4 * t + (n - 1) * T) // (3 + n)
+    else:
+        t = probably_anneal_t(t, plan.training_percent, T, (1.0, 1.3),
+                              keep_prob_range=(0.4, 0.2), rng=rng)
+    return np.asarray(t)

@@ -74,8 +74,11 @@ def ref_cosine_loss(delta, ref_delta, emb_weights=None, exponent: float = 2.0,
         ref_delta = _demean(ref_delta)
     ref_delta = grad_scale(ref_delta, ref_grad_scale)
     ref_pow = ref_delta * jnp.abs(ref_delta) ** (exponent - 1.0)
-    an = delta / (jnp.linalg.norm(delta, axis=-1, keepdims=True) + 1e-8)
-    bn = ref_pow / (jnp.linalg.norm(ref_pow, axis=-1, keepdims=True) + 1e-8)
+    # eps inside the sqrt: the norm's gradient stays finite at exactly-zero
+    # vectors (all-masked rows produce them)
+    safe_norm = lambda x: jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=True) + 1e-12)
+    an = delta / safe_norm(delta)
+    bn = ref_pow / safe_norm(ref_pow)
     cos = jnp.sum(an * bn, axis=-1)
     losses = (1.0 - cos) if aim_to_align else jnp.maximum(cos, 0.0)
     if emb_weights is not None:

@@ -81,3 +81,262 @@ def make_recon_train_step(
         return embedders, opt_state, metrics
 
     return step
+
+
+class ComposBatch(NamedTuple):
+    """One compositional-distillation iteration (`ddpm.py:1971-2141`,
+    4-type prompt batch with BLOCK_SIZE instances per type, order
+    [subj_single, subj_comp, cls_single, cls_comp])."""
+
+    token_ids: jnp.ndarray  # [4B, T]
+    slot_maps: Dict[str, jnp.ndarray]  # placeholder -> [4B, T] (-1 on cls rows)
+    latents: jnp.ndarray  # [B, h, w, 4] x_start (fg-init or noise)
+    fg_mask: Optional[jnp.ndarray]  # [B, h, w, 1]
+    timesteps: jnp.ndarray  # [B] top-20% range (iter_plan.sample_timesteps)
+    noise: jnp.ndarray  # [B, h, w, 4]
+    t_frac: jnp.ndarray  # [B] = t / num_timesteps
+    training_percent: jnp.ndarray  # scalar
+
+
+def make_compos_distill_step(
+    clip: CLIPTextEncoder,
+    clip_params: dict,
+    unet: UNetModel,
+    unet_params: dict,
+    sched: DiffusionSchedule,
+    optimizer: optax.GradientTransformation,
+    skip_weights=(0.5, 0.5),
+    prompt_delta_weight: float = 2e-4,
+    feat_align_weight: float = 1e-3,
+    attn_align_weight: float = 1e-3,
+    attn_norm_distill_weight: float = 1e-2,
+    fg_bg_weight: float = 1.0,
+):
+    """Compositional (mix-prompt) distillation step (`p_losses` compos
+    branch, `ddpm.py:2545-3453` + `calc_prompt_mix_loss:3710`):
+
+    - the 4-type prompt batch is encoded once; the class halves are mixed
+      into V/K teacher contexts (`mix_static_vk_embeddings`);
+    - one UNet forward over the 4-type batch with activation capture;
+    - losses: static prompt-delta, feat/attn delta alignment of
+      (subj_single -> subj_comp) onto (mix_single -> mix_comp), attention
+      norm distillation, and subject-attention bg suppression.
+
+    CLIP teacher filtering (`ddpm.py:3039-3131`) is a host-side loop around
+    this step (re-running with the winning candidate); this step itself is
+    the filter-free grad pass.
+    """
+    from adaface_tpu.models.unet import DISTILL_LAYER_INDICES
+    from adaface_tpu.training.losses import (
+        delta_alignment_loss,
+        fg_mb_suppress_loss,
+        prompt_delta_loss,
+    )
+    from adaface_tpu.training.mixing import mix_static_vk_embeddings
+
+    def loss_fn(embedders, batch: ComposBatch):
+        embedded = clip.apply({"params": clip_params}, batch.token_ids,
+                              method=CLIPTextEncoder.embed_tokens)
+        subj = {s: compute_static_embedding(p) for s, p in embedders.items()}
+        patched = EmbeddingManager.patch_prompt_embeddings(
+            embedded, batch.slot_maps, subj)
+        L, B4, T, D = patched.shape
+        ctx = clip.apply({"params": clip_params},
+                         input_embeds=patched.reshape(L * B4, T, D),
+                         skip_weights=jnp.asarray(skip_weights))
+        ctx = ctx.reshape(L, B4, T, D)
+        B = B4 // 4
+        subj_single, subj_comp, cls_single, cls_comp = (
+            ctx[:, :B], ctx[:, B:2 * B], ctx[:, 2 * B:3 * B], ctx[:, 3 * B:])
+
+        # always-on static delta regularizer (`ldm/util.py:2278-2331`)
+        first = next(iter(batch.slot_maps.values()))
+        single_mask = (batch.token_ids[:B] > 0).astype(jnp.float32)
+        comp_mask = (batch.token_ids[B:2 * B] > 0).astype(jnp.float32)
+        loss_delta = prompt_delta_loss(subj_single, subj_comp, cls_single,
+                                       cls_comp, single_mask, comp_mask)
+
+        subj_tok_single = (first[:B] >= 0).astype(jnp.float32)
+        subj_tok_comp = (first[B:2 * B] >= 0).astype(jnp.float32)
+        s_vk_single, m_vk_single = mix_static_vk_embeddings(
+            subj_single, cls_single, subj_tok_single,
+            batch.training_percent, batch.t_frac)
+        s_vk_comp, m_vk_comp = mix_static_vk_embeddings(
+            subj_comp, cls_comp, subj_tok_comp,
+            batch.training_percent, batch.t_frac)
+
+        # (subj_single, subj_comp, mix_single, mix_comp) UNet batch
+        ctx_vk = jnp.concatenate(
+            [s_vk_single, s_vk_comp, m_vk_single, m_vk_comp], axis=1)
+        ctx_v, ctx_k = ctx_vk[:, :, :T], ctx_vk[:, :, T:]
+        x4 = jnp.tile(batch.latents, (4, 1, 1, 1))
+        t4 = jnp.tile(batch.timesteps, (4,))
+        n4 = jnp.tile(batch.noise, (4, 1, 1, 1))
+        x_noisy = sched.q_sample(x4, t4, n4)
+        eps, aux = unet.apply({"params": unet_params}, x_noisy, t4,
+                              ctx_v, context_k=ctx_k, capture=True)
+
+        # feat/attn delta alignment (`calc_prompt_mix_loss`, `ddpm.py:3710`)
+        loss_feat, loss_attn, loss_attn_norm = 0.0, 0.0, 0.0
+        n_layers = 0
+        # All four rows share the subject rows' token layout: the mix rows'
+        # contexts carry (mixed) subject embeddings at the SAME slot
+        # positions (prompts are token-aligned, `ddpm.py:1971-2141`).
+        subj_mask4 = jnp.concatenate(
+            [subj_tok_single, subj_tok_comp, subj_tok_single, subj_tok_comp],
+            axis=0)
+        for idx in DISTILL_LAYER_INDICES:
+            if idx not in aux:
+                continue
+            feat = aux[idx]["outfeat"]  # [4B, H, W, C]
+            f = feat.reshape(4, B, -1, feat.shape[-1]).mean(axis=2)  # [4,B,C]
+            d = delta_alignment_loss(f[0], f[1], f[2], f[3],
+                                     ref_grad_scale=0.1,
+                                     feat_base_grad_scale=0.05)
+            loss_feat = loss_feat + d["ex_to_base"] + d["feat_to_ref"]
+
+            score = aux[idx]["attnscore"]  # [4B, h, Q, T]
+            subj_attn = jnp.einsum("bhqt,bt->bhq", score.astype(jnp.float32),
+                                   subj_mask4)
+            a = subj_attn.reshape(4, B, *subj_attn.shape[1:])
+            a = a.mean(axis=2)  # [4, B, Q] head-averaged
+            da = delta_alignment_loss(a[0], a[1], a[2], a[3],
+                                      ref_grad_scale=0.05,
+                                      feat_base_grad_scale=-1)
+            loss_attn = loss_attn + da["ex_to_base"] + da["feat_to_ref"]
+            # attention norm distillation: student comp attn magnitude
+            # matches the (stop-grad) teacher's (`ddpm.py:3876-3926`)
+            loss_attn_norm = loss_attn_norm + jnp.mean(
+                jnp.square(jnp.linalg.norm(a[1], axis=-1)
+                           - jax.lax.stop_gradient(
+                               jnp.linalg.norm(a[3], axis=-1))))
+            n_layers += 1
+        denom = max(n_layers, 1)
+        loss_feat, loss_attn = loss_feat / denom, loss_attn / denom
+        loss_attn_norm = loss_attn_norm / denom
+
+        loss_fg_bg = 0.0
+        if batch.fg_mask is not None:
+            scores_first = {idx: aux[idx]["attnscore"][:B]
+                            for idx in aux if "attnscore" in aux[idx]}
+            loss_fg_bg = fg_mb_suppress_loss(
+                scores_first, subj_tok_single, batch.fg_mask)
+
+        loss = (prompt_delta_weight * loss_delta
+                + feat_align_weight * loss_feat
+                + attn_align_weight * loss_attn
+                + attn_norm_distill_weight * loss_attn_norm
+                + fg_bg_weight * loss_fg_bg)
+        metrics = {"loss": loss, "prompt_delta": loss_delta,
+                   "feat_align": loss_feat, "attn_align": loss_attn,
+                   "attn_norm_distill": loss_attn_norm,
+                   "fg_bg": loss_fg_bg}
+        return loss, metrics
+
+    def step(embedders, opt_state, batch: ComposBatch):
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            embedders, batch)
+        updates, opt_state = optimizer.update(grads, opt_state, embedders)
+        embedders = optax.apply_updates(embedders, updates)
+        return embedders, opt_state, metrics
+
+    return step
+
+
+class Arc2FaceBatch(NamedTuple):
+    """One arc2face-distillation iteration (`ddpm.py:2950-3035`)."""
+
+    latents: jnp.ndarray  # [B, h, w, 4] x_start (or noise for rand faces)
+    teacher_context: jnp.ndarray  # [B, T_a, D] arc2face prompt embeddings
+    token_ids: jnp.ndarray  # [B, T] student subject prompt
+    slot_maps: Dict[str, jnp.ndarray]
+    timesteps: jnp.ndarray  # [B] first-step t
+    noises: jnp.ndarray  # [S, B, h, w, 4] per-step noise
+    relative_ts: jnp.ndarray  # [S-1, B] uniforms for earlier-t sampling
+    fg_mask: Optional[jnp.ndarray]
+
+
+def make_arc2face_distill_step(
+    clip: CLIPTextEncoder,
+    clip_params: dict,
+    unet: UNetModel,
+    unet_params: dict,
+    teacher_unet: UNetModel,
+    teacher_params: dict,
+    sched: DiffusionSchedule,
+    optimizer: optax.GradientTransformation,
+    num_denoising_steps: int = 1,
+    skip_weights=(0.5, 0.5),
+    max_accumu_batch: int = 7,
+    use_fg_mask: bool = True,  # static; False for generated random faces
+):
+    """Arc2Face multi-step distillation (`Arc2FaceWrapper.forward`,
+    `ddpm.py:5429-5475` + the student loop `:2950-3035`): the frozen
+    arc2face teacher denoises a trajectory of `num_denoising_steps`
+    (earlier-t schedule from uniform draws); the student (SD UNet with the
+    subject conditioning from the trainable embedders) matches the
+    teacher's noise predictions at the trailing steps, loss summed and
+    divided by sqrt(S). One compiled variant per S (static unroll)."""
+
+    def loss_fn(embedders, batch: Arc2FaceBatch):
+        S = num_denoising_steps
+        B = batch.latents.shape[0]
+        # ---- teacher trajectory (frozen, fp32 master here vs fp16 there)
+        x_starts = [batch.latents]
+        ts = [batch.timesteps]
+        noise_preds = []
+        for i in range(S):
+            x_noisy = sched.q_sample(x_starts[i], ts[i], batch.noises[i])
+            pred = teacher_unet.apply({"params": teacher_params}, x_noisy,
+                                      ts[i], batch.teacher_context[None])
+            pred = jax.lax.stop_gradient(pred)
+            noise_preds.append(pred)
+            x0 = sched.predict_x0_from_eps(x_noisy, ts[i], pred)
+            x_starts.append(jax.lax.stop_gradient(x0))
+            if i < S - 1:
+                # earlier t in [t*0.5^k, t*0.7^k], k=(S-1)^-0.3 (`:5460-5466`)
+                k = (S - 1) ** -0.3
+                t_lb = ts[i] * (0.5 ** k)
+                t_ub = ts[i] * (0.7 ** k)
+                t_next = ((t_ub - t_lb) * batch.relative_ts[i] + t_lb)
+                ts.append(t_next.astype(jnp.int32))
+
+        # ---- student matches trailing steps (`:2956-2994`)
+        max_loss_steps = max(max_accumu_batch // B, 1)
+        loss_start = max(0, S - max_loss_steps)
+
+        embedded = clip.apply({"params": clip_params}, batch.token_ids,
+                              method=CLIPTextEncoder.embed_tokens)
+        subj = {s: compute_static_embedding(p) for s, p in embedders.items()}
+        patched = EmbeddingManager.patch_prompt_embeddings(
+            embedded, batch.slot_maps, subj)
+        L, _, T, D = patched.shape
+        ctx = clip.apply({"params": clip_params},
+                         input_embeds=patched.reshape(L * B, T, D),
+                         skip_weights=jnp.asarray(skip_weights))
+        ctx = ctx.reshape(L, B, T, D)
+
+        losses = []
+        for s in range(loss_start, S):
+            x0_s = batch.latents if s == 0 else x_starts[s]
+            x_noisy = sched.q_sample(x0_s, ts[s], batch.noises[s])
+            student = unet.apply({"params": unet_params}, x_noisy, ts[s], ctx)
+            if use_fg_mask and batch.fg_mask is not None:
+                # distill only on fg (bg suppressed by the teacher,
+                # bg_pixel_weight=0, `:3017-3024`)
+                l = masked_recon_loss(student, noise_preds[s], batch.fg_mask,
+                                      bg_weight=0.0)
+            else:
+                l = jnp.mean(jnp.square(student - noise_preds[s]))
+            losses.append(l)
+        loss = sum(losses) / jnp.sqrt(float(S))
+        return loss, {"loss": loss, "n_loss_steps": float(len(losses))}
+
+    def step(embedders, opt_state, batch: Arc2FaceBatch):
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            embedders, batch)
+        updates, opt_state = optimizer.update(grads, opt_state, embedders)
+        embedders = optax.apply_updates(embedders, updates)
+        return embedders, opt_state, metrics
+
+    return step

@@ -1,0 +1,167 @@
+"""Iteration-plan machine + compositional / arc2face distillation steps."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from adaface_tpu.models.clip_text import CLIPTextConfig, CLIPTextEncoder
+from adaface_tpu.models.unet import UNetConfig, UNetModel
+from adaface_tpu.ops.schedule import make_diffusion_schedule
+from adaface_tpu.personalization.static_embedding import init_static_embedder
+from adaface_tpu.training.iter_plan import (
+    ARC2FACE_DISTILL,
+    COMPOS_DISTILL,
+    RECON,
+    IterPlanConfig,
+    plan_iteration,
+    probably_anneal_t,
+    sample_timesteps,
+)
+from adaface_tpu.training.train_step import (
+    Arc2FaceBatch,
+    ComposBatch,
+    make_arc2face_distill_step,
+    make_compos_distill_step,
+)
+
+T, D, HW = 16, 32, 8
+
+
+def test_plan_iteration_types():
+    cfg = IterPlanConfig(composition_regs_iter_gap=3,
+                         arc2face_distill_iter_prob=0.5, max_steps=100)
+    rng = np.random.default_rng(0)
+    types = [plan_iteration(rng, step, cfg).iter_type for step in range(60)]
+    # every 3rd step is compositional
+    assert all(t == COMPOS_DISTILL for t in types[::3])
+    others = [t for i, t in enumerate(types) if i % 3]
+    assert RECON in others and ARC2FACE_DISTILL in others
+    # training percent advances
+    assert plan_iteration(rng, 50, cfg).training_percent == 0.5
+
+
+def test_plan_arc2face_flags():
+    cfg = IterPlanConfig(composition_regs_iter_gap=0,
+                         arc2face_distill_iter_prob=1.0)
+    rng = np.random.default_rng(1)
+    plans = [plan_iteration(rng, 1, cfg) for _ in range(50)]
+    assert all(p.iter_type == ARC2FACE_DISTILL for p in plans)
+    assert all(not p.do_prompt_delta_reg for p in plans)
+    rand_faces = [p.gen_arc2face_rand_face for p in plans]
+    assert 0.2 < np.mean(rand_faces) < 0.6  # p = 0.4
+    assert all(p.num_denoising_steps in (1, 3, 5, 7) for p in plans)
+
+
+def test_sample_timesteps_ranges():
+    cfg = IterPlanConfig(num_timesteps=1000)
+    rng = np.random.default_rng(2)
+    compos = plan_iteration(rng, 0, cfg)
+    assert compos.iter_type == COMPOS_DISTILL
+    t = sample_timesteps(rng, compos, 8, cfg)
+    assert np.all(t >= 800) and np.all(t < 1000)
+    # reuse-init: mid range, >=150 below prev t
+    compos.reuse_init_conds = True
+    prev = np.full(8, 900)
+    t2 = sample_timesteps(rng, compos, 8, cfg, prev_t=prev)
+    assert np.all(t2 >= 400) and np.all(t2 <= 750)
+
+
+def test_probably_anneal_t_bounds():
+    rng = np.random.default_rng(3)
+    t = np.asarray([100, 500, 900])
+    for _ in range(20):
+        t2 = probably_anneal_t(t, 0.0, 1000, (1.0, 1.3),
+                               keep_prob_range=(0.0, 0.0), rng=rng)
+        assert np.all(t2 >= t) and np.all(t2 <= np.minimum(t * 1.3 + 1, 1000))
+
+
+@pytest.fixture(scope="module")
+def backbone():
+    clip_cfg = CLIPTextConfig.tiny(vocab_size=256, hidden_size=D,
+                                   max_position_embeddings=T, num_extra_tokens=1)
+    clip = CLIPTextEncoder(clip_cfg)
+    clip_params = clip.init(jax.random.PRNGKey(0),
+                            input_ids=jnp.zeros((1, T), jnp.int32))["params"]
+    unet_cfg = UNetConfig(model_channels=32, channel_mult=(1, 2),
+                          num_res_blocks=1, attention_levels=(0, 1),
+                          num_heads=4, context_dim=D,
+                          use_flash_attention=False)
+    unet = UNetModel(unet_cfg)
+    unet_params = unet.init(jax.random.PRNGKey(1), jnp.zeros((1, HW, HW, 4)),
+                            jnp.zeros((1,), jnp.int32),
+                            jnp.zeros((1, 1, T, D)))["params"]
+    sched = make_diffusion_schedule()
+    embedders = {"z": init_static_embedder(jax.random.PRNGKey(2),
+                                           num_vectors=2, emb_dim=D, rank=4)}
+    return clip, clip_params, unet, unet_params, sched, embedders
+
+
+def _mk_compos_batch(rng, B=1):
+    ids = rng.integers(1, 250, size=(4 * B, T)).astype(np.int32)
+    ids[:2 * B, 3] = 256  # subject rows get the placeholder
+    slot = np.full((4 * B, T), -1, np.int32)
+    slot[:2 * B, 3] = 0
+    slot[:2 * B, 4] = 1
+    return ComposBatch(
+        token_ids=jnp.asarray(ids),
+        slot_maps={"z": jnp.asarray(slot)},
+        latents=jnp.asarray(rng.standard_normal((B, HW, HW, 4)), jnp.float32),
+        fg_mask=jnp.asarray((rng.random((B, HW, HW, 1)) > 0.4), jnp.float32),
+        timesteps=jnp.asarray(rng.integers(800, 1000, B), jnp.int32),
+        noise=jnp.asarray(rng.standard_normal((B, HW, HW, 4)), jnp.float32),
+        t_frac=jnp.asarray(rng.uniform(0.8, 1.0, B), jnp.float32),
+        training_percent=jnp.asarray(0.3, jnp.float32),
+    )
+
+
+def test_compos_distill_step(backbone):
+    clip, clip_params, unet, unet_params, sched, embedders = backbone
+    opt = optax.adamw(1e-3)
+    opt_state = opt.init(embedders)
+    step = make_compos_distill_step(clip, clip_params, unet, unet_params,
+                                    sched, opt)
+    rng = np.random.default_rng(4)
+    batch = _mk_compos_batch(rng)
+    new_emb, _, metrics = jax.jit(step)(embedders, opt_state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    for k in ("prompt_delta", "feat_align", "attn_align",
+              "attn_norm_distill", "fg_bg"):
+        assert np.isfinite(float(metrics[k])), k
+    delta = float(jnp.abs(new_emb["z"].basis_rand_weights
+                          - embedders["z"].basis_rand_weights).max())
+    assert delta > 0
+
+
+@pytest.mark.parametrize("S", [1, 3])
+def test_arc2face_distill_step(backbone, S):
+    clip, clip_params, unet, unet_params, sched, embedders = backbone
+    opt = optax.adamw(1e-3)
+    opt_state = opt.init(embedders)
+    step = make_arc2face_distill_step(
+        clip, clip_params, unet, unet_params, unet, unet_params, sched, opt,
+        num_denoising_steps=S)
+    rng = np.random.default_rng(5)
+    B = 2
+    ids = rng.integers(1, 250, size=(B, T)).astype(np.int32)
+    ids[:, 3] = 256
+    slot = np.full((B, T), -1, np.int32)
+    slot[:, 3] = 0
+    slot[:, 4] = 1
+    batch = Arc2FaceBatch(
+        latents=jnp.asarray(rng.standard_normal((B, HW, HW, 4)), jnp.float32),
+        teacher_context=jnp.asarray(rng.standard_normal((B, T, D)), jnp.float32),
+        token_ids=jnp.asarray(ids),
+        slot_maps={"z": jnp.asarray(slot)},
+        timesteps=jnp.asarray(rng.integers(700, 1000, B), jnp.int32),
+        noises=jnp.asarray(rng.standard_normal((S, B, HW, HW, 4)), jnp.float32),
+        relative_ts=jnp.asarray(rng.uniform(size=(max(S - 1, 1), B)), jnp.float32),
+        fg_mask=jnp.asarray(np.ones((B, HW, HW, 1)), jnp.float32),
+    )
+    new_emb, _, metrics = jax.jit(step)(embedders, opt_state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    delta = float(jnp.abs(new_emb["z"].basis_rand_weights
+                          - embedders["z"].basis_rand_weights).max())
+    assert delta > 0
