@@ -137,13 +137,13 @@ class EmbeddingManager:
                         init_key: Optional[jax.Array] = None,
                         init_vecs: Optional[np.ndarray] = None,
                         init_vec_weights: Optional[np.ndarray] = None,
-                        rank: int = 6):
+                        rank: int = 6, emb_dim: int = 768):
         info = PlaceholderInfo(string, token_id, num_vectors, is_background)
         self.placeholders[string] = info
         if embedder is None:
             key = init_key if init_key is not None else jax.random.PRNGKey(len(self.placeholders))
             embedder = init_static_embedder(
-                key, NUM_CA_LAYERS, num_vectors, rank=rank,
+                key, NUM_CA_LAYERS, num_vectors, emb_dim=emb_dim, rank=rank,
                 init_vecs=init_vecs, init_vec_weights=init_vec_weights)
         self.embedders[string] = embedder
         self.emb_global_scale_scores.setdefault(string, 0.0)

@@ -94,6 +94,46 @@ class StableDiffusionPipeline:
                    embedding_manager=EmbeddingManager(),
                    base_sched=make_diffusion_schedule(), dtype=dtype)
 
+    @classmethod
+    def from_sd_checkpoint(cls, path: str, tokenizer: TokenizerBase,
+                           dtype=jnp.float32,
+                           num_extra_tokens: int = 8) -> "StableDiffusionPipeline":
+        """Build the pipeline from an SD v1.x `.ckpt` (torch pickle) through
+        the torch-free unpickler + name mappers — the analog of
+        `load_model_from_config` (`main.py:27-50`, `stable_txt2img.py:400`).
+        """
+        from adaface_tpu.interop.torch_pickle import load_torch_checkpoint, walk_stub_tree
+        from adaface_tpu.interop.sd_unet import map_unet_params
+        from adaface_tpu.interop.sd_vae import map_vae_params
+        from adaface_tpu.interop.hf_clip import map_clip_text_params
+
+        ckpt = load_torch_checkpoint(path)
+        sd = ckpt.get("state_dict", ckpt)
+        if not isinstance(sd, dict) or not any(
+                k.startswith("model.diffusion_model.") for k in sd):
+            sd = walk_stub_tree(sd)
+        unet_cfg = UNetConfig.sd_v1()
+        vae_cfg = VAEConfig.sd_v1()
+        clip_cfg = CLIPTextConfig.vit_l_14(num_extra_tokens=num_extra_tokens)
+        unet_params = map_unet_params(sd, unet_cfg)
+        vae_params = map_vae_params(sd, vae_cfg)
+        clip_params = map_clip_text_params(
+            sd, prefix="cond_stage_model.transformer.text_model.")
+        # fresh extra-token rows for placeholders
+        clip = CLIPTextEncoder(clip_cfg, dtype)
+        if num_extra_tokens:
+            base = np.asarray(clip_params["token_embedding"]["embedding"])
+            rng = np.random.default_rng(0)
+            clip_params["extra_token_embedding"] = {
+                "embedding": rng.standard_normal(
+                    (num_extra_tokens, base.shape[1])).astype(base.dtype)
+                * float(base.std())}
+        return cls(tokenizer=tokenizer, clip=clip, clip_params=clip_params,
+                   unet=UNetModel(unet_cfg, dtype), unet_params=unet_params,
+                   vae=AutoencoderKL(vae_cfg, dtype), vae_params=vae_params,
+                   embedding_manager=EmbeddingManager(),
+                   base_sched=make_diffusion_schedule(), dtype=dtype)
+
     # ------------------------------------------------------------- encoding
     def _encode_device(self, ids: jnp.ndarray, slot_maps: Dict[str, jnp.ndarray],
                        embedders: dict) -> jnp.ndarray:

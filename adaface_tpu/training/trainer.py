@@ -1,0 +1,288 @@
+"""Training orchestration — the Lightning-Trainer + DDPM-policy equivalent.
+
+Replaces PyTorch Lightning manual optimization (`main.py:1240` +
+`DDPM.training_step`, `ddpm.py:519-642`) with an explicit host loop:
+
+- per step, `plan_iteration` rolls the iteration type on host; each type
+  runs one of the pre-jitted step variants (SURVEY.md §7.1);
+- batches are assembled on host from `PersonalizedDataset` examples;
+  images VAE-encode on device in one jitted call (`get_input`,
+  `ddpm.py:1169-1247`);
+- gradient accumulation + global-norm clipping live INSIDE the optax chain
+  (`optax.MultiSteps` + `clip_by_global_norm`) instead of the reference's
+  manual bookkeeping (`ddpm.py:599-637`);
+- checkpoints: the EmbeddingManager's native `.npz` every
+  `ckpt_every_steps` (the real artifact, `embeddings_gs-{step}.pt`
+  semantics, `ddpm.py:5388-5396`) + `last`; SIGUSR1 triggers an immediate
+  checkpoint like the reference's "melk" handler (`main.py:1217-1233`);
+- metrics stream to stdout and a JSONL file (the `log_dict` analog).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import signal
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from adaface_tpu.data.personalized import (
+    PersonalizedDataset,
+    SubjectSampler,
+    collate_examples,
+)
+from adaface_tpu.models.vae import SD_VAE_SCALE_FACTOR, AutoencoderKL
+from adaface_tpu.personalization.embedding_manager import EmbeddingManager
+from adaface_tpu.training.iter_plan import (
+    ARC2FACE_DISTILL,
+    COMPOS_DISTILL,
+    RECON,
+    IterPlan,
+    IterPlanConfig,
+    plan_iteration,
+    sample_timesteps,
+)
+from adaface_tpu.training.train_step import (
+    Arc2FaceBatch,
+    ComposBatch,
+    ReconBatch,
+    make_arc2face_distill_step,
+    make_compos_distill_step,
+    make_recon_train_step,
+)
+
+
+@dataclasses.dataclass
+class TrainerConfig:
+    max_steps: int = 2000
+    batch_size: int = 3
+    accumulate_grad_batches: int = 2
+    grad_clip: float = 0.5  # `main.py` grad_clip default
+    learning_rate: float = 7e-4
+    use_prodigy: bool = True  # zero-shot default (`ddpm.py:5192-5209`)
+    d_coef: float = 10.0
+    ckpt_every_steps: int = 500
+    log_every_steps: int = 10
+    bg_recon_weight: float = 0.1
+    seed: int = 0
+    logdir: str = "logs/run"
+
+
+class Trainer:
+    def __init__(self, pipeline, dataset: PersonalizedDataset,
+                 cfg: TrainerConfig = TrainerConfig(),
+                 plan_cfg: IterPlanConfig = IterPlanConfig()):
+        self.pipe = pipeline
+        self.dataset = dataset
+        self.cfg = cfg
+        self.plan_cfg = dataclasses.replace(plan_cfg, max_steps=cfg.max_steps)
+        self.rng = np.random.default_rng(cfg.seed)
+        self.sampler = SubjectSampler(dataset, skip_non_faces=False,
+                                      seed=cfg.seed)
+        self.mgr: EmbeddingManager = pipeline.embedding_manager
+        self.global_step = 0
+        self._sig_ckpt_requested = False
+
+        os.makedirs(cfg.logdir, exist_ok=True)
+        self._log_f = open(os.path.join(cfg.logdir, "metrics.jsonl"), "a")
+
+        # ---- optimizer: Prodigy or AdamW, + clip + accumulation
+        if cfg.use_prodigy:
+            from adaface_tpu.training.prodigy import prodigy
+
+            base = prodigy(learning_rate=1.0, d_coef=cfg.d_coef)
+        else:
+            base = optax.adamw(cfg.learning_rate)
+        opt = optax.chain(optax.clip_by_global_norm(cfg.grad_clip), base)
+        self.optimizer = optax.MultiSteps(
+            opt, every_k_schedule=cfg.accumulate_grad_batches)
+        self.opt_state = self.optimizer.init(self.mgr.embedders)
+
+        # ---- jitted step variants (compiled lazily per iter type / S)
+        p = self.pipe
+        self._steps = {
+            RECON: jax.jit(make_recon_train_step(
+                p.clip, p.clip_params, p.unet, p.unet_params, p.base_sched,
+                self.optimizer, skip_weights=p.skip_weights,
+                bg_weight=cfg.bg_recon_weight)),
+            COMPOS_DISTILL: jax.jit(make_compos_distill_step(
+                p.clip, p.clip_params, p.unet, p.unet_params, p.base_sched,
+                self.optimizer, skip_weights=p.skip_weights)),
+        }
+        self._a2f_steps: Dict[int, object] = {}
+        self._encode_vae = jax.jit(
+            lambda params, x: p.vae.apply({"params": params}, x,
+                                          method=AutoencoderKL.encode))
+        signal.signal(signal.SIGUSR1, self._on_sigusr1)
+
+    # ------------------------------------------------------------- plumbing
+    def _on_sigusr1(self, *_):
+        self._sig_ckpt_requested = True
+
+    def _log(self, metrics: Dict, plan: IterPlan):
+        rec = {"step": self.global_step, "iter_type": plan.iter_type}
+        rec.update({k: float(v) for k, v in metrics.items()})
+        self._log_f.write(json.dumps(rec) + "\n")
+        self._log_f.flush()
+        if self.global_step % self.cfg.log_every_steps == 0:
+            msg = " ".join(f"{k}={v:.4f}" for k, v in rec.items()
+                           if isinstance(v, float))
+            print(f"[{self.global_step}/{self.cfg.max_steps}] "
+                  f"{plan.iter_type}: {msg}", flush=True)
+
+    def save_checkpoint(self, tag: Optional[str] = None):
+        tag = tag or f"gs-{self.global_step}"
+        path = os.path.join(self.cfg.logdir, f"embeddings_{tag}.npz")
+        self.mgr.save_native(path)
+        print(f"saved {path}", flush=True)
+        return path
+
+    # ----------------------------------------------------------- batch prep
+    def _draw_examples(self, n: int):
+        subj = self.sampler.sample()
+        return [self.dataset[(subj, True)] for _ in range(n)]
+
+    def _latents(self, images: np.ndarray) -> jnp.ndarray:
+        mean, logvar = self._encode_vae(self.pipe.vae_params,
+                                        jnp.asarray(images))
+        # deterministic mode like `encode_first_stage` at train time would
+        # sample; the posterior std is small — use mean + scale
+        return mean * SD_VAE_SCALE_FACTOR
+
+    def _mask_to_latent(self, mask: np.ndarray, lh: int, lw: int) -> np.ndarray:
+        m = mask.astype(np.float32)
+        ri = (np.arange(lh) * (m.shape[1] / lh)).astype(np.int64)
+        ci = (np.arange(lw) * (m.shape[2] / lw)).astype(np.int64)
+        return m[:, ri][:, :, ci][..., None]
+
+    def _prompt_batch(self, examples, key: str):
+        prompts = [e[key] if key in e else e["caption"] for e in examples]
+        # comp prompts pack num_compositions variants with '|'; take the first
+        prompts = [p.split("|")[0] for p in prompts]
+        ids = self.pipe.tokenizer(prompts)
+        slot_maps = self.mgr.build_slot_maps(ids)
+        return jnp.asarray(ids), {k: jnp.asarray(v) for k, v in slot_maps.items()}
+
+    # ---------------------------------------------------------------- steps
+    def _run_recon(self, plan: IterPlan):
+        B = self.cfg.batch_size
+        ex = self._draw_examples(B)
+        batch_np = collate_examples(ex)
+        latents = self._latents(batch_np["image"])
+        lh, lw = latents.shape[1:3]
+        key = "caption_bg" if plan.use_background_token else "caption"
+        ids, slots = self._prompt_batch(ex, key)
+        t = sample_timesteps(self.rng, plan, B, self.plan_cfg)
+        batch = ReconBatch(
+            latents=latents,
+            token_ids=ids, slot_maps=slots,
+            fg_mask=jnp.asarray(self._mask_to_latent(batch_np["fg_mask"], lh, lw)),
+            timesteps=jnp.asarray(t, jnp.int32),
+            noise=jnp.asarray(self.rng.standard_normal(latents.shape),
+                              jnp.float32))
+        self.mgr.embedders, self.opt_state, metrics = self._steps[RECON](
+            self.mgr.embedders, self.opt_state, batch)
+        return metrics
+
+    def _run_compos(self, plan: IterPlan):
+        # BLOCK_SIZE=1 (`ddpm.py:1971-2141`): one instance per prompt type
+        ex = self._draw_examples(1)
+        e = ex[0]
+        bg = plan.use_background_token and "subj_prompt_single_bg" in e
+        fp = plan.use_fp_trick and "subj_prompt_single_fp" in e
+        suffix = "_fp_bg" if (fp and bg and "subj_prompt_single_fp_bg" in e) \
+            else "_fp" if fp else "_bg" if bg else ""
+        keys = [f"subj_prompt_single{suffix}", f"subj_prompt_comp{suffix}",
+                f"cls_prompt_single{suffix}", f"cls_prompt_comp{suffix}"]
+        prompts = [e.get(k, e["subj_prompt_single"]).split("|")[0] for k in keys]
+        ids = self.pipe.tokenizer(prompts)
+        slots = self.mgr.build_slot_maps(ids)
+        latents = self._latents(e["image"][None])
+        lh, lw = latents.shape[1:3]
+        t = sample_timesteps(self.rng, plan, 1, self.plan_cfg)
+        batch = ComposBatch(
+            token_ids=jnp.asarray(ids),
+            slot_maps={k: jnp.asarray(v) for k, v in slots.items()},
+            latents=latents,
+            fg_mask=jnp.asarray(self._mask_to_latent(e["fg_mask"][None], lh, lw)),
+            timesteps=jnp.asarray(t, jnp.int32),
+            noise=jnp.asarray(self.rng.standard_normal(latents.shape), jnp.float32),
+            t_frac=jnp.asarray(t / self.plan_cfg.num_timesteps, jnp.float32),
+            training_percent=jnp.asarray(plan.training_percent, jnp.float32))
+        self.mgr.embedders, self.opt_state, metrics = self._steps[COMPOS_DISTILL](
+            self.mgr.embedders, self.opt_state, batch)
+        return metrics
+
+    def _run_arc2face(self, plan: IterPlan, teacher):
+        teacher_unet, teacher_params, teacher_ctx_fn = teacher
+        S = plan.num_denoising_steps
+        key = (S, plan.gen_arc2face_rand_face)
+        if key not in self._a2f_steps:
+            p = self.pipe
+            self._a2f_steps[key] = jax.jit(make_arc2face_distill_step(
+                p.clip, p.clip_params, p.unet, p.unet_params,
+                teacher_unet, teacher_params, p.base_sched, self.optimizer,
+                num_denoising_steps=S,
+                use_fg_mask=not plan.gen_arc2face_rand_face))
+        B = max(self.cfg.batch_size // 2, 1)  # HALF_BS (`ddpm.py:1853-1878`)
+        ex = self._draw_examples(B)
+        batch_np = collate_examples(ex)
+        latents = self._latents(batch_np["image"])
+        lh, lw = latents.shape[1:3]
+        ids, slots = self._prompt_batch(ex, "caption")
+        t = sample_timesteps(self.rng, plan, B, self.plan_cfg)
+        teacher_ctx = teacher_ctx_fn(ex, plan)
+        batch = Arc2FaceBatch(
+            latents=latents,
+            teacher_context=jnp.asarray(teacher_ctx, jnp.float32),
+            token_ids=ids, slot_maps=slots,
+            timesteps=jnp.asarray(t, jnp.int32),
+            noises=jnp.asarray(self.rng.standard_normal((S,) + latents.shape),
+                               jnp.float32),
+            relative_ts=jnp.asarray(self.rng.uniform(size=(max(S - 1, 1), B)),
+                                    jnp.float32),
+            fg_mask=jnp.asarray(self._mask_to_latent(batch_np["fg_mask"], lh, lw)))
+        self.mgr.embedders, self.opt_state, metrics = self._a2f_steps[key](
+            self.mgr.embedders, self.opt_state, batch)
+        return metrics
+
+    # ------------------------------------------------------------------ run
+    def fit(self, num_steps: Optional[int] = None, arc2face_teacher=None):
+        """Run the training loop. `arc2face_teacher`: optional
+        (unet, params, ctx_fn(examples, plan) -> [B, T, D]) triple enabling
+        arc2face distillation iterations."""
+        n = num_steps or self.cfg.max_steps
+        t0 = time.time()
+        try:
+            while self.global_step < n:
+                plan = plan_iteration(self.rng, self.global_step, self.plan_cfg)
+                if plan.iter_type == ARC2FACE_DISTILL and arc2face_teacher is None:
+                    plan.iter_type = RECON
+                if plan.iter_type == RECON:
+                    metrics = self._run_recon(plan)
+                elif plan.iter_type == COMPOS_DISTILL:
+                    metrics = self._run_compos(plan)
+                else:
+                    metrics = self._run_arc2face(plan, arc2face_teacher)
+                self._log(metrics, plan)
+                self.global_step += 1
+                if self._sig_ckpt_requested:
+                    self.save_checkpoint()
+                    self._sig_ckpt_requested = False
+                if self.global_step % self.cfg.ckpt_every_steps == 0:
+                    self.save_checkpoint()
+        except KeyboardInterrupt:
+            # checkpoint on interrupt, like `main.py:559-563`
+            self.save_checkpoint("interrupted")
+            raise
+        self.save_checkpoint("last")
+        dt = time.time() - t0
+        print(f"trained {self.global_step} steps in {dt:.1f}s "
+              f"({self.global_step / max(dt, 1e-9):.2f} it/s)", flush=True)
+        return self.mgr

@@ -1,0 +1,122 @@
+#!/usr/bin/env python
+"""Batch subject generation + evaluation driver.
+
+TPU-native equivalent of `scripts/gen_subjects_and_eval.py` (560 LoC):
+iterate subjects from a fish-syntax info file, build DreamBench/community
+prompt TSVs, locate the newest checkpoint per subject, generate via
+`scripts/txt2img.py` (in-process, not `os.system`), score against the
+subject's ground-truth folder, and aggregate a scores CSV
+(`gen_subjects_and_eval.py:240-559`).
+"""
+
+import argparse
+import csv
+import glob
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--subject_file", required=True,
+                   help="evaluation/info-*.sh style fish-syntax file")
+    p.add_argument("--data_root", default=None,
+                   help="overrides the info file's data_folder")
+    p.add_argument("--logdir", default="logs",
+                   help="root of per-subject training runs")
+    p.add_argument("--outdir", default="outputs/eval")
+    p.add_argument("--range", dest="range_str", default=None,
+                   help="subject range like '1-5,8' (1-offset)")
+    p.add_argument("--prompt_set", choices=("dreambench", "community", "all"),
+                   default="dreambench")
+    p.add_argument("--n_samples", type=int, default=4)
+    p.add_argument("--steps", type=int, default=50)
+    p.add_argument("--size", type=int, default=512)
+    p.add_argument("--z_prefix", default="")
+    p.add_argument("--ckpt", default=None, help="SD backbone .ckpt")
+    p.add_argument("--tiny", action="store_true")
+    p.add_argument("--max_prompts", type=int, default=-1)
+    return p.parse_args(argv)
+
+
+def find_newest_embeddings(logdir: str, subject: str):
+    """Newest per-subject embeddings checkpoint
+    (`gen_subjects_and_eval.py` newest-logdir scan)."""
+    cands = sorted(
+        glob.glob(os.path.join(logdir, f"*{subject}*", "embeddings_*.npz"))
+        + glob.glob(os.path.join(logdir, f"*{subject}*", "embeddings_*.pt")),
+        key=os.path.getmtime)
+    return cands[-1] if cands else None
+
+
+def main(opt):
+    from adaface_tpu.evaluation.eval_utils import parse_range_str, parse_subject_file
+    from adaface_tpu.evaluation.prompt_sets import get_prompt_list
+    import txt2img
+
+    subj_info, subj2attr = parse_subject_file(opt.subject_file)
+    subjects = subj_info["subjects"]
+    sel = parse_range_str(opt.range_str) or subj_info["sel_set"]
+    data_root = opt.data_root or subj_info["data_folder"][0]
+
+    os.makedirs(opt.outdir, exist_ok=True)
+    scores_path = os.path.join(opt.outdir, "all_scores.csv")
+    rows = []
+    for idx in sel:
+        subject = subjects[idx]
+        cls_delta = subj2attr.get("cls_delta_strings", {}).get(subject, "person")
+        class_name = subj2attr.get("class_names", {}).get(subject, cls_delta)
+        broad = subj2attr.get("broad_classes", {}).get(subject, 1)
+        prompts, cls_prompts, _ = get_prompt_list(
+            "z", opt.z_prefix, "", "", class_name, cls_delta, broad,
+            set_name=opt.prompt_set)
+        if opt.max_prompts > 0:
+            prompts, cls_prompts = (prompts[:opt.max_prompts],
+                                    cls_prompts[:opt.max_prompts])
+        tsv = os.path.join(opt.outdir, f"{subject}-prompts.tsv")
+        with open(tsv, "w") as f:
+            w = csv.writer(f, delimiter="\t")
+            for pi, prompt in enumerate(prompts):
+                w.writerow([1, f"p{pi:02}", prompt, cls_prompts[pi]])
+
+        emb = find_newest_embeddings(opt.logdir, subject)
+        out = os.path.join(opt.outdir, subject)
+        gt = os.path.join(data_root, subject)
+        argv = ["--from_file", tsv, "--out", out,
+                "--steps", str(opt.steps), "--size", str(opt.size),
+                "--n_samples", str(opt.n_samples)]
+        if os.path.isdir(gt):
+            argv += ["--compare_with", gt, "--class_prompt", cls_prompts[0]]
+        if emb:
+            argv += ["--embedding_paths", emb]
+        if opt.ckpt:
+            argv += ["--ckpt", opt.ckpt]
+        if opt.tiny:
+            argv += ["--tiny"]
+        print(f"== {subject}: emb={emb}")
+        txt2img.main(txt2img.parse_args(argv))
+        sc = os.path.join(out, "scores.csv")
+        if os.path.exists(sc):
+            with open(sc) as f:
+                for r in csv.reader(f):
+                    rows.append([subject] + r)
+
+    if rows:
+        import numpy as np
+
+        with open(scores_path, "w") as f:
+            w = csv.writer(f)
+            w.writerow(["subject", "prompt", "clip_i", "clip_t", "dino"])
+            w.writerows(rows)
+            arr = np.asarray([[float(x) for x in r[2:5]] for r in rows])
+            mean = arr.mean(axis=0)
+            w.writerow(["MEAN", "", *[f"{m:.4f}" for m in mean]])
+        print(f"aggregated {len(rows)} rows -> {scores_path}; "
+              f"mean CLIP-I={mean[0]:.4f} CLIP-T={mean[1]:.4f} DINO={mean[2]:.4f}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(parse_args()))

@@ -1,0 +1,143 @@
+#!/usr/bin/env python
+"""Subject personalization training CLI.
+
+TPU-native equivalent of `main.py` (1262 LoC): build the dataset +
+pipeline backbone, register placeholder tokens/embedders, run the Trainer
+(iteration-plan machine, Prodigy/AdamW + accumulation + clipping,
+checkpoints every 500 steps, SIGUSR1 checkpoint).
+
+YAML configs follow the reference's target/params shape
+(`configs/*.yaml` here; `adaface_tpu.config.load_config` +
+`apply_dotlist`). Without `--actual_resume`, runs with random backbone
+weights (smoke mode — the reference *requires* an SD ckpt, `main.py:188`).
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--base", nargs="*", default=[], help="YAML config(s)")
+    p.add_argument("--data_root", type=str, required=True,
+                   help="subject image folder (one subject) or parent of "
+                        "per-subject folders with --subjects")
+    p.add_argument("--subjects", nargs="*", default=None)
+    p.add_argument("--actual_resume", type=str, default=None,
+                   help="SD v1.x .ckpt backbone (random weights if absent)")
+    p.add_argument("--subject_string", type=str, default="z")
+    p.add_argument("--background_string", type=str, default="y")
+    p.add_argument("--cls_delta_string", type=str, default="person")
+    p.add_argument("--num_vectors_per_subj_token", type=int, default=9)
+    p.add_argument("--num_vectors_per_bg_token", type=int, default=4)
+    p.add_argument("--max_steps", type=int, default=2000)
+    p.add_argument("--batch_size", type=int, default=3)
+    p.add_argument("--accumulate_grad_batches", type=int, default=2)
+    p.add_argument("--lr", type=float, default=7e-4)
+    p.add_argument("--optimizer", choices=("prodigy", "adamw"), default="prodigy")
+    p.add_argument("--size", type=int, default=512)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--logdir", "-l", type=str, default="logs/run")
+    p.add_argument("--ckpt_every_steps", type=int, default=500)
+    p.add_argument("--composition_regs_iter_gap", type=int, default=3)
+    p.add_argument("--bf16", action="store_true")
+    p.add_argument("--tiny", action="store_true",
+                   help="tiny random models (CPU smoke/verify mode)")
+    p.add_argument("overrides", nargs="*", default=[],
+                   help="dotlist config overrides a.b=c")
+    return p.parse_args(argv)
+
+
+def main(opt):
+    import jax
+    import jax.numpy as jnp
+
+    from adaface_tpu.config import apply_dotlist, load_config
+    from adaface_tpu.data.personalized import PersonalizedDataset, SubjectSpec
+    from adaface_tpu.data.tokenizer import HashTokenizer
+    from adaface_tpu.pipeline import StableDiffusionPipeline
+    from adaface_tpu.training.iter_plan import IterPlanConfig
+    from adaface_tpu.training.trainer import Trainer, TrainerConfig
+
+    cfg = load_config(*opt.base) if opt.base else {}
+    cfg = apply_dotlist(cfg, opt.overrides)
+
+    # dataset
+    if opt.subjects:
+        specs = [SubjectSpec(name=s, folder=os.path.join(opt.data_root, s),
+                             subject_string=opt.subject_string,
+                             background_string=opt.background_string,
+                             cls_delta_string=opt.cls_delta_string)
+                 for s in opt.subjects]
+    else:
+        specs = [SubjectSpec(name=os.path.basename(opt.data_root.rstrip("/")),
+                             folder=opt.data_root,
+                             subject_string=opt.subject_string,
+                             background_string=opt.background_string,
+                             cls_delta_string=opt.cls_delta_string)]
+    dataset = PersonalizedDataset(
+        specs, size=opt.size,
+        num_vectors_per_subj_token=opt.num_vectors_per_subj_token,
+        num_vectors_per_bg_token=opt.num_vectors_per_bg_token,
+        seed=opt.seed)
+
+    # backbone
+    tok = HashTokenizer()
+    dtype = jnp.bfloat16 if opt.bf16 else jnp.float32
+    if opt.actual_resume:
+        pipe = StableDiffusionPipeline.from_sd_checkpoint(
+            opt.actual_resume, tok, dtype=dtype)
+    else:
+        print("NOTE: no --actual_resume ckpt; random backbone (smoke mode)")
+        kw = {}
+        if opt.tiny:
+            from adaface_tpu.models.clip_text import CLIPTextConfig
+            from adaface_tpu.models.unet import UNetConfig
+            from adaface_tpu.models.vae import VAEConfig
+            kw = dict(
+                clip_cfg=CLIPTextConfig.tiny(
+                    vocab_size=tok.vocab_size, max_position_embeddings=77,
+                    num_extra_tokens=8),
+                unet_cfg=UNetConfig(model_channels=32, channel_mult=(1, 2),
+                                    num_res_blocks=1, attention_levels=(0, 1),
+                                    num_heads=4, context_dim=64,
+                                    use_flash_attention=False),
+                vae_cfg=VAEConfig.tiny())
+        pipe = StableDiffusionPipeline.from_random(
+            jax.random.PRNGKey(opt.seed), tok, dtype=dtype, **kw)
+
+    # placeholders
+    mgr = pipe.embedding_manager
+    emb_dim = pipe.clip.cfg.hidden_size
+    mgr.add_placeholder(opt.subject_string,
+                        token_id=tok.add_placeholder(opt.subject_string),
+                        num_vectors=opt.num_vectors_per_subj_token,
+                        init_key=jax.random.PRNGKey(opt.seed + 1),
+                        emb_dim=emb_dim)
+    if opt.background_string:
+        mgr.add_placeholder(opt.background_string,
+                            token_id=tok.add_placeholder(opt.background_string),
+                            num_vectors=opt.num_vectors_per_bg_token,
+                            is_background=True,
+                            init_key=jax.random.PRNGKey(opt.seed + 2),
+                            emb_dim=emb_dim)
+
+    tcfg = TrainerConfig(
+        max_steps=opt.max_steps, batch_size=opt.batch_size,
+        accumulate_grad_batches=opt.accumulate_grad_batches,
+        learning_rate=opt.lr, use_prodigy=(opt.optimizer == "prodigy"),
+        ckpt_every_steps=opt.ckpt_every_steps, seed=opt.seed,
+        logdir=opt.logdir)
+    pcfg = IterPlanConfig(
+        composition_regs_iter_gap=opt.composition_regs_iter_gap,
+        max_steps=opt.max_steps)
+    trainer = Trainer(pipe, dataset, tcfg, pcfg)
+    trainer.fit()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(parse_args()))

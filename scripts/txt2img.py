@@ -1,0 +1,220 @@
+#!/usr/bin/env python
+"""Subject-driven text-to-image generation CLI.
+
+TPU-native equivalent of `scripts/stable_txt2img.py` (903 LoC): loads the
+SD backbone + subject embedding checkpoints, extends the tokenizer with
+placeholder tokens, samples with DDIM/PLMS under annealed CFG, writes
+individual images + a grid, and optionally scores the outputs against a
+reference folder (`--compare_with`, writing scores.csv like
+`stable_txt2img.py:871-897`).
+
+Without `--ckpt`, runs with random weights (shape/flow smoke path — the
+driver and tests use this; images are noise).
+"""
+
+import argparse
+import csv
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--prompt", type=str, default=None,
+                   help="prompt; subject placeholders like 'z' are patched")
+    p.add_argument("--from_file", type=str, default=None,
+                   help="TSV prompt file: n_repeat, subdir, prompt[, ...] "
+                        "(gen_subjects_and_eval format)")
+    p.add_argument("--ckpt", type=str, default=None, help="SD v1.x .ckpt")
+    p.add_argument("--embedding_paths", nargs="*", default=[],
+                   help=".npz (native) or .pt (reference) subject embeddings")
+    p.add_argument("--subject_string", type=str, default="z")
+    p.add_argument("--background_string", type=str, default="y")
+    p.add_argument("--num_vectors_per_subj_token", type=int, default=9)
+    p.add_argument("--steps", type=int, default=50)
+    p.add_argument("--size", type=int, default=512)
+    p.add_argument("--n_samples", type=int, default=4)
+    p.add_argument("--n_repeat", type=int, default=1)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--scale", type=float, nargs="+", default=[10.0, 4.0],
+                   help="CFG guidance; two values = annealed max->min "
+                        "(`stable_txt2img.py:87-159`)")
+    p.add_argument("--neg_prompt", type=str, default=None)
+    p.add_argument("--sampler", choices=("ddim", "plms"), default="ddim")
+    p.add_argument("--out", "--outdir", dest="outdir", type=str,
+                   default="outputs/txt2img")
+    p.add_argument("--compare_with", type=str, default=None,
+                   help="reference image folder for CLIP-I/T + face scores")
+    p.add_argument("--class_prompt", type=str, default=None,
+                   help="prompt with the class word for CLIP-T scoring")
+    p.add_argument("--bf16", action="store_true")
+    p.add_argument("--tiny", action="store_true",
+                   help="tiny random models (CPU smoke/verify mode)")
+    return p.parse_args(argv)
+
+
+def build_pipeline(opt):
+    import jax
+    import jax.numpy as jnp
+
+    from adaface_tpu.data.tokenizer import CLIPBPETokenizer, HashTokenizer
+    from adaface_tpu.pipeline import StableDiffusionPipeline
+
+    vocab = os.environ.get("CLIP_VOCAB_JSON")
+    merges = os.environ.get("CLIP_MERGES_TXT")
+    if vocab and merges and os.path.exists(vocab):
+        tok = CLIPBPETokenizer(vocab, merges)
+    else:
+        tok = HashTokenizer()
+    dtype = jnp.bfloat16 if opt.bf16 else jnp.float32
+    if opt.ckpt:
+        pipe = StableDiffusionPipeline.from_sd_checkpoint(opt.ckpt, tok,
+                                                          dtype=dtype)
+    else:
+        print("NOTE: no --ckpt given; using random weights (smoke mode)")
+        kw = {}
+        if opt.tiny:
+            from adaface_tpu.models.clip_text import CLIPTextConfig
+            from adaface_tpu.models.unet import UNetConfig
+            from adaface_tpu.models.vae import VAEConfig
+            kw = dict(
+                clip_cfg=CLIPTextConfig.tiny(
+                    vocab_size=tok.vocab_size, max_position_embeddings=77,
+                    num_extra_tokens=8),
+                unet_cfg=UNetConfig(model_channels=32, channel_mult=(1, 2),
+                                    num_res_blocks=1, attention_levels=(0, 1),
+                                    num_heads=4, context_dim=64,
+                                    use_flash_attention=False),
+                vae_cfg=VAEConfig.tiny())
+        pipe = StableDiffusionPipeline.from_random(jax.random.PRNGKey(0), tok,
+                                                   dtype=dtype, **kw)
+
+    # subject embeddings
+    for path in opt.embedding_paths:
+        if path.endswith(".npz"):
+            loaded = type(pipe.embedding_manager).load_native(path)
+            for s, info in loaded.placeholders.items():
+                info.token_id = tok.add_placeholder(s)
+                pipe.embedding_manager.placeholders[s] = info
+                pipe.embedding_manager.embedders[s] = loaded.embedders[s]
+        else:
+            pipe.embedding_manager.load_reference_checkpoint(
+                path, token_id_resolver=tok.add_placeholder)
+    if not opt.embedding_paths:
+        # fresh placeholder so personalized prompts still tokenize
+        import jax
+
+        tid = tok.add_placeholder(opt.subject_string)
+        pipe.embedding_manager.add_placeholder(
+            opt.subject_string, token_id=tid,
+            num_vectors=opt.num_vectors_per_subj_token,
+            init_key=jax.random.PRNGKey(7),
+            emb_dim=pipe.clip.cfg.hidden_size)
+    return pipe, tok
+
+
+def pad_placeholders(prompt, subject_string, k):
+    """'a z person' -> 'a z , , ... person' multi-vector padding
+    (`personalized.py:888-893`)."""
+    if k <= 1 or subject_string not in prompt.split():
+        return prompt
+    return prompt.replace(subject_string,
+                          subject_string + " ," * (k - 1), 1)
+
+
+def main(opt):
+    import numpy as np
+    from PIL import Image
+
+    from adaface_tpu.pipeline import DEFAULT_NEGATIVE_PROMPT
+
+    pipe, tok = build_pipeline(opt)
+    neg = opt.neg_prompt if opt.neg_prompt is not None else DEFAULT_NEGATIVE_PROMPT
+    guidance = tuple(opt.scale) if len(opt.scale) > 1 else opt.scale[0]
+
+    jobs = []  # (subdir, prompt, n_repeat)
+    if opt.from_file:
+        with open(opt.from_file) as f:
+            for row in csv.reader(f, delimiter="\t"):
+                if not row:
+                    continue
+                n_rep, subdir, prompt = int(row[0]), row[1], row[2]
+                jobs.append((subdir, prompt, n_rep))
+    else:
+        if not opt.prompt:
+            raise SystemExit("need --prompt or --from_file")
+        jobs.append(("", opt.prompt, opt.n_repeat))
+
+    os.makedirs(opt.outdir, exist_ok=True)
+    all_imgs = []
+    for subdir, prompt, n_rep in jobs:
+        k = max((i.num_vectors for i in
+                 pipe.embedding_manager.placeholders.values()), default=1)
+        prompt = pad_placeholders(prompt, opt.subject_string, k)
+        outd = os.path.join(opt.outdir, subdir) if subdir else opt.outdir
+        os.makedirs(outd, exist_ok=True)
+        idx = 0
+        for rep in range(n_rep):
+            imgs = pipe.generate([prompt] * opt.n_samples, negative_prompt=neg,
+                                 num_steps=opt.steps, guidance_scale=guidance,
+                                 height=opt.size, width=opt.size,
+                                 seed=opt.seed + rep, sampler=opt.sampler)
+            for im in imgs:
+                Image.fromarray(im).save(os.path.join(outd, f"{idx:05}.jpg"))
+                idx += 1
+            all_imgs.append(imgs)
+        print(f"wrote {idx} images to {outd} for prompt: {prompt!r}")
+
+    # grid
+    grid = np.concatenate([np.concatenate(list(batch), axis=1)
+                           for batch in all_imgs[:4]], axis=0)
+    Image.fromarray(grid).save(os.path.join(opt.outdir, "grid.jpg"))
+
+    if opt.compare_with:
+        scores = evaluate(opt, jobs)
+        print("scores:", scores)
+    return 0
+
+
+def evaluate(opt, jobs):
+    """Inline eval against `--compare_with` (`stable_txt2img.py:776-897`).
+    Scorer weights load from env-pointed checkpoints when available;
+    otherwise scores are computed with random towers (smoke only)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from adaface_tpu.data.tokenizer import HashTokenizer
+    from adaface_tpu.evaluation.eval_utils import compare_folders
+    from adaface_tpu.evaluation.scorers import CLIPScorer, DINOScorer
+    from adaface_tpu.models.clip_text import CLIPTextConfig, CLIPTextEncoder
+    from adaface_tpu.models.clip_vision import CLIPVisionConfig, CLIPVisionEncoder
+    from adaface_tpu.models.vit import ViTConfig, ViTEncoder
+
+    tok = HashTokenizer()
+    text = CLIPTextEncoder(CLIPTextConfig.tiny(
+        vocab_size=tok.vocab_size, max_position_embeddings=77))
+    tp = text.init(jax.random.PRNGKey(0),
+                   input_ids=jnp.zeros((1, 77), jnp.int32))["params"]
+    vis = CLIPVisionEncoder(CLIPVisionConfig.tiny())
+    vp = vis.init(jax.random.PRNGKey(1), jnp.zeros((1, 28, 28, 3)))["params"]
+    rng = np.random.default_rng(0)
+    scorer = CLIPScorer(tok, text, tp, vis, vp,
+                        rng.standard_normal((64, 32)).astype(np.float32),
+                        rng.standard_normal((64, 32)).astype(np.float32))
+    vit = ViTEncoder(ViTConfig.tiny())
+    dino = DINOScorer(vit, vit.init(jax.random.PRNGKey(2),
+                                    jnp.zeros((1, 32, 32, 3)))["params"])
+    prompt = opt.class_prompt or jobs[0][1]
+    ci, ct, dn = compare_folders(scorer, dino, opt.outdir, opt.compare_with,
+                                 prompt)
+    path = os.path.join(opt.outdir, "scores.csv")
+    with open(path, "a") as f:
+        csv.writer(f).writerow([prompt, f"{ci:.4f}", f"{ct:.4f}", f"{dn:.4f}"])
+    return {"clip_i": ci, "clip_t": ct, "dino": dn}
+
+
+if __name__ == "__main__":
+    sys.exit(main(parse_args()))
