@@ -366,3 +366,134 @@ def embedding_norm_loss(emb: jnp.ndarray, target_norm: float = 1.0) -> jnp.ndarr
     (the reference's init zeroes one basis set entirely)."""
     norms = jnp.sqrt(jnp.sum(jnp.square(emb.astype(jnp.float32)), axis=-1) + 1e-12)
     return jnp.mean(jnp.square(norms - target_norm))
+
+
+def elastic_matching_loss(ca_q: jnp.ndarray, ca_outfeat: jnp.ndarray,
+                          fg_mask: jnp.ndarray,
+                          fg_bg_cutoff_prob: float = 0.25,
+                          single_q_grad_scale: float = 0.1,
+                          single_feat_grad_scale: float = 0.01,
+                          mix_feat_grad_scale: float = 0.05):
+    """Cross-instance elastic feature matching (`calc_elastic_matching_loss`,
+    `ldm/util.py:2481-2616`): subj-comp tokens transport-reconstruct the
+    subj-single fg features via q-similarity softmax; the sc->ss and mc->ms
+    maps are aligned; comp-vs-mix features are matched on the soft
+    background (tokens whose total fg-mapping prob is below the cutoff).
+
+    ca_q, ca_outfeat: [4, C, N] (order ss, sc, ms, mc; N spatial tokens).
+    fg_mask: [1, N] (0/1, subj-single instance's fg at this resolution).
+    Dense-mask version: instead of gathering the N_fg fg columns (dynamic
+    shape), all terms weight by fg_mask — identical values, static shapes.
+    Returns (map_align, sc_ss_fg_match, sc_mc_bg_match, comp_bg_prob).
+    """
+    fg = fg_mask.astype(jnp.float32).reshape(1, -1)  # [1, N]
+    ss_q, sc_q, ms_q, mc_q = [ca_q[i:i + 1] for i in range(4)]
+    ss_q_gs = grad_scale(ss_q, single_q_grad_scale)
+    ms_q_gs = grad_scale(ms_q, single_q_grad_scale)
+
+    # [1, N_comp, N_single] matching scores; softmax over the COMP dim
+    # (axis 1) to handle scale changes (`:2500-2516`)
+    sc_map_ss = jax.nn.softmax(
+        jnp.einsum("bcn,bcm->bnm", sc_q, ss_q_gs), axis=1)
+    mc_map_ms = jax.nn.softmax(
+        jnp.einsum("bcn,bcm->bnm", mc_q, ms_q_gs), axis=1)
+
+    ss_feat, sc_feat, ms_feat, mc_feat = [ca_outfeat[i:i + 1]
+                                          for i in range(4)]
+    # transport-reconstruct subj-single tokens from subj-comp features
+    sc_recon_ss = jnp.einsum("bcn,bnm->bmc", sc_feat, sc_map_ss)  # [1, N, C]
+    ss_feat_t = jnp.transpose(ss_feat, (0, 2, 1))
+    ss_feat_gs = grad_scale(ss_feat_t, single_feat_grad_scale)
+
+    # map alignment on fg-pair entries
+    fg_hw = fg[:, :, None] * fg[:, None, :]
+    loss_map_align = masked_mean(jnp.abs(sc_map_ss - mc_map_ms), fg_hw)
+
+    # fg match: cosine of reconstructed vs original subj-single features,
+    # weighted by the fg mask (reference gathers the fg columns)
+    loss_sc_ss_fg_match = ref_cosine_loss(
+        sc_recon_ss, ss_feat_gs, emb_weights=fg[..., None][:, :, 0],
+        exponent=2.0, do_demean_first=False, ref_grad_scale=1.0)
+
+    # soft background prob of each comp token: below-cutoff total fg mapping
+    sc_fg_prob = jnp.einsum("bnm,bm->bn", sc_map_ss, fg[0][None])  # [1, N]
+    mc_fg_prob = jnp.einsum("bnm,bm->bn", mc_map_ms, fg[0][None])
+    sc_bg_prob = jnp.maximum(fg_bg_cutoff_prob - sc_fg_prob, 0.0)
+    mc_bg_prob = jnp.maximum(fg_bg_cutoff_prob - mc_fg_prob, 0.0)
+
+    sc_feat_t = jnp.transpose(sc_feat, (0, 2, 1))
+    mc_feat_t = jnp.transpose(mc_feat, (0, 2, 1))
+    loss_sc_mc_bg_match = ref_cosine_loss(
+        sc_feat_t, mc_feat_t, emb_weights=mc_bg_prob,
+        exponent=2.0, do_demean_first=False,
+        ref_grad_scale=mix_feat_grad_scale)
+    return loss_map_align, loss_sc_ss_fg_match, loss_sc_mc_bg_match, \
+        (sc_bg_prob, mc_bg_prob)
+
+
+def _avg_pool_nc(x: jnp.ndarray, k: int, s: int) -> jnp.ndarray:
+    """[B, C, H, W] avg pool (torch AvgPool2d semantics, no padding)."""
+    b, c, h, w = x.shape
+    x = x.transpose(0, 2, 3, 1)
+    x = jax.lax.reduce_window(x, 0.0, jax.lax.add, (1, k, k, 1),
+                              (1, s, s, 1), "VALID") / (k * k)
+    return x.transpose(0, 3, 1, 2)
+
+
+def comp_fg_bg_preserve_loss(ca_outfeats: dict, ca_qs: dict,
+                             ca_attnscores: dict,
+                             fg_mask: jnp.ndarray,  # [1, H, W, 1] latent res
+                             subj_token_mask: jnp.ndarray,  # [4, T]
+                             pool_kernel: int = 4, pool_stride: int = 2):
+    """Per-layer elastic-matching battery (`calc_comp_fg_bg_preserve_loss`,
+    `ddpm.py:4385-4549`) over the 4-type compositional batch. Inputs are
+    captured activations: outfeat [4, H, W, C], q [4, heads, N, d],
+    attnscore [4, heads, N, T]. Returns (map_align, sc_ss_fg_match,
+    sc_mc_bg_match, subj_bg_attn_suppress, mix_bg_attn_suppress)."""
+    weights = _normalize_weights(ATTN_ALIGN_LAYER_WEIGHTS)
+    l_map, l_fg, l_bg, l_subj_sup, l_mix_sup = [], [], [], [], []
+    for idx, outfeat in ca_outfeats.items():
+        if idx not in weights or idx not in ca_qs:
+            continue
+        w = weights[idx]
+        B4, H, W, C = outfeat.shape
+        q = ca_qs[idx]  # [4, heads, N, d]
+        qh = int(round(q.shape[2] ** 0.5))
+        # [4, heads*d, h, w] like the reference's channel-fold (`:4434-4439`)
+        q_img = q.transpose(0, 1, 3, 2).reshape(B4, -1, qh, qh)
+        feat_img = outfeat.transpose(0, 3, 1, 2)  # [4, C, H, W]
+        if (H, W) != (qh, qh):
+            feat_img = jax.image.resize(feat_img, (B4, C, qh, qh), "bilinear")
+        # LayerNorm over channels (the reference's ca_outfeat_lns)
+        mu = feat_img.mean(axis=1, keepdims=True)
+        sig = feat_img.std(axis=1, keepdims=True) + 1e-5
+        feat_img = (feat_img - mu) / sig
+        if qh > 8:
+            q_img = _avg_pool_nc(q_img, pool_kernel, pool_stride)
+            feat_img = _avg_pool_nc(feat_img, pool_kernel, pool_stride)
+        q_flat = q_img.reshape(B4, q_img.shape[1], -1)
+        feat_flat = feat_img.reshape(B4, C, -1)
+        fg_small = _resize_fg_mask_to_q(fg_mask, q_img.shape[-1] ** 2)
+        m_align, m_fg, m_bg, (sc_bg, mc_bg) = elastic_matching_loss(
+            q_flat, feat_flat, fg_small[:1])
+        l_map.append(w * m_align)
+        l_fg.append(w * m_fg)
+        l_bg.append(w * m_bg)
+
+        if idx in ca_attnscores:
+            score = ca_attnscores[idx]  # [4, heads, N, T]
+            subj_attn = jnp.einsum("bhnt,bt->bhn", score.astype(jnp.float32),
+                                   subj_token_mask.astype(jnp.float32))
+            n = subj_attn.shape[-1]
+            if n != sc_bg.shape[-1]:
+                s = int(round(n ** 0.5))
+                grid = subj_attn.reshape(4, -1, s, s, 1)
+                ph2 = int(round(sc_bg.shape[-1] ** 0.5))
+                grid = jax.image.resize(grid, (4, grid.shape[1], ph2, ph2, 1),
+                                        "bilinear")
+                subj_attn = grid.reshape(4, grid.shape[1], ph2 * ph2)
+            # suppress subject attention on soft-bg comp tokens (`:4500-4549`)
+            l_subj_sup.append(w * masked_mean(subj_attn[1:2] ** 2, sc_bg[:, None]))
+            l_mix_sup.append(w * masked_mean(subj_attn[3:4] ** 2, mc_bg[:, None]))
+    return (normalized_sum(l_map), normalized_sum(l_fg), normalized_sum(l_bg),
+            normalized_sum(l_subj_sup), normalized_sum(l_mix_sup))

@@ -111,6 +111,7 @@ def make_compos_distill_step(
     attn_align_weight: float = 1e-3,
     attn_norm_distill_weight: float = 1e-2,
     fg_bg_weight: float = 1.0,
+    comp_fg_bg_preserve_weight: float = 1e-3,
 ):
     """Compositional (mix-prompt) distillation step (`p_losses` compos
     branch, `ddpm.py:2545-3453` + `calc_prompt_mix_loss:3710`):
@@ -128,6 +129,7 @@ def make_compos_distill_step(
     """
     from adaface_tpu.models.unet import DISTILL_LAYER_INDICES
     from adaface_tpu.training.losses import (
+        comp_fg_bg_preserve_loss,
         delta_alignment_loss,
         fg_mb_suppress_loss,
         prompt_delta_loss,
@@ -216,21 +218,32 @@ def make_compos_distill_step(
         loss_attn_norm = loss_attn_norm / denom
 
         loss_fg_bg = 0.0
+        loss_preserve = 0.0
         if batch.fg_mask is not None:
             scores_first = {idx: aux[idx]["attnscore"][:B]
                             for idx in aux if "attnscore" in aux[idx]}
             loss_fg_bg = fg_mb_suppress_loss(
                 scores_first, subj_tok_single, batch.fg_mask)
+            # elastic-matching fg/bg preservation over the 4-type batch
+            # (`calc_comp_fg_bg_preserve_loss`, `ddpm.py:4385-4549`) — used
+            # when x_start was fg-initialized from the training image
+            outfeats = {i: aux[i]["outfeat"] for i in aux if "outfeat" in aux[i]}
+            qs = {i: aux[i]["q"] for i in aux if "q" in aux[i]}
+            scores4 = {i: aux[i]["attnscore"] for i in aux if "attnscore" in aux[i]}
+            pl = comp_fg_bg_preserve_loss(outfeats, qs, scores4,
+                                          batch.fg_mask[:1], subj_mask4)
+            loss_preserve = sum(pl)
 
         loss = (prompt_delta_weight * loss_delta
                 + feat_align_weight * loss_feat
                 + attn_align_weight * loss_attn
                 + attn_norm_distill_weight * loss_attn_norm
-                + fg_bg_weight * loss_fg_bg)
+                + fg_bg_weight * loss_fg_bg
+                + comp_fg_bg_preserve_weight * loss_preserve)
         metrics = {"loss": loss, "prompt_delta": loss_delta,
                    "feat_align": loss_feat, "attn_align": loss_attn,
                    "attn_norm_distill": loss_attn_norm,
-                   "fg_bg": loss_fg_bg}
+                   "fg_bg": loss_fg_bg, "comp_fg_bg_preserve": loss_preserve}
         return loss, metrics
 
     def step(embedders, opt_state, batch: ComposBatch):

@@ -235,3 +235,52 @@ def test_mix_grad_scale():
     # analytical: cls feeds the V and K halves once each, each grad-scaled
     # 0.05; at non-sync layer 0 with scale_mask=1 -> d sum/d cls = 0.1
     np.testing.assert_allclose(np.asarray(g[0, 0, 0]), 0.1, atol=1e-6)
+
+
+def test_elastic_matching_loss_core():
+    """Identical single/comp instances -> perfect transport: near-zero fg
+    match and map misalignment; bg probs stay in [0, cutoff]."""
+    rng = np.random.default_rng(10)
+    C, N = 12, 16
+    q1 = rng.standard_normal((1, C, N)).astype(np.float32) * 3
+    f1 = rng.standard_normal((1, C, N)).astype(np.float32)
+    ca_q = jnp.asarray(np.concatenate([q1, q1, q1, q1]))
+    ca_f = jnp.asarray(np.concatenate([f1, f1, f1, f1]))
+    fg = np.zeros((1, N), np.float32)
+    fg[:, :8] = 1.0
+    m_align, m_fg, m_bg, (sc_bg, mc_bg) = L.elastic_matching_loss(
+        ca_q, ca_f, jnp.asarray(fg))
+    assert float(m_align) < 1e-6  # identical maps
+    assert np.all(np.asarray(sc_bg) >= 0) and np.all(np.asarray(sc_bg) <= 0.25)
+    # shuffled comp features break the fg match
+    perm = rng.permutation(N)
+    f_bad = np.concatenate([f1, f1[:, :, perm], f1, f1[:, :, perm]])
+    _, m_fg_bad, _, _ = L.elastic_matching_loss(ca_q, jnp.asarray(f_bad),
+                                                jnp.asarray(fg))
+    assert float(m_fg_bad) > float(m_fg)
+
+
+def test_comp_fg_bg_preserve_loss_runs():
+    rng = np.random.default_rng(11)
+    B4, H, W, C, heads, T = 4, 8, 8, 12, 4, 10
+    N = H * W
+    outfeats = {16: jnp.asarray(rng.standard_normal((B4, H, W, C)), jnp.float32)}
+    qs = {16: jnp.asarray(rng.standard_normal((B4, heads, N, 6)), jnp.float32)}
+    attn = rng.random((B4, heads, N, T)).astype(np.float32)
+    scores = {16: jnp.asarray(attn / attn.sum(-1, keepdims=True))}
+    fg = np.zeros((1, 16, 16, 1), np.float32)
+    fg[:, 4:12, 4:12] = 1.0
+    subj_mask = np.zeros((4, T), np.float32)
+    subj_mask[:, 3:5] = 1.0
+    out = L.comp_fg_bg_preserve_loss(outfeats, qs, scores, jnp.asarray(fg),
+                                     jnp.asarray(subj_mask))
+    assert len(out) == 5
+    for v in out:
+        assert np.isfinite(float(v)), v
+    # gradients flow and are finite
+    def f(o):
+        return sum(L.comp_fg_bg_preserve_loss({16: o}, qs, scores,
+                                              jnp.asarray(fg),
+                                              jnp.asarray(subj_mask)))
+    g = jax.grad(f)(outfeats[16])
+    assert np.isfinite(np.asarray(g)).all()
