@@ -1,0 +1,116 @@
+"""CLIP teacher filtering for compositional distillation.
+
+Re-design of `calc_clip_losses` + the teacher-filter control flow
+(`ddpm.py:3039-3180,3593-3700`): before paying the grad-enabled
+distillation pass, denoise `num_candidate_teachers` candidate
+(x_start, noise, t) twins WITHOUT grad, CFG-reconstruct their images, and
+CLIP-score them against the class-comp prompt. An instance is teachable
+when the teacher (mix-comp) image clears `0.5 - CLIP-T <= 0.28` and beats
+the student (subj-comp) by `> 0.002`; the best candidate (largest
+teacher-student gap) seeds the grad pass, and its reconstruction is cached
+for a follow-up reuse-init iteration (`cached_inits`, `:3156-3180`).
+
+The data-dependent branch stays a host round-trip (SURVEY.md §7.3): the
+candidate denoise is one jitted call, the decision is two floats on host.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from adaface_tpu.models.vae import SD_VAE_SCALE_FACTOR, AutoencoderKL
+
+# student/teacher CFG scales for the filter pass
+# (`gen_cfg_scales_for_stu_tea(6, 5, ...)`, `ddpm.py:3113-3116`)
+STUDENT_CFG_SCALE = 6.0
+TEACHER_CFG_SCALE = 5.0
+
+
+@dataclasses.dataclass
+class FilterVerdict:
+    is_teachable: bool
+    best_cand_idx: int
+    losses_subj_comp: np.ndarray  # [N]
+    losses_mix_comp: np.ndarray  # [N]
+    images: np.ndarray  # [2N, H, W, 3] uint8 (subj-comp, mix-comp rows)
+
+
+class TeacherFilter:
+    def __init__(self, clip_scorer, unet, unet_params, vae, vae_params,
+                 sched, clip_loss_thres: float = 0.28,
+                 cls_subj_clip_margin: float = 0.002):
+        self.clip_scorer = clip_scorer
+        self.sched = sched
+        self.clip_loss_thres = clip_loss_thres
+        self.cls_subj_clip_margin = cls_subj_clip_margin
+
+        @jax.jit
+        def _denoise(x_start, noise, t, ctx_v, ctx_k, uncond_ctx, cfg_scales):
+            """One no-grad candidate denoise: eps at t under the comp
+            contexts + CFG x0 reconstruction + VAE decode."""
+            x_noisy = sched.q_sample(x_start, t, noise)
+            eps_c = unet.apply({"params": unet_params}, x_noisy, t, ctx_v,
+                               context_k=ctx_k)
+            eps_u = unet.apply({"params": unet_params}, x_noisy, t, uncond_ctx)
+            eps = eps_u + cfg_scales[:, None, None, None] * (eps_c - eps_u)
+            x0 = sched.predict_x0_from_eps(x_noisy, t, eps)
+            imgs = vae.apply({"params": vae_params}, x0 / SD_VAE_SCALE_FACTOR,
+                             method=AutoencoderKL.decode)
+            return jnp.clip((imgs + 1.0) / 2.0, 0.0, 1.0), x0
+
+        self._denoise = _denoise
+
+    def filter(
+        self,
+        x_start: jnp.ndarray,  # [N, h, w, 4] candidate starts
+        noise: jnp.ndarray,  # [N, h, w, 4]
+        t: jnp.ndarray,  # [N]
+        subj_comp_ctx: Tuple[jnp.ndarray, jnp.ndarray],  # (v, k) [L, N, T, D]
+        mix_comp_ctx: Tuple[jnp.ndarray, jnp.ndarray],
+        uncond_ctx: jnp.ndarray,  # [1 or L, N, T, D]
+        cls_comp_prompt: str,
+    ) -> FilterVerdict:
+        N = x_start.shape[0]
+        x2 = jnp.concatenate([x_start, x_start])
+        n2 = jnp.concatenate([noise, noise])
+        t2 = jnp.concatenate([t, t])
+        ctx_v = jnp.concatenate([subj_comp_ctx[0], mix_comp_ctx[0]], axis=1)
+        ctx_k = jnp.concatenate([subj_comp_ctx[1], mix_comp_ctx[1]], axis=1)
+        un2 = jnp.concatenate([uncond_ctx, uncond_ctx], axis=1)
+        scales = jnp.asarray([STUDENT_CFG_SCALE] * N + [TEACHER_CFG_SCALE] * N)
+        imgs, _ = self._denoise(x2, n2, t2, ctx_v, ctx_k, un2, scales)
+        imgs255 = np.asarray((imgs * 255).astype(jnp.uint8))
+
+        sims = self.clip_scorer.txt_to_img_similarity(
+            [cls_comp_prompt] * 2 * N, imgs255, reduction="diag")
+        losses = 0.5 - np.asarray(sims)
+        l_subj, l_mix = losses[:N], losses[N:]
+        diffs = l_subj - l_mix
+        teachable = (l_mix <= self.clip_loss_thres) & (diffs > self.cls_subj_clip_margin)
+        diffs_masked = np.where(teachable, diffs, -1e4)
+        return FilterVerdict(bool(teachable.any()), int(np.argmax(diffs_masked)),
+                             l_subj, l_mix, imgs255)
+
+
+class CachedInits:
+    """`cached_inits` (`ddpm.py:3156-3180`): the best candidate's CFG
+    reconstruction seeds a follow-up reuse-init compositional iteration at
+    mid-range t."""
+
+    def __init__(self):
+        self._store: Dict[str, dict] = {}
+
+    def put(self, subject: str, x_start: jnp.ndarray, t: np.ndarray):
+        self._store[subject] = {"x_start": np.asarray(x_start),
+                                "t": np.asarray(t)}
+
+    def pop(self, subject: str) -> Optional[dict]:
+        return self._store.pop(subject, None)
+
+    def __contains__(self, subject: str) -> bool:
+        return subject in self._store

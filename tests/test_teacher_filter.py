@@ -1,0 +1,87 @@
+"""Teacher filter: thresholds, candidate selection, cache semantics."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from adaface_tpu.models.unet import UNetConfig, UNetModel
+from adaface_tpu.models.vae import AutoencoderKL, VAEConfig
+from adaface_tpu.ops.schedule import make_diffusion_schedule
+from adaface_tpu.training.teacher_filter import CachedInits, TeacherFilter
+
+
+class FakeScorer:
+    """Deterministic CLIP-T: returns preset sims per call order."""
+
+    def __init__(self, sims):
+        self.sims = np.asarray(sims, np.float32)
+
+    def txt_to_img_similarity(self, prompts, images, reduction="diag"):
+        assert reduction == "diag"
+        assert len(prompts) == len(self.sims)
+        return jnp.asarray(self.sims)
+
+
+@pytest.fixture(scope="module")
+def filter_parts():
+    ucfg = UNetConfig(model_channels=32, channel_mult=(1, 2), num_res_blocks=1,
+                      attention_levels=(0,), num_heads=4, context_dim=16,
+                      use_flash_attention=False)
+    unet = UNetModel(ucfg)
+    uparams = unet.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 4)),
+                        jnp.zeros((1,), jnp.int32),
+                        jnp.zeros((1, 1, 8, 16)))["params"]
+    vcfg = VAEConfig.tiny()
+    vae = AutoencoderKL(vcfg)
+    f = 2 ** (len(vcfg.ch_mult) - 1)
+    vparams = vae.init(jax.random.PRNGKey(1), jnp.zeros((1, 8 * f, 8 * f, 3)),
+                       jax.random.PRNGKey(2))["params"]
+    sched = make_diffusion_schedule()
+    return unet, uparams, vae, vparams, sched
+
+
+def _run(filter_parts, sims):
+    unet, uparams, vae, vparams, sched = filter_parts
+    tf = TeacherFilter(FakeScorer(sims), unet, uparams, vae, vparams, sched)
+    rng = np.random.default_rng(0)
+    N, Lc, T, D = 2, 1, 8, 16
+    x = jnp.asarray(rng.standard_normal((N, 8, 8, 4)), jnp.float32)
+    n = jnp.asarray(rng.standard_normal((N, 8, 8, 4)), jnp.float32)
+    t = jnp.asarray([900, 950], jnp.int32)
+    ctx = lambda: (jnp.asarray(rng.standard_normal((Lc, N, T, D)), jnp.float32),
+                   jnp.asarray(rng.standard_normal((Lc, N, T, D)), jnp.float32))
+    un = jnp.asarray(rng.standard_normal((Lc, N, T, D)), jnp.float32)
+    return tf.filter(x, n, t, ctx(), ctx(), un, "a person in the snow")
+
+
+def test_teachable_selection(filter_parts):
+    # losses = 0.5 - sim; subj: [0.30, 0.28], mix: [0.26, 0.20]
+    # teachable: mix <= 0.28 both; diff = [0.04, 0.08] > 0.002 both
+    v = _run(filter_parts, sims=[0.20, 0.22, 0.24, 0.30])
+    assert v.is_teachable
+    assert v.best_cand_idx == 1  # larger teacher-student gap
+    assert v.images.shape[0] == 4
+
+
+def test_not_teachable_when_teacher_bad(filter_parts):
+    # mix losses: [0.35, 0.40] all above 0.28 threshold
+    v = _run(filter_parts, sims=[0.20, 0.22, 0.15, 0.10])
+    assert not v.is_teachable
+
+
+def test_not_teachable_when_student_better(filter_parts):
+    # diffs negative: student already beats the teacher
+    v = _run(filter_parts, sims=[0.40, 0.40, 0.30, 0.30])
+    assert not v.is_teachable
+
+
+def test_cached_inits():
+    c = CachedInits()
+    assert "alice" not in c
+    c.put("alice", jnp.zeros((4, 8, 8, 4)), np.asarray([900] * 4))
+    assert "alice" in c
+    entry = c.pop("alice")
+    assert entry["x_start"].shape == (4, 8, 8, 4)
+    assert "alice" not in c  # consumed (`ddpm.py:2616-2618`)
