@@ -291,6 +291,51 @@ class PersonalizedDataset:
                 example["cls_prompt_single_fp_bg"] = fp.format(cls_delta_string + cls_bg_suffix)
 
 
+    # ---------------------------------------------------------- native path
+    def native_stream(self, batch_size: int, n_workers: int = 2,
+                      queue_capacity: int = 8):
+        """Generator of collated batches with the image side (decode +
+        resample + flip/scale/shift augmentation) served by the C++
+        prefetching loader (`native/adaface_loader.cpp`); prompt generation
+        stays in python. Falls back to the pure-python path when the native
+        toolchain is unavailable."""
+        from adaface_tpu.data import native_loader
+
+        if not native_loader.is_available():
+            while True:
+                idxs = self.rng.integers(0, len(self.records), batch_size)
+                yield collate_examples([self[int(i)] for i in idxs])
+
+        loader = native_loader.NativeImageLoader(
+            [r.path for r in self.records],
+            [r.mask_path for r in self.records],
+            size=self.size, flip_p=self.flip_p,
+            scale_range=self.scale_range,
+            seed=int(self.rng.integers(2 ** 31)),
+            n_workers=n_workers, queue_capacity=queue_capacity)
+        try:
+            while True:
+                examples = []
+                for _ in range(batch_size):
+                    idx, image, fg_mask, aug_mask = loader.next()
+                    rec = self.records[idx]
+                    ex: Dict = {
+                        "image_path": rec.path,
+                        "has_fg_mask": rec.mask_path is not None,
+                        "fg_mask": fg_mask,
+                        "aug_mask": aug_mask,
+                        "image_unnorm": image,
+                        "image": (image / 127.5 - 1.0).astype(np.float32),
+                    }
+                    self.generate_prompts(ex, rec.subject_idx)
+                    if rec.caption:
+                        ex["caption"] = rec.caption
+                    examples.append(ex)
+                yield collate_examples(examples)
+        finally:
+            loader.close()
+
+
 class SubjectSampler:
     """Weighted random subject index stream (weight = image count), with
     optional skip-non-faces (`personalized.py:1003-1041`)."""
