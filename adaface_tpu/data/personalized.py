@@ -276,7 +276,7 @@ class PersonalizedDataset:
             example["cls_prompt_comp_bg"] = cls_comp.format(
                 *[cls_delta_string + cls_bg_suffix] * len(comps))
 
-        # "face portrait" trick for humans/animals (`:917-922`)
+        # "face portrait" trick for humans/animals (`:917-922,967-990`)
         if spec.broad_class == 1:
             fp = "a face portrait of a {}"
             fp_comp = "|".join(fp + " " + c for c in comps)
@@ -289,6 +289,10 @@ class PersonalizedDataset:
             if bg_suffix:
                 example["subj_prompt_single_fp_bg"] = fp.format(subject_string + bg_suffix)
                 example["cls_prompt_single_fp_bg"] = fp.format(cls_delta_string + cls_bg_suffix)
+                example["subj_prompt_comp_fp_bg"] = fp_comp.format(
+                    *[subject_string + bg_suffix] * len(comps))
+                example["cls_prompt_comp_fp_bg"] = fp_comp.format(
+                    *[cls_delta_string + cls_bg_suffix] * len(comps))
 
 
     # ---------------------------------------------------------- native path

@@ -199,6 +199,58 @@ class StableDiffusionPipeline:
         self._sample_cache[sig] = run
         return run
 
+    def img2img(
+        self,
+        init_image: np.ndarray,  # [H, W, 3] uint8
+        prompts: Sequence[str],
+        strength: float = 0.75,
+        negative_prompt: str = DEFAULT_NEGATIVE_PROMPT,
+        num_steps: int = 50,
+        guidance_scale=(10.0, 4.0),
+        seed: int = 0,
+    ) -> np.ndarray:
+        """Image-to-image via DDIM stochastic encode at t = strength·steps
+        then decode (`ddim.py:298-350`, `scripts/img2img.py`)."""
+        from adaface_tpu.samplers.ddim import ddim_decode, stochastic_encode
+
+        b = len(prompts)
+        ctx_c = self.encode_prompts(prompts)
+        ctx_u = self.encode_negative(negative_prompt, b)
+        sched = make_ddim_schedule(self.base_sched, num_steps,
+                                   guidance_scale=guidance_scale)
+        t_enc = max(1, min(int(strength * num_steps), num_steps - 1))
+        # sched.timesteps is DESCENDING; the last t_enc sampling steps start
+        # at index num_steps - t_enc
+        start_idx = num_steps - t_enc
+        g = (guidance_scale[0] if isinstance(guidance_scale, (tuple, list))
+             else guidance_scale)
+
+        @jax.jit
+        def run(img, ctx_c, ctx_u, key):
+            x = img.astype(jnp.float32) / 127.5 - 1.0
+            mean, _ = self.vae.apply({"params": self.vae_params}, x,
+                                     method=AutoencoderKL.encode)
+            z0 = mean * SD_VAE_SCALE_FACTOR
+            t = jnp.full((z0.shape[0],), sched.timesteps[start_idx], jnp.int32)
+            z_t = stochastic_encode(self.base_sched, z0, t,
+                                    jax.random.normal(key, z0.shape))
+
+            def unet_apply(x, tt, c, ck):
+                return self.unet.apply({"params": self.unet_params}, x, tt, c,
+                                       context_k=ck)
+
+            eps_fn = make_cfg_eps_fn(unet_apply, ctx_c, ctx_u)
+            z = ddim_decode(eps_fn, sched, z_t, start_idx, guide_scale=g)
+            out = self.vae.apply({"params": self.vae_params},
+                                 z / SD_VAE_SCALE_FACTOR,
+                                 method=AutoencoderKL.decode)
+            return jnp.clip((out + 1.0) / 2.0, 0.0, 1.0)
+
+        img = jnp.broadcast_to(jnp.asarray(init_image)[None],
+                               (b,) + init_image.shape)
+        out = run(img, ctx_c, ctx_u, jax.random.PRNGKey(seed))
+        return np.asarray((out * 255).astype(jnp.uint8))
+
     def generate(
         self,
         prompts: Sequence[str],

@@ -90,6 +90,9 @@ class ComposBatch(NamedTuple):
 
     token_ids: jnp.ndarray  # [4B, T]
     slot_maps: Dict[str, jnp.ndarray]  # placeholder -> [4B, T] (-1 on cls rows)
+    subj_slot_map: jnp.ndarray  # [4B, T] the FG SUBJECT's slot map (NOT taken
+    # from slot_maps: jit re-orders dict pytrees by sorted key, so positional
+    # 'first placeholder' lookups silently pick the background under jit)
     latents: jnp.ndarray  # [B, h, w, 4] x_start (fg-init or noise)
     fg_mask: Optional[jnp.ndarray]  # [B, h, w, 1]
     timesteps: jnp.ndarray  # [B] top-20% range (iter_plan.sample_timesteps)
@@ -152,7 +155,7 @@ def make_compos_distill_step(
             ctx[:, :B], ctx[:, B:2 * B], ctx[:, 2 * B:3 * B], ctx[:, 3 * B:])
 
         # always-on static delta regularizer (`ldm/util.py:2278-2331`)
-        first = next(iter(batch.slot_maps.values()))
+        first = batch.subj_slot_map
         single_mask = (batch.token_ids[:B] > 0).astype(jnp.float32)
         comp_mask = (batch.token_ids[B:2 * B] > 0).astype(jnp.float32)
         loss_delta = prompt_delta_loss(subj_single, subj_comp, cls_single,

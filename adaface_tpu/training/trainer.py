@@ -194,21 +194,33 @@ class Trainer:
         # BLOCK_SIZE=1 (`ddpm.py:1971-2141`): one instance per prompt type
         ex = self._draw_examples(1)
         e = ex[0]
-        bg = plan.use_background_token and "subj_prompt_single_bg" in e
-        fp = plan.use_fp_trick and "subj_prompt_single_fp" in e
-        suffix = "_fp_bg" if (fp and bg and "subj_prompt_single_fp_bg" in e) \
-            else "_fp" if fp else "_bg" if bg else ""
-        keys = [f"subj_prompt_single{suffix}", f"subj_prompt_comp{suffix}",
-                f"cls_prompt_single{suffix}", f"cls_prompt_comp{suffix}"]
-        prompts = [e.get(k, e["subj_prompt_single"]).split("|")[0] for k in keys]
+        bg = plan.use_background_token
+        fp = plan.use_fp_trick
+
+        def keys_for(suffix):
+            return [f"subj_prompt_single{suffix}", f"subj_prompt_comp{suffix}",
+                    f"cls_prompt_single{suffix}", f"cls_prompt_comp{suffix}"]
+
+        # pick the richest suffix whose FULL 4-type battery exists, so the
+        # prompt types stay token-aligned (`ddpm.py:1588-1612`)
+        suffix = ""
+        for cand in (["_fp_bg"] if (fp and bg) else []) + \
+                (["_fp"] if fp else []) + (["_bg"] if bg else []) + [""]:
+            if all(k in e for k in keys_for(cand)):
+                suffix = cand
+                break
+        prompts = [e[k].split("|")[0] for k in keys_for(suffix)]
         ids = self.pipe.tokenizer(prompts)
         slots = self.mgr.build_slot_maps(ids)
+        subj_string = next(s for s, info in self.mgr.placeholders.items()
+                           if not info.is_background)
         latents = self._latents(e["image"][None])
         lh, lw = latents.shape[1:3]
         t = sample_timesteps(self.rng, plan, 1, self.plan_cfg)
         batch = ComposBatch(
             token_ids=jnp.asarray(ids),
             slot_maps={k: jnp.asarray(v) for k, v in slots.items()},
+            subj_slot_map=jnp.asarray(slots[subj_string]),
             latents=latents,
             fg_mask=jnp.asarray(self._mask_to_latent(e["fg_mask"][None], lh, lw)),
             timesteps=jnp.asarray(t, jnp.int32),

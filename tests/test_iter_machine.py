@@ -108,6 +108,7 @@ def _mk_compos_batch(rng, B=1):
     return ComposBatch(
         token_ids=jnp.asarray(ids),
         slot_maps={"z": jnp.asarray(slot)},
+        subj_slot_map=jnp.asarray(slot),
         latents=jnp.asarray(rng.standard_normal((B, HW, HW, 4)), jnp.float32),
         fg_mask=jnp.asarray((rng.random((B, HW, HW, 1)) > 0.4), jnp.float32),
         timesteps=jnp.asarray(rng.integers(800, 1000, B), jnp.int32),
