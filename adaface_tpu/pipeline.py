@@ -53,6 +53,10 @@ class StableDiffusionPipeline:
     skip_weights: Tuple[float, float] = (0.5, 0.5)
 
     def __post_init__(self):
+        # Params are explicit jit ARGUMENTS everywhere (never closed over):
+        # closed-over arrays embed as HLO constants, which bloats the
+        # serialized program by the full model size (fatal for remote-compile
+        # transports and wasteful for caching).
         self._encode_jit = jax.jit(self._encode_device)
         self._encode_plain_jit = jax.jit(self._encode_plain_device)
         self._sample_cache: dict = {}
@@ -135,23 +139,24 @@ class StableDiffusionPipeline:
                    base_sched=make_diffusion_schedule(), dtype=dtype)
 
     # ------------------------------------------------------------- encoding
-    def _encode_device(self, ids: jnp.ndarray, slot_maps: Dict[str, jnp.ndarray],
+    def _encode_device(self, clip_params: dict, ids: jnp.ndarray,
+                       slot_maps: Dict[str, jnp.ndarray],
                        embedders: dict) -> jnp.ndarray:
         """ids [B,77] + slot maps + embedder param-tree -> [L, B, 77, 768]."""
         from adaface_tpu.personalization.static_embedding import compute_static_embedding
 
-        embedded = self.clip.apply({"params": self.clip_params}, ids,
+        embedded = self.clip.apply({"params": clip_params}, ids,
                                    method=CLIPTextEncoder.embed_tokens)
         subj = {s: compute_static_embedding(p) for s, p in embedders.items()}
         patched = EmbeddingManager.patch_prompt_embeddings(embedded, slot_maps, subj)
         L, B, T, D = patched.shape
         flat = patched.reshape(L * B, T, D)
-        ctx = self.clip.apply({"params": self.clip_params}, input_embeds=flat,
+        ctx = self.clip.apply({"params": clip_params}, input_embeds=flat,
                               skip_weights=jnp.asarray(self.skip_weights))
         return ctx.reshape(L, B, T, D)
 
-    def _encode_plain_device(self, ids: jnp.ndarray) -> jnp.ndarray:
-        ctx = self.clip.apply({"params": self.clip_params}, ids,
+    def _encode_plain_device(self, clip_params: dict, ids: jnp.ndarray) -> jnp.ndarray:
+        ctx = self.clip.apply({"params": clip_params}, ids,
                               skip_weights=jnp.asarray(self.skip_weights))
         return ctx[None]  # [1, B, T, D]
 
@@ -160,14 +165,16 @@ class StableDiffusionPipeline:
         ids = self.tokenizer(list(prompts))
         slot_maps = self.embedding_manager.build_slot_maps(ids)
         if not slot_maps:
-            return jnp.broadcast_to(self._encode_plain_jit(jnp.asarray(ids)), (1,) + ids.shape + (self.clip.cfg.hidden_size,))
-        return self._encode_jit(jnp.asarray(ids),
+            return jnp.broadcast_to(
+                self._encode_plain_jit(self.clip_params, jnp.asarray(ids)),
+                (1,) + ids.shape + (self.clip.cfg.hidden_size,))
+        return self._encode_jit(self.clip_params, jnp.asarray(ids),
                                 {k: jnp.asarray(v) for k, v in slot_maps.items()},
                                 self.embedding_manager.embedders)
 
     def encode_negative(self, prompt: str, batch: int) -> jnp.ndarray:
         ids = self.tokenizer([prompt] * batch)
-        return self._encode_plain_jit(jnp.asarray(ids))
+        return self._encode_plain_jit(self.clip_params, jnp.asarray(ids))
 
     # ------------------------------------------------------------- sampling
     def _get_sampler_fn(self, batch: int, latent_hw: Tuple[int, int], steps: int,
@@ -179,22 +186,25 @@ class StableDiffusionPipeline:
             return self._sample_cache[sig]
         sched = make_ddim_schedule(self.base_sched, steps, guidance_scale=guidance)
 
-        def unet_apply(x, t, ctx, ctx_k):
-            return self.unet.apply({"params": self.unet_params}, x, t, ctx,
-                                   context_k=ctx_k)
-
         @jax.jit
-        def run(ctx_c, ctx_u, x_T):
+        def run_impl(unet_params, vae_params, ctx_c, ctx_u, x_T):
+            def unet_apply(x, t, ctx, ctx_k):
+                return self.unet.apply({"params": unet_params}, x, t, ctx,
+                                       context_k=ctx_k)
+
             eps_fn = make_cfg_eps_fn(unet_apply, ctx_c, ctx_u)
             if sampler == "plms":
                 g = guidance if not isinstance(guidance, (tuple, list)) else guidance[0]
                 z = plms_sample(eps_fn, sched, x_T, guide_scale=g)
             else:
                 z = ddim_sample(eps_fn, sched, x_T)
-            imgs = self.vae.apply({"params": self.vae_params},
+            imgs = self.vae.apply({"params": vae_params},
                                   z / SD_VAE_SCALE_FACTOR,
                                   method=AutoencoderKL.decode)
             return jnp.clip((imgs + 1.0) / 2.0, 0.0, 1.0)
+
+        def run(ctx_c, ctx_u, x_T):
+            return run_impl(self.unet_params, self.vae_params, ctx_c, ctx_u, x_T)
 
         self._sample_cache[sig] = run
         return run
@@ -226,9 +236,9 @@ class StableDiffusionPipeline:
              else guidance_scale)
 
         @jax.jit
-        def run(img, ctx_c, ctx_u, key):
+        def run(unet_params, vae_params, img, ctx_c, ctx_u, key):
             x = img.astype(jnp.float32) / 127.5 - 1.0
-            mean, _ = self.vae.apply({"params": self.vae_params}, x,
+            mean, _ = self.vae.apply({"params": vae_params}, x,
                                      method=AutoencoderKL.encode)
             z0 = mean * SD_VAE_SCALE_FACTOR
             t = jnp.full((z0.shape[0],), sched.timesteps[start_idx], jnp.int32)
@@ -236,19 +246,20 @@ class StableDiffusionPipeline:
                                     jax.random.normal(key, z0.shape))
 
             def unet_apply(x, tt, c, ck):
-                return self.unet.apply({"params": self.unet_params}, x, tt, c,
+                return self.unet.apply({"params": unet_params}, x, tt, c,
                                        context_k=ck)
 
             eps_fn = make_cfg_eps_fn(unet_apply, ctx_c, ctx_u)
             z = ddim_decode(eps_fn, sched, z_t, start_idx, guide_scale=g)
-            out = self.vae.apply({"params": self.vae_params},
+            out = self.vae.apply({"params": vae_params},
                                  z / SD_VAE_SCALE_FACTOR,
                                  method=AutoencoderKL.decode)
             return jnp.clip((out + 1.0) / 2.0, 0.0, 1.0)
 
         img = jnp.broadcast_to(jnp.asarray(init_image)[None],
                                (b,) + init_image.shape)
-        out = run(img, ctx_c, ctx_u, jax.random.PRNGKey(seed))
+        out = run(self.unet_params, self.vae_params, img, ctx_c, ctx_u,
+                  jax.random.PRNGKey(seed))
         return np.asarray((out * 255).astype(jnp.uint8))
 
     def generate(
