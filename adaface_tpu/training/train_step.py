@@ -356,3 +356,56 @@ def make_arc2face_distill_step(
         return embedders, opt_state, metrics
 
     return step
+
+
+class DreamBoothBatch(NamedTuple):
+    """(subject batch, class-regularization batch) pair — the reference's
+    ConcatDataset tuple (`main_db.py:245-307`)."""
+
+    train: ReconBatch
+    reg: ReconBatch
+
+
+def make_dreambooth_train_step(
+    clip: CLIPTextEncoder,
+    clip_params: dict,
+    unet: UNetModel,
+    unet_params: dict,
+    sched: DiffusionSchedule,
+    optimizer: optax.GradientTransformation,
+    skip_weights=(0.5, 0.5),
+    db_reg_weight: float = 1.0,
+):
+    """DreamBooth objective: subject recon + weighted prior-preservation
+    recon on class images (`ddpm.py:578-585,783-804`; trained by
+    `main_db.py`). Same trainable-embedder contract as the other steps."""
+
+    def one_loss(embedders, batch: ReconBatch):
+        embedded = clip.apply({"params": clip_params}, batch.token_ids,
+                              method=CLIPTextEncoder.embed_tokens)
+        subj = {s: compute_static_embedding(p) for s, p in embedders.items()}
+        patched = EmbeddingManager.patch_prompt_embeddings(
+            embedded, batch.slot_maps, subj)
+        L, B, T, D = patched.shape
+        ctx = clip.apply({"params": clip_params},
+                         input_embeds=patched.reshape(L * B, T, D),
+                         skip_weights=jnp.asarray(skip_weights))
+        ctx = ctx.reshape(L, B, T, D)
+        x_noisy = sched.q_sample(batch.latents, batch.timesteps, batch.noise)
+        eps = unet.apply({"params": unet_params}, x_noisy, batch.timesteps, ctx)
+        return masked_recon_loss(eps, batch.noise, batch.fg_mask)
+
+    def loss_fn(embedders, batch: DreamBoothBatch):
+        loss_train = one_loss(embedders, batch.train)
+        loss_reg = one_loss(embedders, batch.reg)
+        loss = loss_train + db_reg_weight * loss_reg
+        return loss, {"loss": loss, "recon": loss_train, "db_reg": loss_reg}
+
+    def step(embedders, opt_state, batch: DreamBoothBatch):
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            embedders, batch)
+        updates, opt_state = optimizer.update(grads, opt_state, embedders)
+        embedders = optax.apply_updates(embedders, updates)
+        return embedders, opt_state, metrics
+
+    return step

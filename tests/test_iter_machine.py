@@ -166,3 +166,60 @@ def test_arc2face_distill_step(backbone, S):
     delta = float(jnp.abs(new_emb["z"].basis_rand_weights
                           - embedders["z"].basis_rand_weights).max())
     assert delta > 0
+
+
+def test_dreambooth_step(backbone, tmp_path):
+    from adaface_tpu.training.train_step import (
+        DreamBoothBatch,
+        ReconBatch,
+        make_dreambooth_train_step,
+    )
+
+    clip, clip_params, unet, unet_params, sched, embedders = backbone
+    opt = optax.adamw(1e-3)
+    step = make_dreambooth_train_step(clip, clip_params, unet, unet_params,
+                                      sched, opt, db_reg_weight=0.5)
+    rng = np.random.default_rng(6)
+
+    def mk_recon(has_placeholder):
+        ids = rng.integers(1, 250, size=(2, T)).astype(np.int32)
+        slot = np.full((2, T), -1, np.int32)
+        if has_placeholder:
+            ids[:, 3] = 256
+            slot[:, 3] = 0
+            slot[:, 4] = 1
+        return ReconBatch(
+            latents=jnp.asarray(rng.standard_normal((2, HW, HW, 4)), jnp.float32),
+            token_ids=jnp.asarray(ids), slot_maps={"z": jnp.asarray(slot)},
+            fg_mask=None,
+            timesteps=jnp.asarray(rng.integers(0, 1000, 2), jnp.int32),
+            noise=jnp.asarray(rng.standard_normal((2, HW, HW, 4)), jnp.float32))
+
+    batch = DreamBoothBatch(train=mk_recon(True), reg=mk_recon(False))
+    new_emb, _, m = jax.jit(step)(embedders, opt.init(embedders), batch)
+    assert np.isfinite(float(m["loss"]))
+    np.testing.assert_allclose(float(m["loss"]),
+                               float(m["recon"]) + 0.5 * float(m["db_reg"]),
+                               rtol=1e-5)
+    delta = float(jnp.abs(new_emb["z"].basis_rand_weights
+                          - embedders["z"].basis_rand_weights).max())
+    assert delta > 0
+
+
+def test_dreambooth_dataset(tmp_path):
+    from PIL import Image
+
+    from adaface_tpu.data.personalized_db import DreamBoothDataset
+
+    rng = np.random.default_rng(7)
+    for d in ("subj", "reg"):
+        (tmp_path / d).mkdir()
+        for i in range(2):
+            Image.fromarray(rng.integers(0, 255, (40, 40, 3)).astype(np.uint8)
+                            ).save(tmp_path / d / f"{i}.jpg")
+    ds = DreamBoothDataset(str(tmp_path / "subj"), str(tmp_path / "reg"),
+                           placeholder="z", class_word="dog", size=32, seed=0)
+    tr, rg = ds.draw_pair()
+    assert tr["image"].shape == (32, 32, 3)
+    assert tr["caption"] == "a photo of a z dog"
+    assert rg["caption"] == "a photo of a dog"
