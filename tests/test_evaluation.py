@@ -170,3 +170,27 @@ def test_get_prompt_list():
     obj, _, _ = get_prompt_list("z", "", "", "", "toy", "plush toy",
                                 broad_class=0)
     assert len(obj) == 25
+
+
+def test_image_logger_grid(tmp_path):
+    from adaface_tpu.training.image_logger import ImageLogger, make_grid
+
+    rng = np.random.default_rng(5)
+    imgs = [rng.integers(0, 255, (16, 16, 3)).astype(np.uint8)
+            for _ in range(5)]
+    grid = make_grid(imgs, ncol=4)
+    assert grid.shape == (32, 64, 3)
+    np.testing.assert_array_equal(grid[:16, :16], imgs[0])
+    np.testing.assert_array_equal(grid[16:, :16], imgs[4])
+    # padded tail is zeros
+    assert grid[16:, 16:].sum() == 0
+    # bordered candidate grid
+    grid2 = make_grid(imgs[:2], ncol=2, colors=[2, 3])
+    np.testing.assert_array_equal(grid2[0, 0], (0, 200, 0))
+
+    lg = ImageLogger(str(tmp_path), every_steps=10)
+    assert lg.should_log(0) and lg.should_log(10) and not lg.should_log(3)
+    lg.log_inputs(0, np.stack(imgs[:4]))
+    lg.log_candidates(0, np.stack(imgs[:4]), [1, 2, 3, 0])
+    files = os.listdir(tmp_path / "images")
+    assert len(files) == 2
