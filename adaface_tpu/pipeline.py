@@ -138,6 +138,19 @@ class StableDiffusionPipeline:
                    embedding_manager=EmbeddingManager(),
                    base_sched=make_diffusion_schedule(), dtype=dtype)
 
+    def cast_params(self, dtype=jnp.bfloat16) -> "StableDiffusionPipeline":
+        """Cast the frozen backbone params to `dtype` in place (halves the
+        weight HBM traffic for bf16 inference; the hot matmuls already
+        compute in the module dtype). Embedder params stay fp32 (they are
+        trainable and tiny)."""
+        cast = lambda tree: jax.tree_util.tree_map(
+            lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating)
+            else x, tree)
+        self.unet_params = cast(self.unet_params)
+        self.vae_params = cast(self.vae_params)
+        self.clip_params = cast(self.clip_params)
+        return self
+
     # ------------------------------------------------------------- encoding
     def _encode_device(self, clip_params: dict, ids: jnp.ndarray,
                        slot_maps: Dict[str, jnp.ndarray],
@@ -160,10 +173,59 @@ class StableDiffusionPipeline:
                               skip_weights=jnp.asarray(self.skip_weights))
         return ctx[None]  # [1, B, T, D]
 
+    def set_zero_shot_features(self, features, forward_template_ids,
+                               inverse_template_ids, arcface_token_id,
+                               out_id_embs_scale: float = 1.0,
+                               is_face: bool = True):
+        """Attach zero-shot reference features (from
+        `ZeroShotFeatureExtractor.encode`) so `encode_prompts` conditions on
+        them — the `--ref_images` path of `stable_txt2img.py:437,665`."""
+        self._zs = dict(features=features,
+                        forward_template_ids=jnp.asarray(forward_template_ids),
+                        inverse_template_ids=jnp.asarray(inverse_template_ids),
+                        arcface_token_id=arcface_token_id,
+                        out_id_embs_scale=out_id_embs_scale, is_face=is_face)
+
     def encode_prompts(self, prompts: Sequence[str]) -> jnp.ndarray:
-        """Personalized encoding: [L, B, 77, 768] with placeholders patched."""
+        """Personalized encoding: [L, B, 77, 768] with placeholders patched.
+        Static embedders and/or zero-shot generators both feed the same
+        dense slot-map patch."""
         ids = self.tokenizer(list(prompts))
-        slot_maps = self.embedding_manager.build_slot_maps(ids)
+        mgr = self.embedding_manager
+        slot_maps = mgr.build_slot_maps(ids)
+        zs = getattr(self, "_zs", None)
+        if zs is not None and mgr.subj_basis_generators:
+            subj, _ = mgr.compute_zero_shot_embeddings(
+                zs["features"], zs["inverse_template_ids"],
+                forward_template_ids=zs["forward_template_ids"],
+                arcface_token_id=zs["arcface_token_id"],
+                out_id_embs_scale=zs["out_id_embs_scale"],
+                is_face=zs["is_face"])
+            # [L, 1, K, D] features broadcast over the prompt batch
+            subj = {s: jnp.broadcast_to(
+                e[:, :1], (e.shape[0], len(prompts)) + e.shape[2:])
+                for s, e in subj.items()}
+            subj.update({s: None for s in ()})
+            from adaface_tpu.personalization.static_embedding import (
+                compute_static_embedding,
+            )
+
+            static = {s: compute_static_embedding(p)
+                      for s, p in mgr.embedders.items()
+                      if s not in subj}
+            embedded = self.clip.apply({"params": self.clip_params},
+                                       jnp.asarray(ids),
+                                       method=CLIPTextEncoder.embed_tokens)
+            merged = dict(static)
+            merged.update(subj)
+            patched = EmbeddingManager.patch_prompt_embeddings(
+                embedded, {k: jnp.asarray(v) for k, v in slot_maps.items()},
+                merged)
+            L, B, T, D = patched.shape
+            ctx = self.clip.apply({"params": self.clip_params},
+                                  input_embeds=patched.reshape(L * B, T, D),
+                                  skip_weights=jnp.asarray(self.skip_weights))
+            return ctx.reshape(L, B, T, D)
         if not slot_maps:
             return jnp.broadcast_to(
                 self._encode_plain_jit(self.clip_params, jnp.asarray(ids)),

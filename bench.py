@@ -31,6 +31,8 @@ def main():
     tok = HashTokenizer()
     pipe = StableDiffusionPipeline.from_random(
         jax.random.PRNGKey(0), tok, dtype=jnp.bfloat16)
+    # bf16 weights: halves the weight-side HBM traffic of every matmul/conv
+    pipe.cast_params(jnp.bfloat16)
     tid = tok.add_placeholder("z")
     pipe.embedding_manager.add_placeholder("z", token_id=tid, num_vectors=9,
                                            init_key=jax.random.PRNGKey(7))

@@ -130,3 +130,75 @@ def test_zero_shot_embedding_manager_path(stack):
     # non-slot positions untouched
     np.testing.assert_array_equal(np.asarray(out[0, 0, 0]),
                                   np.asarray(embedded[0, 0]))
+
+
+def test_pipeline_zero_shot_generation(stack):
+    """End-to-end txt2img with zero-shot conditioning (tiny configs)."""
+    import jax
+
+    from adaface_tpu.models.unet import UNetConfig
+    from adaface_tpu.models.vae import VAEConfig
+    from adaface_tpu.pipeline import StableDiffusionPipeline
+    from adaface_tpu.models.clip_text import CLIPTextConfig
+
+    (tok, vision, vparams, _arc_enc32, _arc_params32, _gen32, _gparams32,
+     bg_gen, bg_params, _inv32) = stack
+    # the fixture's generator is built for 32-token templates; this test
+    # runs the 77-token pipeline, so build 77-position components
+    txt77 = CLIPTextConfig.tiny(vocab_size=512, hidden_size=D, num_layers=2,
+                                max_position_embeddings=77)
+    arc_enc = CLIPTextEncoder(txt77)
+    arc_params = arc_enc.init(jax.random.PRNGKey(11),
+                              input_ids=jnp.zeros((1, 77), jnp.int32))["params"]
+    gen = SubjBasisGenerator(placeholder_is_bg=False,
+                             num_out_layers=NUM_CA_LAYERS,
+                             num_out_embs_per_layer=16, output_dim=D,
+                             proj_cfg=txt77, pad_token_id=tok.eos_id)
+    inv77_init = jnp.asarray(tok([INVERSE_TEMPLATE], max_length=77))
+    gparams = gen.init(jax.random.PRNGKey(12), None, None,
+                       jnp.zeros((1, 16, D)),
+                       inverse_template_ids=inv77_init)["params"]
+    clip_cfg = CLIPTextConfig.tiny(vocab_size=tok.vocab_size, hidden_size=D,
+                                   num_layers=2, max_position_embeddings=77,
+                                   num_extra_tokens=4)
+    unet_cfg = UNetConfig(model_channels=32, channel_mult=(1, 2),
+                          num_res_blocks=1, attention_levels=(0, 1),
+                          num_heads=4, context_dim=D,
+                          use_flash_attention=False)
+    tok.max_length = 77
+    pipe = StableDiffusionPipeline.from_random(
+        jax.random.PRNGKey(0), tok, unet_cfg=unet_cfg,
+        vae_cfg=VAEConfig.tiny(), clip_cfg=clip_cfg)
+
+    mgr = pipe.embedding_manager
+    z_id = tok.add_placeholder("z")
+    mgr.add_zero_shot_placeholder("z", z_id, gen, gparams, num_vectors=16)
+    mgr.arc2face_encoder = (arc_enc, arc_params)
+
+    rng = np.random.default_rng(3)
+    n_tok = vision.cfg.num_tokens
+    feats = ZeroShotFeatures(
+        clip_fg=jnp.asarray(rng.standard_normal((1, n_tok, 48)), jnp.float32),
+        clip_bg=jnp.asarray(rng.standard_normal((1, n_tok, 48)), jnp.float32),
+        id_embs=jnp.asarray(rng.standard_normal((1, 50)), jnp.float32),
+    )
+    from adaface_tpu.personalization.arc2face import FORWARD_TEMPLATE
+    # templates must be 77 long for this pipeline's CLIP
+    fwd77 = jnp.asarray(tok([FORWARD_TEMPLATE], max_length=77))
+    inv77 = jnp.asarray(tok([INVERSE_TEMPLATE], max_length=77))
+    pipe.set_zero_shot_features(feats, fwd77, inv77,
+                                int(tok.encode("id")[0]))
+    prompt = "a photo of a z " + ", " * 15 + "person"
+    imgs = pipe.generate([prompt] * 2, num_steps=2, height=32, width=32,
+                         guidance_scale=5.0)
+    assert imgs.shape[0] == 2 and imgs.dtype == np.uint8
+    ctx1 = pipe.encode_prompts([prompt] * 2)
+    # different identity -> different conditioning (pixel comparison is
+    # meaningless with a saturating random VAE)
+    feats2 = ZeroShotFeatures(feats.clip_fg, feats.clip_bg,
+                              jnp.asarray(rng.standard_normal((1, 50)),
+                                          jnp.float32))
+    pipe.set_zero_shot_features(feats2, fwd77, inv77,
+                                int(tok.encode("id")[0]))
+    ctx2 = pipe.encode_prompts([prompt] * 2)
+    assert float(jnp.abs(ctx1 - ctx2).max()) > 1e-3
