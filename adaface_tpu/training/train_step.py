@@ -409,3 +409,89 @@ def make_dreambooth_train_step(
         return embedders, opt_state, metrics
 
     return step
+
+
+class ZeroShotReconBatch(NamedTuple):
+    """One zero-shot recon iteration: subject identity evidence rides the
+    batch (`shared_step` zero-shot branch, `ddpm.py:1737-1798`)."""
+
+    latents: jnp.ndarray  # [B, h, w, 4]
+    token_ids: jnp.ndarray  # [B, T]
+    slot_maps: Dict[str, jnp.ndarray]  # placeholder -> [B, T]
+    fg_mask: Optional[jnp.ndarray]
+    timesteps: jnp.ndarray  # [B]
+    noise: jnp.ndarray
+    clip_fg: jnp.ndarray  # [B, N_tok, D_img] masked CLIP fg features
+    clip_bg: jnp.ndarray  # [B, N_tok, D_img]
+    id_embs: jnp.ndarray  # [B, 512] ArcFace (or DINO) identity embeddings
+
+
+def make_zero_shot_recon_step(
+    clip: CLIPTextEncoder,
+    clip_params: dict,
+    unet: UNetModel,
+    unet_params: dict,
+    sched: DiffusionSchedule,
+    optimizer: optax.GradientTransformation,
+    generators: dict,  # placeholder -> SubjBasisGenerator module (static)
+    bg_placeholders: frozenset,
+    arc2face_encoder,  # CLIPTextEncoder (frozen prompt-encoder for 'id')
+    arc2face_params: dict,
+    forward_template_ids: jnp.ndarray,  # [1, T]
+    inverse_template_ids: jnp.ndarray,  # [1, T]
+    arcface_token_id: int,
+    skip_weights=(0.5, 0.5),
+    bg_weight: float = 0.1,
+    out_id_embs_scale: float = 1.0,
+):
+    """Recon step whose TRAINABLES are the SubjBasisGenerator params — the
+    zero-shot ("AdaFace") training mode (`embedding_manager.py:1400-1505`
+    inside `p_losses` recon). Identity evidence -> frozen Arc2Face forward
+    -> generator inverse -> patched prompt context -> eps recon."""
+    from adaface_tpu.personalization.arc2face import forward_face_embs_fn
+
+    def loss_fn(gen_params: dict, batch: ZeroShotReconBatch):
+        # frozen Arc2Face forward: id emb -> 16 core prompt embeddings
+        embed_fn = lambda ids: arc2face_encoder.apply(
+            {"params": arc2face_params}, ids, method="embed_tokens")
+        encode_fn = lambda e, w, n: arc2face_encoder.apply(
+            {"params": arc2face_params}, input_embeds=e, skip_weights=w,
+            num_skip_layers=n)
+        _, arc_id_embs = forward_face_embs_fn(
+            embed_fn, encode_fn, jax.lax.stop_gradient(batch.id_embs),
+            forward_template_ids, arcface_token_id,
+            arc2face_encoder.cfg.hidden_size)
+
+        subj = {}
+        for s, gen in generators.items():
+            feats = batch.clip_bg if s in bg_placeholders else batch.clip_fg
+            embs, _ = gen.apply(
+                {"params": gen_params[s]}, feats,
+                None, arc_id_embs, out_id_embs_scale=out_id_embs_scale,
+                is_face=True, is_training=True,
+                inverse_template_ids=inverse_template_ids)
+            subj[s] = jnp.transpose(embs, (1, 0, 2, 3))  # [L, B, K, D]
+
+        embedded = clip.apply({"params": clip_params}, batch.token_ids,
+                              method=CLIPTextEncoder.embed_tokens)
+        patched = EmbeddingManager.patch_prompt_embeddings(
+            embedded, batch.slot_maps, subj)
+        L, B, T, D = patched.shape
+        ctx = clip.apply({"params": clip_params},
+                         input_embeds=patched.reshape(L * B, T, D),
+                         skip_weights=jnp.asarray(skip_weights))
+        ctx = ctx.reshape(L, B, T, D)
+        x_noisy = sched.q_sample(batch.latents, batch.timesteps, batch.noise)
+        eps = unet.apply({"params": unet_params}, x_noisy, batch.timesteps, ctx)
+        recon = masked_recon_loss(eps, batch.noise, batch.fg_mask,
+                                  bg_weight=bg_weight)
+        return recon, {"loss": recon, "recon": recon}
+
+    def step(gen_params, opt_state, batch: ZeroShotReconBatch):
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            gen_params, batch)
+        updates, opt_state = optimizer.update(grads, opt_state, gen_params)
+        gen_params = optax.apply_updates(gen_params, updates)
+        return gen_params, opt_state, metrics
+
+    return step

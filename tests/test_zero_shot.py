@@ -202,3 +202,85 @@ def test_pipeline_zero_shot_generation(stack):
                                 int(tok.encode("id")[0]))
     ctx2 = pipe.encode_prompts([prompt] * 2)
     assert float(jnp.abs(ctx1 - ctx2).max()) > 1e-3
+
+
+def test_zero_shot_recon_train_step(stack):
+    """The SubjBasisGenerator learns from the recon gradient."""
+    import optax
+
+    from adaface_tpu.models.unet import UNetConfig, UNetModel
+    from adaface_tpu.ops.schedule import make_diffusion_schedule
+    from adaface_tpu.training.train_step import (
+        ZeroShotReconBatch,
+        make_zero_shot_recon_step,
+    )
+    from adaface_tpu.models.clip_text import CLIPTextConfig, CLIPTextEncoder
+    from adaface_tpu.personalization.subj_basis_generator import SubjBasisGenerator
+    from adaface_tpu.personalization.embedding_manager import NUM_CA_LAYERS
+
+    tok = HashTokenizer()
+    tok.max_length = T
+    txt_cfg = CLIPTextConfig.tiny(vocab_size=512, hidden_size=D, num_layers=2,
+                                  max_position_embeddings=T, num_extra_tokens=2)
+    sd_clip = CLIPTextEncoder(txt_cfg)
+    sd_clip_params = sd_clip.init(jax.random.PRNGKey(0),
+                                  input_ids=jnp.zeros((1, T), jnp.int32))["params"]
+    arc_enc = CLIPTextEncoder(CLIPTextConfig.tiny(
+        vocab_size=512, hidden_size=D, num_layers=2, max_position_embeddings=T))
+    arc_params = arc_enc.init(jax.random.PRNGKey(1),
+                              input_ids=jnp.zeros((1, T), jnp.int32))["params"]
+    gen = SubjBasisGenerator(placeholder_is_bg=False, num_out_layers=NUM_CA_LAYERS,
+                             num_out_embs_per_layer=16, output_dim=D,
+                             proj_cfg=CLIPTextConfig.tiny(
+                                 vocab_size=512, hidden_size=D, num_layers=2,
+                                 max_position_embeddings=T),
+                             pad_token_id=tok.eos_id)
+    inv_ids = jnp.asarray(tok([INVERSE_TEMPLATE], max_length=T))
+    fwd_ids = jnp.asarray(tok([FORWARD_TEMPLATE], max_length=T))
+    gparams = gen.init(jax.random.PRNGKey(2), None, None,
+                       jnp.zeros((1, 16, D)),
+                       inverse_template_ids=inv_ids)["params"]
+    unet_cfg = UNetConfig(model_channels=32, channel_mult=(1, 2),
+                          num_res_blocks=1, attention_levels=(0, 1),
+                          num_heads=4, context_dim=D, use_flash_attention=False)
+    unet = UNetModel(unet_cfg)
+    HW = 8
+    unet_params = unet.init(jax.random.PRNGKey(3), jnp.zeros((1, HW, HW, 4)),
+                            jnp.zeros((1,), jnp.int32),
+                            jnp.zeros((1, 1, T, D)))["params"]
+    sched = make_diffusion_schedule()
+    opt = optax.adamw(1e-3)
+    trainable = {"z": gparams}
+    step = make_zero_shot_recon_step(
+        sd_clip, sd_clip_params, unet, unet_params, sched, opt,
+        generators={"z": gen}, bg_placeholders=frozenset(),
+        arc2face_encoder=arc_enc, arc2face_params=arc_params,
+        forward_template_ids=fwd_ids, inverse_template_ids=inv_ids,
+        arcface_token_id=int(tok.encode("id")[0]))
+
+    rng = np.random.default_rng(9)
+    B = 2
+    ids = rng.integers(1, 500, (B, T)).astype(np.int32)
+    ids[:, 3] = 512
+    slot = np.full((B, T), -1, np.int32)
+    for k in range(8):
+        slot[:, 3 + k] = k
+    batch = ZeroShotReconBatch(
+        latents=jnp.asarray(rng.standard_normal((B, HW, HW, 4)), jnp.float32),
+        token_ids=jnp.asarray(ids), slot_maps={"z": jnp.asarray(slot)},
+        fg_mask=None,
+        timesteps=jnp.asarray(rng.integers(0, 1000, B), jnp.int32),
+        noise=jnp.asarray(rng.standard_normal((B, HW, HW, 4)), jnp.float32),
+        clip_fg=jnp.asarray(rng.standard_normal((B, 5, 48)), jnp.float32),
+        clip_bg=jnp.asarray(rng.standard_normal((B, 5, 48)), jnp.float32),
+        id_embs=jnp.asarray(rng.standard_normal((B, 50)), jnp.float32))
+    new_params, _, m = jax.jit(step)(trainable, opt.init(trainable), batch)
+    assert np.isfinite(float(m["loss"]))
+    leaves0 = jax.tree_util.tree_leaves(trainable)
+    leaves1 = jax.tree_util.tree_leaves(new_params)
+    moved = max(float(jnp.abs(a - b).max()) for a, b in zip(leaves0, leaves1))
+    assert moved > 0
+    # the frozen prompt2token_proj moves more slowly (grad scale 0.4) but moves
+    d_hslw = float(jnp.abs(new_params["z"]["hidden_state_layer_weights"]
+                           - trainable["z"]["hidden_state_layer_weights"]).max())
+    assert d_hslw > 0
