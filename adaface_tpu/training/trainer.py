@@ -119,7 +119,28 @@ class Trainer:
         self._encode_vae = jax.jit(
             lambda params, x: p.vae.apply({"params": params}, x,
                                           method=AutoencoderKL.encode))
+        # optional compositional-iteration plumbing
+        self.teacher_filter = None  # set via set_teacher_filter()
+        self.cached_inits = None
+        self.image_logger = None
         signal.signal(signal.SIGUSR1, self._on_sigusr1)
+
+    def set_teacher_filter(self, clip_scorer):
+        """Enable CLIP teacher filtering + reuse-init caching for
+        compositional iterations (`ddpm.py:3039-3180`)."""
+        from adaface_tpu.training.teacher_filter import CachedInits, TeacherFilter
+
+        p = self.pipe
+        self.teacher_filter = TeacherFilter(
+            clip_scorer, p.unet, p.unet_params, p.vae, p.vae_params,
+            p.base_sched)
+        self.cached_inits = CachedInits()
+
+    def set_image_logger(self, every_steps: int = 500, **kw):
+        from adaface_tpu.training.image_logger import ImageLogger
+
+        self.image_logger = ImageLogger(self.cfg.logdir,
+                                        every_steps=every_steps, **kw)
 
     # ------------------------------------------------------------- plumbing
     def _on_sigusr1(self, *_):
@@ -216,7 +237,47 @@ class Trainer:
                            if not info.is_background)
         latents = self._latents(e["image"][None])
         lh, lw = latents.shape[1:3]
-        t = sample_timesteps(self.rng, plan, 1, self.plan_cfg)
+        prev_t = None
+        if (self.cached_inits is not None
+                and e["subject_name"] in self.cached_inits):
+            # reuse-init follow-up iteration at mid-range t (`ddpm.py:2604-2635`)
+            entry = self.cached_inits.pop(e["subject_name"])
+            latents = jnp.asarray(entry["x_start"][:1])
+            prev_t = entry["t"][:1]
+            plan.reuse_init_conds = True
+            plan.do_teacher_filter = False
+        t = sample_timesteps(self.rng, plan, 1, self.plan_cfg, prev_t=prev_t)
+        noise = jnp.asarray(self.rng.standard_normal(latents.shape), jnp.float32)
+
+        if (self.teacher_filter is not None and plan.do_teacher_filter
+                and not plan.reuse_init_conds):
+            n_cand = self.plan_cfg.num_candidate_teachers
+            cand_x = jnp.concatenate([latents] * n_cand)
+            cand_noise = jnp.asarray(
+                self.rng.standard_normal(cand_x.shape), jnp.float32)
+            cand_t = jnp.asarray(
+                sample_timesteps(self.rng, plan, n_cand, self.plan_cfg),
+                jnp.int32)
+            ctx = self._compos_contexts(ids, slots, plan, cand_t)
+            verdict = self.teacher_filter.filter(
+                cand_x, cand_noise, cand_t,
+                ctx["subj_comp"], ctx["mix_comp"], ctx["uncond"],
+                prompts[3])
+            if self.image_logger is not None and                     self.image_logger.should_log(self.global_step):
+                colors = [2 if i == verdict.best_cand_idx else 1
+                          for i in range(2 * n_cand)]
+                self.image_logger.log_candidates(self.global_step,
+                                                 verdict.images, colors)
+            if not verdict.is_teachable:
+                # skip the distillation loss this iter (`ddpm.py:3047-3050`)
+                return {"loss": jnp.asarray(0.0), "skipped_unteachable": 1.0}
+            i = verdict.best_cand_idx
+            noise = cand_noise[i:i + 1]
+            t = np.asarray(cand_t)[i:i + 1]
+            if self.cached_inits is not None:
+                self.cached_inits.put(e["subject_name"],
+                                      cand_x[i:i + 1], t)
+
         batch = ComposBatch(
             token_ids=jnp.asarray(ids),
             slot_maps={k: jnp.asarray(v) for k, v in slots.items()},
@@ -224,12 +285,57 @@ class Trainer:
             latents=latents,
             fg_mask=jnp.asarray(self._mask_to_latent(e["fg_mask"][None], lh, lw)),
             timesteps=jnp.asarray(t, jnp.int32),
-            noise=jnp.asarray(self.rng.standard_normal(latents.shape), jnp.float32),
+            noise=noise,
             t_frac=jnp.asarray(t / self.plan_cfg.num_timesteps, jnp.float32),
             training_percent=jnp.asarray(plan.training_percent, jnp.float32))
         self.mgr.embedders, self.opt_state, metrics = self._steps[COMPOS_DISTILL](
             self.mgr.embedders, self.opt_state, batch)
         return metrics
+
+    def _compos_contexts(self, ids, slots, plan, t):
+        """(subj_comp, mix_comp, uncond) V/K contexts for the teacher
+        filter's no-grad candidate denoise."""
+        from adaface_tpu.personalization.static_embedding import (
+            compute_static_embedding,
+        )
+        from adaface_tpu.training.mixing import mix_static_vk_embeddings
+
+        p = self.pipe
+        ctx = p.encode_prompts_from_ids(jnp.asarray(ids), slots) \
+            if hasattr(p, "encode_prompts_from_ids") else None
+        if ctx is None:
+            embedded = p.clip.apply({"params": p.clip_params},
+                                    jnp.asarray(ids),
+                                    method=type(p.clip).embed_tokens)
+            subj = {s: compute_static_embedding(e)
+                    for s, e in self.mgr.embedders.items()}
+            patched = self.mgr.patch_prompt_embeddings(
+                embedded, {k: jnp.asarray(v) for k, v in slots.items()}, subj)
+            L, B4, T, D = patched.shape
+            ctx = p.clip.apply({"params": p.clip_params},
+                               input_embeds=patched.reshape(L * B4, T, D),
+                               skip_weights=jnp.asarray(p.skip_weights))
+            ctx = ctx.reshape(L, B4, T, D)
+        B = ctx.shape[1] // 4
+        subj_comp = ctx[:, B:2 * B]
+        cls_comp = ctx[:, 3 * B:]
+        subj_tok = (jnp.asarray(slots[next(
+            s for s, i in self.mgr.placeholders.items()
+            if not i.is_background)])[B:2 * B] >= 0).astype(jnp.float32)
+        n_cand = self.plan_cfg.num_candidate_teachers
+        sc = jnp.concatenate([subj_comp] * n_cand, axis=1)
+        cc = jnp.concatenate([cls_comp] * n_cand, axis=1)
+        st = jnp.concatenate([subj_tok] * n_cand, axis=0)
+        t_frac = jnp.asarray(t / self.plan_cfg.num_timesteps, jnp.float32)
+        s_vk, m_vk = mix_static_vk_embeddings(
+            sc, cc, st, plan.training_percent, t_frac)
+        T = ids.shape[1]
+        uncond = p.encode_negative("", n_cand)
+        return {
+            "subj_comp": (s_vk[:, :, :T], s_vk[:, :, T:]),
+            "mix_comp": (m_vk[:, :, :T], m_vk[:, :, T:]),
+            "uncond": uncond,
+        }
 
     def _run_arc2face(self, plan: IterPlan, teacher):
         teacher_unet, teacher_params, teacher_ctx_fn = teacher
