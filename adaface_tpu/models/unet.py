@@ -32,6 +32,7 @@ from flax import linen as nn
 from flax import struct
 
 from adaface_tpu.ops.basic import group_norm, timestep_embedding, geglu
+from adaface_tpu.ops.fused_norm import group_norm_silu
 
 # layer_idx -> cross-attention (context) index, `openaimodel.py:875-877`
 CA_LAYER_INDEX = {1: 0, 2: 1, 4: 2, 5: 3, 7: 4, 8: 5, 12: 6, 16: 7,
@@ -90,15 +91,17 @@ class ResBlock(nn.Module):
     @nn.compact
     def __call__(self, x, emb):
         in_ch = x.shape[-1]
-        h = group_norm(x, self.param("in_norm_scale", nn.initializers.ones, (in_ch,)),
-                       self.param("in_norm_bias", nn.initializers.zeros, (in_ch,)), 32, 1e-5)
-        h = jax.nn.silu(h)
+        h = group_norm_silu(
+            x, self.param("in_norm_scale", nn.initializers.ones, (in_ch,)),
+            self.param("in_norm_bias", nn.initializers.zeros, (in_ch,)),
+            32, 1e-5)
         h = _conv(self.out_ch, name="in_conv", dtype=self.dtype)(h)
         e = nn.Dense(self.out_ch, dtype=self.dtype, name="emb_proj")(jax.nn.silu(emb))
         h = h + e[:, None, None, :]
-        h = group_norm(h, self.param("out_norm_scale", nn.initializers.ones, (self.out_ch,)),
-                       self.param("out_norm_bias", nn.initializers.zeros, (self.out_ch,)), 32, 1e-5)
-        h = jax.nn.silu(h)
+        h = group_norm_silu(
+            h, self.param("out_norm_scale", nn.initializers.ones, (self.out_ch,)),
+            self.param("out_norm_bias", nn.initializers.zeros, (self.out_ch,)),
+            32, 1e-5)
         h = _conv(self.out_ch, name="out_conv", dtype=self.dtype, zero_init=True)(h)
         if in_ch != self.out_ch:
             x = _conv(self.out_ch, kernel=1, padding=0, name="skip", dtype=self.dtype)(x)
@@ -317,9 +320,10 @@ class UNetModel(nn.Module):
                     h = Upsample(self.dtype, name=f"up_{level}_upsample")(h)
                 layer_idx += 1
 
-        h = group_norm(h, self.param("out_norm_scale", nn.initializers.ones, (h.shape[-1],)),
-                       self.param("out_norm_bias", nn.initializers.zeros, (h.shape[-1],)), 32, 1e-5)
-        h = jax.nn.silu(h)
+        h = group_norm_silu(
+            h, self.param("out_norm_scale", nn.initializers.ones, (h.shape[-1],)),
+            self.param("out_norm_bias", nn.initializers.zeros, (h.shape[-1],)),
+            32, 1e-5)
         eps = _conv(c.out_channels, name="out_conv", dtype=self.dtype, zero_init=True)(h)
         eps = eps.astype(jnp.float32)
         if capture:

@@ -91,3 +91,32 @@ def test_mha_mask(rng):
     p = np.asarray(probs)
     np.testing.assert_allclose(p[..., -2:], 0.0, atol=1e-7)
     np.testing.assert_allclose(p.sum(-1), 1.0, atol=1e-5)
+
+
+def test_fused_group_norm_silu_matches_plain():
+    import jax
+    import jax.numpy as jnp
+
+    from adaface_tpu.ops.basic import group_norm
+    from adaface_tpu.ops.fused_norm import group_norm_silu
+
+    rng = np.random.default_rng(0)
+    # SD-style channels (320, not lane-aligned) take the Pallas path
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 320)), jnp.float32)
+    scale = jnp.asarray(rng.standard_normal(320), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal(320), jnp.float32)
+    fused = group_norm_silu(x, scale, bias, 32, 1e-5)
+    plain = jax.nn.silu(group_norm(x, scale, bias, 32, 1e-5))
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(plain),
+                               atol=2e-5)
+    # spatially unaligned slabs (n % 8 != 0) fall back to the plain path
+    x2 = jnp.asarray(rng.standard_normal((2, 3, 3, 320)), jnp.float32)
+    s2 = jnp.ones(320)
+    b2 = jnp.zeros(320)
+    f2 = group_norm_silu(x2, s2, b2, 32, 1e-5)
+    p2 = jax.nn.silu(group_norm(x2, s2, b2, 32, 1e-5))
+    np.testing.assert_allclose(np.asarray(f2), np.asarray(p2), atol=2e-5)
+    # gradients flow and match the plain implementation
+    g_f = jax.grad(lambda x: group_norm_silu(x, scale, bias, 32, 1e-5).sum())(x)
+    g_p = jax.grad(lambda x: jax.nn.silu(group_norm(x, scale, bias, 32, 1e-5)).sum())(x)
+    np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_p), atol=2e-4)
