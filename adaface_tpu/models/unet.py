@@ -53,6 +53,11 @@ class UNetConfig:
     num_heads: int = 8
     context_dim: int = 768
     transformer_depth: int = 1
+    # subject-token convolutional attention (`ldm/util.py:701-882`,
+    # `attention.py:208-216`): ks^2 subject key embeddings form a grouped
+    # conv kernel over the q map; <=1 disables. Layers 12-19 are forced to
+    # 1x1 like the reference (`openaimodel.py:922-932`).
+    conv_attn_kernel_size: int = -1
     use_remat: bool = False  # jax.checkpoint over transformer blocks
     use_flash_attention: bool = True  # Pallas flash kernel on long self-attn
 
@@ -118,12 +123,15 @@ class UNetCrossAttention(nn.Module):
     head_dim: int
     dtype: jnp.dtype = jnp.float32
     use_flash: bool = True
+    conv_attn_ks: int = -1  # effective kernel size at this layer
 
     @nn.compact
-    def __call__(self, x, ctx_v=None, ctx_k=None, key_mask=None, capture=False):
+    def __call__(self, x, ctx_v=None, ctx_k=None, key_mask=None, capture=False,
+                 subj_slot_map=None, infeat_hw=None):
         h, d = self.num_heads, self.head_dim
         inner = h * d
         q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        is_cross = ctx_v is not None
         if ctx_v is None:
             ctx_v = ctx_k = x
         elif ctx_k is None:
@@ -136,7 +144,9 @@ class UNetCrossAttention(nn.Module):
         qh, kh, vh = split(q, lq), split(k, lk), split(v, lk)
         scale = d ** -0.5
 
-        if self.use_flash and not capture:
+        use_conv = (self.conv_attn_ks > 1 and subj_slot_map is not None
+                    and is_cross and infeat_hw is not None)
+        if self.use_flash and not capture and not use_conv:
             from adaface_tpu.ops.flash_attention import flash_attention
 
             key_bias = None
@@ -148,6 +158,11 @@ class UNetCrossAttention(nn.Module):
 
         sim = jnp.einsum("bhqd,bhkd->bhqk", qh, kh,
                          preferred_element_type=jnp.float32) * scale
+        if use_conv:
+            from adaface_tpu.ops.attention import apply_conv_attn
+
+            sim = apply_conv_attn(sim, qh, kh, subj_slot_map, infeat_hw,
+                                  self.conv_attn_ks, scale)
         if key_mask is not None:
             # [B, Lk] key mask, True = attend (self-attn only, see module doc)
             sim = jnp.where(key_mask[:, None, None, :],
@@ -169,18 +184,22 @@ class TransformerBlock(nn.Module):
     head_dim: int
     dtype: jnp.dtype = jnp.float32
     use_flash: bool = True
+    conv_attn_ks: int = -1
 
     @nn.compact
-    def __call__(self, x, ctx_v, ctx_k, key_mask, capture=False):
+    def __call__(self, x, ctx_v, ctx_k, key_mask, capture=False,
+                 subj_slot_map=None, infeat_hw=None):
         ln = lambda name: nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=name)
         a1, _ = UNetCrossAttention(self.num_heads, self.head_dim, self.dtype,
                                    self.use_flash,
                                    name="attn1")(ln("norm1")(x), key_mask=key_mask)
         x = x + a1
         a2, aux = UNetCrossAttention(self.num_heads, self.head_dim, self.dtype,
-                                     self.use_flash,
+                                     self.use_flash, self.conv_attn_ks,
                                      name="attn2")(ln("norm2")(x), ctx_v, ctx_k,
-                                                   capture=capture)
+                                                   capture=capture,
+                                                   subj_slot_map=subj_slot_map,
+                                                   infeat_hw=infeat_hw)
         x = x + a2
         y = ln("norm3")(x)
         y = nn.Dense(x.shape[-1] * 8, dtype=self.dtype, name="ff_in")(y)  # GEGLU: 2*4x
@@ -193,9 +212,11 @@ class SpatialTransformer(nn.Module):
     num_heads: int
     dtype: jnp.dtype = jnp.float32
     use_flash: bool = True
+    conv_attn_ks: int = -1
 
     @nn.compact
-    def __call__(self, x, ctx_v, ctx_k, img_mask=None, capture=False):
+    def __call__(self, x, ctx_v, ctx_k, img_mask=None, capture=False,
+                 subj_slot_map=None):
         b, hh, ww, c = x.shape
         head_dim = c // self.num_heads
         h = group_norm(x, self.param("norm_scale", nn.initializers.ones, (c,)),
@@ -206,8 +227,11 @@ class SpatialTransformer(nn.Module):
         if img_mask is not None:
             key_mask = _nearest_resize_mask(img_mask, hh, ww).reshape(b, hh * ww) > 0
         h, aux = TransformerBlock(self.num_heads, head_dim, self.dtype,
-                                  self.use_flash,
-                                  name="block_0")(h, ctx_v, ctx_k, key_mask, capture)
+                                  self.use_flash, self.conv_attn_ks,
+                                  name="block_0")(h, ctx_v, ctx_k, key_mask,
+                                                  capture,
+                                                  subj_slot_map=subj_slot_map,
+                                                  infeat_hw=(hh, ww))
         h = h.reshape(b, hh, ww, c)
         h = _conv(c, kernel=1, padding=0, name="proj_out", dtype=self.dtype,
                   zero_init=True)(h)
@@ -246,6 +270,7 @@ class UNetModel(nn.Module):
         context_k: Optional[jnp.ndarray] = None,  # separate K-context, same shape
         img_mask: Optional[jnp.ndarray] = None,  # [B, H0, W0, 1]
         capture: bool = False,
+        subj_slot_map: Optional[jnp.ndarray] = None,  # [B, T] for conv attn
     ):
         """Returns eps prediction [B, H, W, out_channels]; with capture=True
         also a dict layer_idx -> {q, attn, attnscore, outfeat}."""
@@ -274,9 +299,14 @@ class UNetModel(nn.Module):
         def spatial(layer_idx, h, name):
             cv, ck = layer_ctx(layer_idx)
             do_cap = capture and layer_idx in DISTILL_LAYER_INDICES
+            # layers 12-19 forced to 1x1 conv attn (`openaimodel.py:922-932`)
+            ks = c.conv_attn_kernel_size
+            if ks > 1 and layer_idx in (12, 16, 17, 18, 19):
+                ks = 1
             st = SpatialTransformer(c.num_heads, self.dtype,
-                                    c.use_flash_attention, name=name)
-            h, aux = st(h, cv, ck, img_mask, do_cap)
+                                    c.use_flash_attention, ks, name=name)
+            h, aux = st(h, cv, ck, img_mask, do_cap,
+                        subj_slot_map=subj_slot_map)
             if do_cap:
                 aux["outfeat"] = h
                 captures[layer_idx] = aux

@@ -60,3 +60,96 @@ def multi_head_attention(
     if return_probs:
         return out, probs
     return out
+
+
+# padding per kernel size (`replace_rows_by_conv_attn`, `ldm/util.py:748-760`):
+# (left, right, top, bottom)
+_CONV_ATTN_PADS = {2: (0, 1, 0, 1), 3: (1, 1, 1, 1), 4: (1, 2, 1, 2)}
+
+
+def conv_attn_scores(
+    q: jnp.ndarray,  # [B, h, N, d] queries (already unscaled)
+    k: jnp.ndarray,  # [B, h, T, d] keys
+    slot_map: jnp.ndarray,  # [B, T] subject slot index (k in [0,K)) or -1
+    hw,  # (H, W) spatial size of the q feature map
+    ks: int,  # conv kernel size; ks^2 subject embeddings form the kernel
+    sim_scale: float,
+    shift_attn_maps: bool = True,
+) -> jnp.ndarray:
+    """Per-instance conv-attention maps for the first ks^2 subject slots.
+
+    The TPU-native `replace_rows_by_conv_attn` (`ldm/util.py:701-882`): the
+    ks^2 subject key embeddings form a ks x ks grouped conv kernel over the
+    q feature map (one group per head); the resulting map (scaled by
+    sim_scale / ks^1.5) replaces the subject rows of the attention scores,
+    each embedding getting a (dy, dx)-shifted copy. Dense slot-map form: no
+    index surgery, instances without the subject token are no-ops.
+
+    Returns [ks*ks, B, h, N] conv score maps (sampling order s1..s_{ks^2}).
+    """
+    B, h, N, d = q.shape
+    H, W = hw
+    m = ks * ks
+    # one-hot of the first ks^2 slots: [B, T, m]
+    onehot = (slot_map[:, :, None] == jnp.arange(m)[None, None]).astype(q.dtype)
+    subj_k = jnp.einsum("bhtd,btm->bhmd", k, onehot)  # [B, h, m, d]
+
+    l, r, t, btm = _CONV_ATTN_PADS[ks]
+    qi = q.transpose(0, 2, 1, 3).reshape(B, H, W, h * d)
+
+    def one(qb, kb):
+        # kb: [h, m, d] -> HWIO kernel [ks, ks, d, h] (grouped: one output
+        # channel per head, d input channels per group)
+        w = kb.transpose(1, 2, 0).reshape(ks, ks, d, h)
+        out = jax.lax.conv_general_dilated(
+            qb[None], w, window_strides=(1, 1),
+            padding=((t, btm), (l, r)), feature_group_count=h,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32)
+        return out[0]  # [H, W, h]
+
+    maps = jax.vmap(one)(qi, subj_k)  # [B, H, W, h]
+    maps = maps.transpose(0, 3, 1, 2) * (sim_scale / ks ** 1.5)  # [B,h,H,W]
+
+    outs = []
+    if shift_attn_maps:
+        # traversal order: dy outer, dx inner (s1..s4 row-major, `:831-849`)
+        for dy in range(-t, btm + 1):
+            for dx in range(-l, r + 1):
+                shifted = jnp.roll(maps, (dy, dx), axis=(2, 3))
+                if dy > 0:
+                    shifted = shifted.at[:, :, :dy, :].set(0.0)
+                elif dy < 0:
+                    shifted = shifted.at[:, :, dy:, :].set(0.0)
+                if dx > 0:
+                    shifted = shifted.at[:, :, :, :dx].set(0.0)
+                elif dx < 0:
+                    shifted = shifted.at[:, :, :, dx:].set(0.0)
+                outs.append(shifted.reshape(B, h, N))
+    else:
+        outs = [maps.reshape(B, h, N)] * m
+    return jnp.stack(outs)  # [m, B, h, N]
+
+
+def apply_conv_attn(
+    sim: jnp.ndarray,  # [B, h, N, T] pre-softmax scores
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    slot_map: jnp.ndarray,  # [B, T]
+    hw,
+    ks: int,
+    sim_scale: float,
+    mix_weight: float = 1.0,
+) -> jnp.ndarray:
+    """Replace the subject-slot rows of `sim` with conv-attention scores
+    (mix_weight=1 fully replaces, like the reference call site,
+    `attention.py:208-216`)."""
+    if ks <= 1:
+        return sim
+    m = ks * ks
+    conv = conv_attn_scores(q, k, slot_map, hw, ks, sim_scale)  # [m,B,h,N]
+    onehot = (slot_map[:, :, None] == jnp.arange(m)[None, None]).astype(sim.dtype)
+    conv_sel = jnp.einsum("mbhn,btm->bhnt", conv, onehot)
+    is_subj = ((slot_map >= 0) & (slot_map < m)).astype(sim.dtype)
+    w = mix_weight * is_subj[:, None, None, :]
+    return sim * (1.0 - w) + conv_sel * w

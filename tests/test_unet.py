@@ -134,3 +134,82 @@ def test_ca_layer_map_matches_reference():
     assert CA_LAYER_INDEX == {1: 0, 2: 1, 4: 2, 5: 3, 7: 4, 8: 5, 12: 6, 16: 7,
                               17: 8, 18: 9, 19: 10, 20: 11, 21: 12, 22: 13,
                               23: 14, 24: 15}
+
+
+def test_conv_attention():
+    """Subject rows of the attention scores are replaced by grouped-conv
+    scores (`ldm/util.py:701-882`)."""
+    import jax
+    import jax.numpy as jnp
+
+    from adaface_tpu.ops.attention import apply_conv_attn, conv_attn_scores
+
+    rng = np.random.default_rng(0)
+    B, h, Hh, W, d, T, ks = 2, 4, 8, 8, 16, 16, 2
+    N = Hh * W
+    q = jnp.asarray(rng.standard_normal((B, h, N, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, h, T, d)), jnp.float32)
+    slot = np.full((B, T), -1, np.int32)
+    slot[0, 3:3 + 9] = np.arange(9)  # 9 vectors, only first ks^2=4 used
+    slot[1, 5:5 + 9] = np.arange(9)
+    sim = jnp.asarray(rng.standard_normal((B, h, N, T)), jnp.float32)
+    scale = d ** -0.5
+
+    out = apply_conv_attn(sim, q, k, jnp.asarray(slot), (Hh, W), ks, scale)
+    # non-subject rows untouched
+    np.testing.assert_array_equal(np.asarray(out[0, :, :, 0]),
+                                  np.asarray(sim[0, :, :, 0]))
+    np.testing.assert_array_equal(np.asarray(out[0, :, :, 8]),
+                                  np.asarray(sim[0, :, :, 8]))  # slot 5 >= ks^2
+    # subject rows replaced
+    assert np.abs(np.asarray(out[0, :, :, 3])
+                  - np.asarray(sim[0, :, :, 3])).max() > 1e-6
+
+    # center map equals the direct grouped correlation at interior pixels
+    maps = conv_attn_scores(q, k, jnp.asarray(slot), (Hh, W), ks, scale)
+    assert maps.shape == (4, B, h, N)
+    # hand-compute score at pixel (2,2) head 0 batch 0 for the (0,0) tap:
+    # conv with ks=2 pads (0,1),(0,1): out[y,x] = sum_{dy,dx} k[dy*2+dx]·q[y+dy,x+dx]
+    qg = np.asarray(q[0, 0]).reshape(Hh, W, d)
+    kvecs = [np.asarray(k[0, 0, 3 + m]) for m in range(4)]
+    expect = sum(kvecs[dy * 2 + dx] @ qg[2 + dy, 2 + dx]
+                 for dy in (0, 1) for dx in (0, 1)) * scale / ks ** 1.5
+    got = np.asarray(maps[0, 0, 0]).reshape(Hh, W)[2, 2]
+    np.testing.assert_allclose(got, expect, rtol=1e-4)
+
+    # ks=1 is a no-op
+    same = apply_conv_attn(sim, q, k, jnp.asarray(slot), (Hh, W), 1, scale)
+    np.testing.assert_array_equal(np.asarray(same), np.asarray(sim))
+
+
+def test_unet_conv_attn_forward():
+    import jax
+    import jax.numpy as jnp
+
+    from adaface_tpu.models.unet import UNetConfig, UNetModel
+
+    cfg = UNetConfig(model_channels=32, channel_mult=(1, 2), num_res_blocks=1,
+                     attention_levels=(0, 1), num_heads=4, context_dim=16,
+                     use_flash_attention=False, conv_attn_kernel_size=2)
+    model = UNetModel(cfg)
+    rng = np.random.default_rng(1)
+    B, HW, T = 1, 8, 12
+    x = jnp.asarray(rng.standard_normal((B, HW, HW, 4)), jnp.float32)
+    t = jnp.zeros((B,), jnp.int32)
+    ctx = jnp.asarray(rng.standard_normal((1, B, T, 16)), jnp.float32)
+    slot = np.full((B, T), -1, np.int32)
+    slot[:, 3:7] = np.arange(4)
+    params = model.init(jax.random.PRNGKey(0), x, t, ctx)["params"]
+    out_conv, aux_c = model.apply({"params": params}, x, t, ctx,
+                                  subj_slot_map=jnp.asarray(slot),
+                                  capture=True)
+    out_plain, aux_p = model.apply({"params": params}, x, t, ctx, capture=True)
+    assert np.isfinite(np.asarray(out_conv)).all()
+    # (at init the spatial transformers are zero-initialized no-ops, so
+    # compare the captured attention scores, not eps)
+    layer = sorted(aux_c)[0]
+    sc = np.asarray(aux_c[layer]["attnscore"])
+    sp = np.asarray(aux_p[layer]["attnscore"])
+    # subject rows replaced, non-subject rows identical
+    assert np.abs(sc[..., 3] - sp[..., 3]).max() > 1e-7
+    np.testing.assert_array_equal(sc[..., 0], sp[..., 0])
