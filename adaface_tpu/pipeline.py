@@ -138,6 +138,20 @@ class StableDiffusionPipeline:
                    embedding_manager=EmbeddingManager(),
                    base_sched=make_diffusion_schedule(), dtype=dtype)
 
+    def set_conv_attn_kernel_size(self, ks: int) -> "StableDiffusionPipeline":
+        """Enable subject-token conv attention at inference (the embedding
+        checkpoint's `use_conv_attn_kernel_size`, `embedding_manager.py:1759`).
+        Rebuilds the UNet module with the static kernel size (params are
+        structure-identical) and clears compiled sampler caches."""
+        import dataclasses as _dc
+
+        self.unet = UNetModel(_dc.replace(self.unet.cfg,
+                                          conv_attn_kernel_size=ks),
+                              self.dtype)
+        self.embedding_manager.use_conv_attn_kernel_size = ks
+        self._sample_cache.clear()
+        return self
+
     def cast_params(self, dtype=jnp.bfloat16) -> "StableDiffusionPipeline":
         """Cast the frozen backbone params to `dtype` in place (halves the
         weight HBM traffic for bf16 inference; the hot matmuls already
@@ -249,10 +263,11 @@ class StableDiffusionPipeline:
         sched = make_ddim_schedule(self.base_sched, steps, guidance_scale=guidance)
 
         @jax.jit
-        def run_impl(unet_params, vae_params, ctx_c, ctx_u, x_T):
+        def run_impl(unet_params, vae_params, ctx_c, ctx_u, x_T, slot_map):
             def unet_apply(x, t, ctx, ctx_k):
                 return self.unet.apply({"params": unet_params}, x, t, ctx,
-                                       context_k=ctx_k)
+                                       context_k=ctx_k,
+                                       subj_slot_map=slot_map)
 
             eps_fn = make_cfg_eps_fn(unet_apply, ctx_c, ctx_u)
             if sampler == "plms":
@@ -265,8 +280,9 @@ class StableDiffusionPipeline:
                                   method=AutoencoderKL.decode)
             return jnp.clip((imgs + 1.0) / 2.0, 0.0, 1.0)
 
-        def run(ctx_c, ctx_u, x_T):
-            return run_impl(self.unet_params, self.vae_params, ctx_c, ctx_u, x_T)
+        def run(ctx_c, ctx_u, x_T, slot_map):
+            return run_impl(self.unet_params, self.vae_params, ctx_c, ctx_u,
+                            x_T, slot_map)
 
         self._sample_cache[sig] = run
         return run
@@ -344,5 +360,17 @@ class StableDiffusionPipeline:
         x_T = jax.random.normal(jax.random.PRNGKey(seed),
                                 (b, lh, lw, self.unet.cfg.in_channels), jnp.float32)
         run = self._get_sampler_fn(b, (lh, lw), num_steps, guidance_scale, sampler)
-        imgs = run(ctx_c, ctx_u, x_T)
+        # CFG doubles the batch inside make_cfg_eps_fn (cond; uncond): the
+        # uncond half carries no subject tokens -> slot -1
+        ids = self.tokenizer(list(prompts))
+        sm = self.embedding_manager.build_slot_maps(ids)
+        if sm and self.unet.cfg.conv_attn_kernel_size > 1:
+            subj = next((s for s, i in self.embedding_manager.placeholders.items()
+                         if not i.is_background), None)
+            cond_map = np.asarray(sm[subj]) if subj else np.full(ids.shape, -1)
+            slot_map = jnp.asarray(
+                np.concatenate([cond_map, np.full_like(cond_map, -1)]))
+        else:
+            slot_map = jnp.full((2 * b, ids.shape[1]), -1, jnp.int32)
+        imgs = run(ctx_c, ctx_u, x_T, slot_map)
         return np.asarray((imgs * 255).astype(jnp.uint8))

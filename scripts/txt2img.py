@@ -102,6 +102,9 @@ def build_pipeline(opt):
         else:
             pipe.embedding_manager.load_reference_checkpoint(
                 path, token_id_resolver=tok.add_placeholder)
+    if pipe.embedding_manager.use_conv_attn_kernel_size > 1:
+        pipe.set_conv_attn_kernel_size(
+            pipe.embedding_manager.use_conv_attn_kernel_size)
     if not opt.embedding_paths:
         # fresh placeholder so personalized prompts still tokenize
         import jax
