@@ -28,19 +28,36 @@ from adaface_tpu.ops.basic import group_norm
 VMEM_BUDGET_BYTES = 12 * 1024 * 1024  # leave headroom below ~16 MB/core
 
 
+_ROW_CHUNK = 512
+
+
 def _gn_silu_kernel(x_ref, scale_ref, bias_ref, gmat_ref, o_ref, *,
-                    inv_count: float, eps: float, apply_silu: bool):
-    # x_ref: [1, N, C]; gmat_ref: [C, G] one-hot group membership.
-    # Group stats via matmuls keep every array lane-aligned on C — no
-    # in-kernel reshape to the (unaligned) per-group channel width.
-    x = x_ref[0].astype(jnp.float32)
+                    inv_count: float, eps: float, apply_silu: bool,
+                    num_chunks: int):
+    # x_ref: [1, N, C] (module dtype, resident in VMEM once);
+    # gmat_ref: [C, G] one-hot group membership. Group stats via matmuls
+    # keep every array lane-aligned on C — no in-kernel reshape to the
+    # (unaligned) per-group channel width. Row-chunked loops keep the fp32
+    # working set small (a full fp32 cast + x*x of a 4096x320 slab blows
+    # the ~16 MB scoped-vmem limit).
     gmat = gmat_ref[...].astype(jnp.float32)  # [C, G]
-    sums = jax.lax.dot_general(x, gmat, (((1,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)  # [N, G]
-    sums = jnp.sum(sums, axis=0, keepdims=True)  # [1, G]
-    sumsq = jax.lax.dot_general(x * x, gmat, (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-    sumsq = jnp.sum(sumsq, axis=0, keepdims=True)
+    G = gmat.shape[1]
+    n = x_ref.shape[1]
+    chunk = n // num_chunks
+
+    def stats_body(i, carry):
+        s, ss = carry
+        xb = x_ref[0, pl.ds(i * chunk, chunk), :].astype(jnp.float32)
+        s = s + jnp.sum(jax.lax.dot_general(
+            xb, gmat, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32), axis=0, keepdims=True)
+        ss = ss + jnp.sum(jax.lax.dot_general(
+            xb * xb, gmat, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32), axis=0, keepdims=True)
+        return s, ss
+
+    z = jnp.zeros((1, G), jnp.float32)
+    sums, sumsq = jax.lax.fori_loop(0, num_chunks, stats_body, (z, z))
     mean_g = sums * inv_count  # [1, G]
     var_g = sumsq * inv_count - mean_g * mean_g
     inv_g = jax.lax.rsqrt(var_g + eps)
@@ -49,19 +66,30 @@ def _gn_silu_kernel(x_ref, scale_ref, bias_ref, gmat_ref, o_ref, *,
                                  preferred_element_type=jnp.float32)
     inv_c = jax.lax.dot_general(inv_g, gmat.T, (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-    out = (x - mean_c) * inv_c
-    out = out * scale_ref[0].astype(jnp.float32) + bias_ref[0].astype(jnp.float32)
-    if apply_silu:
-        out = out * jax.nn.sigmoid(out)
-    o_ref[0] = out.astype(o_ref.dtype)
+    sc = scale_ref[0].astype(jnp.float32) * inv_c
+    sh = bias_ref[0].astype(jnp.float32) - mean_c * sc
+
+    def write_body(i, _):
+        xb = x_ref[0, pl.ds(i * chunk, chunk), :].astype(jnp.float32)
+        out = xb * sc + sh
+        if apply_silu:
+            out = out * jax.nn.sigmoid(out)
+        o_ref[0, pl.ds(i * chunk, chunk), :] = out.astype(o_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, num_chunks, write_body, 0)
 
 
 def _fused_forward(x3, scale, bias, num_groups, eps, apply_silu):
     b, n, c = x3.shape
     cg = c // num_groups
     gmat = jnp.repeat(jnp.eye(num_groups, dtype=x3.dtype), cg, axis=0)  # [C, G]
+    num_chunks = max(1, n // _ROW_CHUNK)
+    while n % num_chunks:
+        num_chunks -= 1
     kernel = functools.partial(_gn_silu_kernel, inv_count=1.0 / (n * cg),
-                               eps=eps, apply_silu=apply_silu)
+                               eps=eps, apply_silu=apply_silu,
+                               num_chunks=num_chunks)
     interpret = jax.devices()[0].platform != "tpu"
     return pl.pallas_call(
         kernel,

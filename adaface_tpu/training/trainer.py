@@ -164,6 +164,43 @@ class Trainer:
         print(f"saved {path}", flush=True)
         return path
 
+    # ------------------------------------------------------ full train state
+    def save_state(self, path: Optional[str] = None) -> str:
+        """Full resumable state: embedders + optimizer state + step + host
+        RNG. The reference's Lightning `last.ckpt` analog (`main.py:800-818`);
+        `save_checkpoint` remains the pruned, embeddings-only artifact (the
+        `ldm/pruner.py` equivalent)."""
+        import pickle
+
+        path = path or os.path.join(self.cfg.logdir, "train_state.pkl")
+        state = {
+            "global_step": self.global_step,
+            "embedders": jax.device_get(self.mgr.embedders),
+            "opt_state": jax.device_get(self.opt_state),
+            "rng_state": self.rng.bit_generator.state,
+            "dataset_rng_state": self.dataset.rng.bit_generator.state,
+        }
+        with open(path, "wb") as f:
+            pickle.dump(state, f)
+        print(f"saved train state {path} (step {self.global_step})", flush=True)
+        return path
+
+    def load_state(self, path: str):
+        import pickle
+
+        with open(path, "rb") as f:
+            state = pickle.load(f)
+        self.global_step = state["global_step"]
+        self.mgr.embedders = jax.tree_util.tree_map(jnp.asarray,
+                                                    state["embedders"])
+        self.opt_state = jax.tree_util.tree_map(
+            lambda x: jnp.asarray(x) if hasattr(x, "dtype") else x,
+            state["opt_state"])
+        self.rng.bit_generator.state = state["rng_state"]
+        self.dataset.rng.bit_generator.state = state["dataset_rng_state"]
+        print(f"resumed from {path} at step {self.global_step}", flush=True)
+        return self
+
     # ----------------------------------------------------------- batch prep
     def _draw_examples(self, n: int):
         subj = self.sampler.sample()
@@ -395,6 +432,7 @@ class Trainer:
                     self._sig_ckpt_requested = False
                 if self.global_step % self.cfg.ckpt_every_steps == 0:
                     self.save_checkpoint()
+                    self.save_state()
         except KeyboardInterrupt:
             # checkpoint on interrupt, like `main.py:559-563`
             self.save_checkpoint("interrupted")

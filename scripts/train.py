@@ -46,6 +46,8 @@ def parse_args(argv=None):
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--tiny", action="store_true",
                    help="tiny random models (CPU smoke/verify mode)")
+    p.add_argument("--resume", "-r", type=str, default=None,
+                   help="train_state.pkl to resume from")
     p.add_argument("overrides", nargs="*", default=[],
                    help="dotlist config overrides a.b=c")
     return p.parse_args(argv)
@@ -135,7 +137,10 @@ def main(opt):
         composition_regs_iter_gap=opt.composition_regs_iter_gap,
         max_steps=opt.max_steps)
     trainer = Trainer(pipe, dataset, tcfg, pcfg)
+    if opt.resume:
+        trainer.load_state(opt.resume)
     trainer.fit()
+    trainer.save_state()
     return 0
 
 
