@@ -48,6 +48,11 @@ def parse_args(argv=None):
                    help="tiny random models (CPU smoke/verify mode)")
     p.add_argument("--resume", "-r", type=str, default=None,
                    help="train_state.pkl to resume from")
+    p.add_argument("--dreambooth", action="store_true",
+                   help="DreamBooth baseline (main_db.py analog)")
+    p.add_argument("--reg_data_root", type=str, default=None,
+                   help="class regularization image folder (dreambooth)")
+    p.add_argument("--db_reg_weight", type=float, default=1.0)
     p.add_argument("overrides", nargs="*", default=[],
                    help="dotlist config overrides a.b=c")
     return p.parse_args(argv)
@@ -136,11 +141,70 @@ def main(opt):
     pcfg = IterPlanConfig(
         composition_regs_iter_gap=opt.composition_regs_iter_gap,
         max_steps=opt.max_steps)
+    if opt.dreambooth:
+        return run_dreambooth(opt, pipe, tok)
     trainer = Trainer(pipe, dataset, tcfg, pcfg)
     if opt.resume:
         trainer.load_state(opt.resume)
     trainer.fit()
     trainer.save_state()
+    return 0
+
+
+def run_dreambooth(opt, pipe, tok):
+    """DreamBooth baseline loop (`main_db.py`): subject recon + weighted
+    class-prior preservation, AdamW, no iteration-type machine."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from adaface_tpu.data.personalized_db import DreamBoothDataset
+    from adaface_tpu.models.vae import SD_VAE_SCALE_FACTOR, AutoencoderKL
+    from adaface_tpu.training.train_step import (
+        DreamBoothBatch, ReconBatch, make_dreambooth_train_step,
+    )
+
+    assert opt.reg_data_root, "--dreambooth needs --reg_data_root"
+    ds = DreamBoothDataset(opt.data_root, opt.reg_data_root,
+                           placeholder=opt.subject_string,
+                           class_word=opt.cls_delta_string,
+                           size=opt.size, seed=opt.seed)
+    mgr = pipe.embedding_manager
+    optimizer = optax.chain(optax.clip_by_global_norm(0.5),
+                            optax.adamw(opt.lr))
+    opt_state = optimizer.init(mgr.embedders)
+    step = jax.jit(make_dreambooth_train_step(
+        pipe.clip, pipe.clip_params, pipe.unet, pipe.unet_params,
+        pipe.base_sched, optimizer, skip_weights=pipe.skip_weights,
+        db_reg_weight=opt.db_reg_weight))
+    encode = jax.jit(lambda params, x: pipe.vae.apply(
+        {"params": params}, x, method=AutoencoderKL.encode))
+    rng = np.random.default_rng(opt.seed)
+    os.makedirs(opt.logdir, exist_ok=True)
+
+    def mk_recon(e):
+        lat = encode(pipe.vae_params, jnp.asarray(e["image"][None]))[0] \
+            * SD_VAE_SCALE_FACTOR
+        ids = pipe.tokenizer([e["caption"]])
+        slots = mgr.build_slot_maps(ids)
+        return ReconBatch(
+            latents=lat, token_ids=jnp.asarray(ids),
+            slot_maps={k: jnp.asarray(v) for k, v in slots.items()},
+            fg_mask=None,
+            timesteps=jnp.asarray(rng.integers(0, 1000, 1), jnp.int32),
+            noise=jnp.asarray(rng.standard_normal(lat.shape), jnp.float32))
+
+    for i in range(opt.max_steps):
+        tr, rg = ds.draw_pair()
+        batch = DreamBoothBatch(train=mk_recon(tr), reg=mk_recon(rg))
+        mgr.embedders, opt_state, m = step(mgr.embedders, opt_state, batch)
+        if i % 10 == 0:
+            print(f"[db {i}/{opt.max_steps}] loss={float(m['loss']):.4f} "
+                  f"recon={float(m['recon']):.4f} reg={float(m['db_reg']):.4f}",
+                  flush=True)
+    mgr.save_native(os.path.join(opt.logdir, "embeddings_last.npz"))
+    print(f"saved {opt.logdir}/embeddings_last.npz")
     return 0
 
 
