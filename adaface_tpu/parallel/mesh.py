@@ -64,3 +64,46 @@ def shard_batch(mesh: Mesh, tree):
 def replicate_params(mesh: Mesh, params):
     rep = replicated(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), params)
+
+
+# ----------------------------------------------------------- tensor parallel
+
+def _match(path: str, *subs: str) -> bool:
+    return any(s in path for s in subs)
+
+
+def param_sharding_rules(mesh: Mesh, params, kind: str = "unet"):
+    """PartitionSpec tree for tensor-sharding the matmul-heavy params over
+    the `tp` axis (Megatron-style column/row split around each attention
+    and MLP pair): q/k/v + MLP-in kernels shard the OUTPUT feature dim,
+    out-proj + MLP-out kernels shard the INPUT dim, so each attention/MLP
+    pair needs one all-reduce that XLA inserts automatically. Convs, norms
+    and embeddings replicate (they are bandwidth-, not compute-, bound).
+
+    Works for both the UNet ('to_q/to_k/to_v/to_out', 'ff_in/ff_out') and
+    the CLIP towers ('q_proj/k_proj/v_proj/out_proj', 'fc1/fc2').
+    """
+    col = NamedSharding(mesh, P(None, "tp"))  # shard output features
+    row = NamedSharding(mesh, P("tp", None))  # shard input features
+    rep = replicated(mesh)
+
+    def rule(path_tuple, leaf):
+        path = "/".join(str(getattr(p, "key", p)) for p in path_tuple)
+        if not hasattr(leaf, "ndim") or leaf.ndim != 2:
+            return rep
+        if _match(path, "to_q/", "to_k/", "to_v/", "ff_in/",
+                  "q_proj/", "k_proj/", "v_proj/", "fc1/"):
+            return col
+        if _match(path, "to_out/", "ff_out/", "out_proj/", "fc2/"):
+            return row
+        return rep
+
+    return jax.tree_util.tree_map_with_path(rule, params)
+
+
+def shard_params(mesh: Mesh, params, kind: str = "unet"):
+    """Device-put params with tensor-parallel shardings (falls back to
+    replication for anything unmatched). Shardable dims must divide the tp
+    size — true for SD's head counts/MLP widths on tp in {2, 4, 8}."""
+    rules = param_sharding_rules(mesh, params, kind)
+    return jax.tree_util.tree_map(jax.device_put, params, rules)
