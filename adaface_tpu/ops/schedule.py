@@ -61,7 +61,10 @@ def make_ddim_timesteps(
         steps = (np.linspace(0, np.sqrt(num_ddpm_timesteps * 0.8), num_ddim_timesteps) ** 2).astype(int)
     else:
         raise ValueError(f"unknown ddim discretization {method!r}")
-    return steps + 1
+    # the +1 offset can land exactly on num_ddpm for non-divisor step counts
+    # (e.g. 3 of 1000 -> [..., 1000]); the reference would index out of
+    # bounds there (`util.py:48-76` only ever sees divisor counts) — clip.
+    return np.unique(np.minimum(steps + 1, num_ddpm_timesteps - 1))
 
 
 @struct.dataclass
