@@ -497,3 +497,37 @@ def comp_fg_bg_preserve_loss(ca_outfeats: dict, ca_qs: dict,
             l_mix_sup.append(w * masked_mean(subj_attn[3:4] ** 2, mc_bg[:, None]))
     return (normalized_sum(l_map), normalized_sum(l_fg), normalized_sum(l_bg),
             normalized_sum(l_subj_sup), normalized_sum(l_mix_sup))
+
+
+def padding_embs_align_loss(
+    prompt_embs: jnp.ndarray,  # [L, B, T, D] encoded prompt embeddings
+    prompt_emb_mask: jnp.ndarray,  # [B, T] 1 = real token
+    subj_token_mask: jnp.ndarray,  # [B, T] 1 = subject slot
+    bg_token_mask: Optional[jnp.ndarray] = None,  # [B, T]
+    subj_contrast_paddings_grad_scale: float = 0.02,
+    subj_contrast_bg_grad_scale: float = 0.3,
+):
+    """Padding/background embeddings pushed orthogonal to the (summed)
+    subject embedding (`calc_padding_embs_align_loss`, `ddpm.py:4634-4779`;
+    marked DISABLED there — provided for parity, off by default in our
+    trainer too). Returns (padding_align, bg_subj_align)."""
+    # summed subject embedding per instance: [L?, B, 1, D] -> use [B, L, D]
+    subj_sum = jnp.einsum("lbtd,bt->bld", prompt_embs.astype(jnp.float32),
+                          subj_token_mask.astype(jnp.float32))
+    pad_mask = (1.0 - prompt_emb_mask.astype(jnp.float32)).at[:, 0].set(0.0)
+
+    def contrast(token_mask, subj_grad_scale):
+        subj = grad_scale(subj_sum, subj_grad_scale)  # [B, L, D]
+        # per-token cosine vs the subject embedding; weight by the mask
+        embs = jnp.transpose(prompt_embs, (1, 2, 0, 3)).astype(jnp.float32)
+        # [B, T, L, D] vs [B, 1, L, D]
+        return ref_cosine_loss(
+            embs, subj[:, None], emb_weights=token_mask[:, :, None],
+            exponent=2.0, do_demean_first=True, ref_grad_scale=1.0,
+            aim_to_align=False)
+
+    loss_pad = contrast(pad_mask, subj_contrast_paddings_grad_scale)
+    loss_bg = (contrast(bg_token_mask.astype(jnp.float32),
+                        subj_contrast_bg_grad_scale)
+               if bg_token_mask is not None else jnp.asarray(0.0))
+    return loss_pad, loss_bg

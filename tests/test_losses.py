@@ -284,3 +284,28 @@ def test_comp_fg_bg_preserve_loss_runs():
                                               jnp.asarray(subj_mask)))
     g = jax.grad(f)(outfeats[16])
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_padding_embs_align_loss():
+    rng = np.random.default_rng(12)
+    Lz, B, T, D = 4, 2, 10, 8
+    embs = jnp.asarray(rng.standard_normal((Lz, B, T, D)), jnp.float32)
+    prompt_mask = np.zeros((B, T), np.float32)
+    prompt_mask[:, :6] = 1.0  # tokens 6.. are padding
+    subj_mask = np.zeros((B, T), np.float32)
+    subj_mask[:, 2:4] = 1.0
+    bg_mask = np.zeros((B, T), np.float32)
+    bg_mask[:, 5] = 1.0
+    lp, lb = L.padding_embs_align_loss(embs, jnp.asarray(prompt_mask),
+                                       jnp.asarray(subj_mask),
+                                       jnp.asarray(bg_mask))
+    assert np.isfinite(float(lp)) and np.isfinite(float(lb))
+    # paddings identical to the subject embedding -> maximal loss
+    subj_sum = np.einsum("lbtd,bt->bld", np.asarray(embs), subj_mask)
+    embs2 = np.asarray(embs).copy()
+    for t in range(6, T):
+        embs2[:, :, t] = subj_sum.transpose(1, 0, 2)
+    lp2, _ = L.padding_embs_align_loss(jnp.asarray(embs2),
+                                       jnp.asarray(prompt_mask),
+                                       jnp.asarray(subj_mask))
+    assert float(lp2) > float(lp)
