@@ -44,6 +44,12 @@ class IterPlanConfig:
     do_zero_shot: bool = True
     # multi-step arc2face distillation: 1/3/5/7 teacher steps (`:1835-1878`)
     arc2face_denoising_steps: tuple = (1, 3, 5, 7)
+    # annealed embedding-noise injection (`v1-finetune-ada.yaml:96-101`,
+    # `anneal_add_noise_to_embedding`, `ldm/util.py:2384-2399`)
+    emb_noise_begin_std_range: tuple = (0.02, 0.04)
+    emb_noise_end_std_range: tuple = (0.02, 0.04)
+    emb_noise_prob: dict = dataclasses.field(default_factory=lambda: {
+        RECON: 0.6, ARC2FACE_DISTILL: 0.0, COMPOS_DISTILL: 0.4})
 
 
 @dataclasses.dataclass
@@ -62,6 +68,7 @@ class IterPlan:
     gen_arc2face_rand_face: bool = False
     add_noise_to_real_id_embs: bool = False
     num_denoising_steps: int = 1
+    emb_noise_std: float = 0.0  # 0 = no noise this iteration
 
 
 def anneal_value(training_percent: float, final_percent: float,
@@ -90,6 +97,22 @@ def probably_anneal_t(t: np.ndarray, training_percent: float,
     return rng.integers(lo, hi)
 
 
+def sample_emb_noise_std(rng: np.random.Generator, plan: "IterPlan",
+                         cfg: IterPlanConfig) -> float:
+    """Host half of `anneal_add_noise_to_embedding`: the std (or 0) for
+    this iteration; the relative-std noise applies in-graph."""
+    prob = cfg.emb_noise_prob.get(plan.iter_type, 0.0)
+    if rng.random() > prob:
+        return 0.0
+    lb = anneal_value(plan.training_percent, 1.0,
+                      (cfg.emb_noise_begin_std_range[0],
+                       cfg.emb_noise_end_std_range[0]))
+    ub = anneal_value(plan.training_percent, 1.0,
+                      (cfg.emb_noise_begin_std_range[1],
+                       cfg.emb_noise_end_std_range[1]))
+    return float(rng.uniform(lb, ub))
+
+
 def plan_iteration(rng: np.random.Generator, global_step: int,
                    cfg: IterPlanConfig) -> IterPlan:
     """One host-side dice roll (`training_step`, `ddpm.py:519-576` +
@@ -109,6 +132,7 @@ def plan_iteration(rng: np.random.Generator, global_step: int,
                              and rng.random() < cfg.p_use_fp_trick)
         plan.use_background_token = (
             rng.random() < cfg.p_use_background_token_compos)
+        plan.emb_noise_std = sample_emb_noise_std(rng, plan, cfg)
         return plan
 
     # arc2face distillation iters carved out of recon iters (`:572-576`)
@@ -121,11 +145,13 @@ def plan_iteration(rng: np.random.Generator, global_step: int,
                 rng.random() < cfg.p_add_noise_to_real_id_embs)
         plan.num_denoising_steps = int(
             rng.choice(np.asarray(cfg.arc2face_denoising_steps)))
+        plan.emb_noise_std = sample_emb_noise_std(rng, plan, cfg)
         return plan
 
     plan.iter_type = RECON
     plan.use_background_token = (
         rng.random() < cfg.p_use_background_token_recon)
+    plan.emb_noise_std = sample_emb_noise_std(rng, plan, cfg)
     return plan
 
 

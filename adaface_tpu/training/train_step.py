@@ -39,6 +39,10 @@ class ReconBatch(NamedTuple):
     fg_mask: Optional[jnp.ndarray]  # [B, h, w, 1] or None
     timesteps: jnp.ndarray  # [B] host-sampled (annealed upward, ddpm.py:2847)
     noise: jnp.ndarray  # [B, h, w, 4]
+    # annealed embedding noise (host-sampled std, 0 disables; applied
+    # in-graph to the subject embeddings, `embedding_manager.py:1528-1538`)
+    emb_noise_std: Optional[jnp.ndarray] = None  # scalar
+    emb_noise_key: Optional[jnp.ndarray] = None  # PRNG key
 
 
 def make_recon_train_step(
@@ -57,9 +61,16 @@ def make_recon_train_step(
     (`ddpm.py:519-576` + `shared_step` recon branch)."""
 
     def loss_fn(embedders, batch: ReconBatch):
+        from adaface_tpu.ops.grad import add_noise_to_tensor
+
         embedded = clip.apply({"params": clip_params}, batch.token_ids,
                               method=CLIPTextEncoder.embed_tokens)
         subj = {s: compute_static_embedding(p) for s, p in embedders.items()}
+        if batch.emb_noise_std is not None and batch.emb_noise_key is not None:
+            subj = {s: add_noise_to_tensor(
+                jax.random.fold_in(batch.emb_noise_key, i), e,
+                batch.emb_noise_std, noise_std_is_relative=True)
+                for i, (s, e) in enumerate(sorted(subj.items()))}
         patched = EmbeddingManager.patch_prompt_embeddings(
             embedded, batch.slot_maps, subj)
         L, B, T, D = patched.shape

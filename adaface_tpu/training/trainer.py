@@ -237,13 +237,19 @@ class Trainer:
         key = "caption_bg" if plan.use_background_token else "caption"
         ids, slots = self._prompt_batch(ex, key)
         t = sample_timesteps(self.rng, plan, B, self.plan_cfg)
+        noise_kw = {}
+        if plan.emb_noise_std > 0:
+            noise_kw = dict(
+                emb_noise_std=jnp.asarray(plan.emb_noise_std, jnp.float32),
+                emb_noise_key=jax.random.PRNGKey(
+                    int(self.rng.integers(2 ** 31))))
         batch = ReconBatch(
             latents=latents,
             token_ids=ids, slot_maps=slots,
             fg_mask=jnp.asarray(self._mask_to_latent(batch_np["fg_mask"], lh, lw)),
             timesteps=jnp.asarray(t, jnp.int32),
             noise=jnp.asarray(self.rng.standard_normal(latents.shape),
-                              jnp.float32))
+                              jnp.float32), **noise_kw)
         self.mgr.embedders, self.opt_state, metrics = self._steps[RECON](
             self.mgr.embedders, self.opt_state, batch)
         return metrics
