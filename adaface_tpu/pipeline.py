@@ -86,7 +86,12 @@ class StableDiffusionPipeline:
         # actually exercise the conditioning path.
         def _fill_zeros(path, leaf):
             if leaf.ndim >= 2 and not jnp.any(leaf):
-                seed = abs(hash("/".join(str(p) for p in path))) % (2**31)
+                import hashlib
+
+                name = "/".join(str(p) for p in path).encode()
+                # md5, not hash(): python string hashing is salted per
+                # process, which made 'random' weights differ run-to-run
+                seed = int(hashlib.md5(name).hexdigest()[:8], 16)
                 return jax.random.normal(jax.random.PRNGKey(seed), leaf.shape,
                                          leaf.dtype) * 0.02
             return leaf
