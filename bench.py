@@ -47,6 +47,14 @@ def main():
     run(0)  # compile + first run
     compile_s = time.time() - t0
 
+    # optional xprof trace (the aux tracing/profiling subsystem; the
+    # reference only logs epoch wall time + peak memory, `main.py:702-722`)
+    trace_dir = os.environ.get("ADAFACE_TRACE_DIR")
+    if trace_dir:
+        with jax.profiler.trace(trace_dir):
+            run(99)
+        print(f"# xprof trace written to {trace_dir}", file=sys.stderr)
+
     times = []
     for i in range(3):
         t0 = time.time()
