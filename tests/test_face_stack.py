@@ -237,3 +237,70 @@ def test_face_app_full_image():
     # deterministic
     emb2 = app.embed_image(img)
     np.testing.assert_allclose(emb, emb2, atol=1e-6)
+
+
+# ------------------------------------------------------------- RetinaFace
+
+def test_retinaface_priors_and_forward():
+    from adaface_tpu.models.retinaface import (
+        RetinaFace, RetinaFaceDetector, make_priors,
+    )
+
+    model = RetinaFace()
+    x = jnp.zeros((1, 160, 160, 3))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    outs = model.apply(variables, x)
+    n = sum(o[0].shape[1] for o in outs)
+    assert n == len(make_priors(160, 160))
+    det = RetinaFaceDetector(model, dict(variables), input_size=160,
+                             score_thresh=0.99)
+    rng = np.random.default_rng(0)
+    faces = det(rng.integers(0, 255, (200, 160, 3)).astype(np.uint8))
+    assert isinstance(faces, list)  # high threshold: likely empty, no crash
+
+
+def test_retinaface_decode_roundtrip():
+    from adaface_tpu.models.retinaface import (
+        decode_boxes, decode_landmarks, make_priors,
+    )
+
+    priors = make_priors(160, 160)
+    # zero regression -> boxes centered on the priors
+    boxes = decode_boxes(np.zeros((len(priors), 4), np.float32), priors)
+    np.testing.assert_allclose(boxes[:, 2] - boxes[:, 0], priors[:, 2],
+                               rtol=1e-5)
+    centers = (boxes[:, :2] + boxes[:, 2:]) / 2
+    np.testing.assert_allclose(centers, priors[:, :2], atol=1e-6)
+    lms = decode_landmarks(np.zeros((len(priors), 10), np.float32), priors)
+    np.testing.assert_allclose(lms, np.broadcast_to(
+        priors[:, None, :2], lms.shape), atol=1e-6)
+
+
+def test_retinaface_nms():
+    from adaface_tpu.models.retinaface import nms
+
+    boxes = np.asarray([[0, 0, 10, 10], [1, 1, 11, 11], [20, 20, 30, 30]],
+                       np.float32)
+    keep = nms(boxes, np.asarray([0.9, 0.8, 0.7]), thresh=0.4)
+    assert keep == [0, 2]
+    # ordering by score
+    keep2 = nms(boxes, np.asarray([0.1, 0.9, 0.7]), thresh=0.4)
+    assert keep2 == [1, 2]
+
+
+def test_face_app_with_retinaface():
+    from adaface_tpu.models.retinaface import RetinaFace, RetinaFaceDetector
+
+    model = RetinaFace()
+    variables = model.init(jax.random.PRNGKey(1), jnp.zeros((1, 160, 160, 3)))
+    det = RetinaFaceDetector(model, dict(variables), input_size=160,
+                             score_thresh=0.3)
+    cfg = IResNetConfig.tiny()
+    rec = IResNet(cfg)
+    params = rec.init(jax.random.PRNGKey(2),
+                      jnp.zeros((1, cfg.input_size, cfg.input_size, 3)))["params"]
+    app = FaceApp(rec, params, detect_fn=det)
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 255, (200, 200, 3)).astype(np.uint8)
+    emb = app.embed_image(img)  # may be None (random net) — just no crash
+    assert emb is None or emb.shape == (cfg.emb_dim,)
