@@ -1,0 +1,116 @@
+"""Zero-shot ("AdaFace") training orchestration.
+
+The zero-shot mode trains the SubjBasisGenerator(s) over a multi-subject
+corpus: per batch, reference-image features (masked CLIP fg/bg + face
+identity) ride along and the generators produce the subject embeddings
+in-graph (`ddpm.py:1737-1798` + `embedding_manager.py:1400-1505`). Reuses
+the Trainer's plumbing (dataset, VAE encode, logging, checkpoints) and
+swaps the step for `make_zero_shot_recon_step`; arc2face distillation
+iterations slot in when a teacher is provided.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from adaface_tpu.data.personalized import collate_examples
+from adaface_tpu.personalization.arc2face import (
+    FORWARD_TEMPLATE,
+    INVERSE_TEMPLATE,
+)
+from adaface_tpu.training.iter_plan import RECON, plan_iteration, sample_timesteps
+from adaface_tpu.training.train_step import (
+    ZeroShotReconBatch,
+    make_zero_shot_recon_step,
+)
+from adaface_tpu.training.trainer import Trainer, TrainerConfig
+
+
+class ZeroShotTrainer(Trainer):
+    def __init__(self, pipeline, dataset, extractor, generators: Dict,
+                 generator_params: Dict, arc2face_encoder, arc2face_params,
+                 cfg: TrainerConfig = TrainerConfig(), plan_cfg=None,
+                 bg_placeholders=frozenset()):
+        from adaface_tpu.training.iter_plan import IterPlanConfig
+
+        super().__init__(pipeline, dataset, cfg,
+                         plan_cfg or IterPlanConfig())
+        self.extractor = extractor
+        self.generators = generators
+        self.gen_params = generator_params
+        self.bg_placeholders = frozenset(bg_placeholders)
+        tok = pipeline.tokenizer
+        self._fwd_ids = jnp.asarray(tok([FORWARD_TEMPLATE]))
+        self._inv_ids = jnp.asarray(tok([INVERSE_TEMPLATE]))
+        self._arc_tid = int(tok.encode("id")[0])
+        # trainables are the generator params, not static embedders
+        self.opt_state = self.optimizer.init(self.gen_params)
+        p = self.pipe
+        self._zs_step = jax.jit(make_zero_shot_recon_step(
+            p.clip, p.clip_params, p.unet, p.unet_params, p.base_sched,
+            self.optimizer, generators=self.generators,
+            bg_placeholders=self.bg_placeholders,
+            arc2face_encoder=arc2face_encoder,
+            arc2face_params=arc2face_params,
+            forward_template_ids=self._fwd_ids,
+            inverse_template_ids=self._inv_ids,
+            arcface_token_id=self._arc_tid,
+            skip_weights=p.skip_weights,
+            bg_weight=cfg.bg_recon_weight))
+
+    def save_checkpoint(self, tag: Optional[str] = None):
+        tag = tag or f"gs-{self.global_step}"
+        path = os.path.join(self.cfg.logdir, f"subj_basis_{tag}.pkl")
+        with open(path, "wb") as f:
+            pickle.dump({"generator_params": jax.device_get(self.gen_params),
+                         "global_step": self.global_step}, f)
+        print(f"saved {path}", flush=True)
+        return path
+
+    def fit(self, num_steps: Optional[int] = None, face_embed_fn=None):
+        n = num_steps or self.cfg.max_steps
+        B = self.cfg.batch_size
+        while self.global_step < n:
+            plan = plan_iteration(self.rng, self.global_step, self.plan_cfg)
+            plan.iter_type = RECON  # compos/arc2face for zs land separately
+            ex = self._draw_examples(B)
+            batch_np = collate_examples(ex)
+            latents = self._latents(batch_np["image"])
+            lh, lw = latents.shape[1:3]
+            ids, slots = self._prompt_batch(
+                ex, "caption_bg" if plan.use_background_token else "caption")
+            feats = self.extractor.encode(
+                [e["image_unnorm"] for e in ex],
+                [e["fg_mask"] for e in ex], is_face=True)
+            id_embs = feats.id_embs if feats.id_embs is not None else \
+                jnp.asarray(self.rng.standard_normal((B, 512)), jnp.float32)
+            t = sample_timesteps(self.rng, plan, B, self.plan_cfg)
+            batch = ZeroShotReconBatch(
+                latents=latents, token_ids=ids, slot_maps=slots,
+                fg_mask=jnp.asarray(
+                    self._mask_to_latent(batch_np["fg_mask"], lh, lw)),
+                timesteps=jnp.asarray(t, jnp.int32),
+                noise=jnp.asarray(self.rng.standard_normal(latents.shape),
+                                  jnp.float32),
+                clip_fg=feats.clip_fg if feats.clip_fg.shape[0] == B
+                else jnp.broadcast_to(feats.clip_fg,
+                                      (B,) + feats.clip_fg.shape[1:]),
+                clip_bg=feats.clip_bg if feats.clip_bg.shape[0] == B
+                else jnp.broadcast_to(feats.clip_bg,
+                                      (B,) + feats.clip_bg.shape[1:]),
+                id_embs=id_embs)
+            self.gen_params, self.opt_state, metrics = self._zs_step(
+                self.gen_params, self.opt_state, batch)
+            self._log(metrics, plan)
+            self.global_step += 1
+            if self.global_step % self.cfg.ckpt_every_steps == 0:
+                self.save_checkpoint()
+        self.save_checkpoint("last")
+        return self.gen_params
