@@ -38,7 +38,11 @@ def add_noise_to_tensor(key: jax.Array, ts: jnp.ndarray, noise_std: float,
                         std_dim: int = -1, norm_dim: int = -1) -> jnp.ndarray:
     """Port of `ldm/util.py:2364-2379` (relative-std gaussian perturbation)."""
     if noise_std_is_relative:
-        noise_std = noise_std * jnp.mean(jnp.std(ts, axis=std_dim))
+        # the reference DETACHES the measured std (`:2367` .detach()) — it is
+        # a magnitude reference; without the stop_gradient, rows with ~zero
+        # variance produce NaN std-gradients
+        noise_std = noise_std * jax.lax.stop_gradient(
+            jnp.mean(jnp.std(ts, axis=std_dim)))
     noise = jax.random.normal(key, ts.shape, ts.dtype) * noise_std
     if keep_norm:
         orig_norm = jnp.linalg.norm(ts, axis=norm_dim, keepdims=True)

@@ -70,6 +70,12 @@ class TrainerConfig:
     ckpt_every_steps: int = 500
     log_every_steps: int = 10
     bg_recon_weight: float = 0.1
+    # webdataset background compositing for recon iters
+    # (`personalized.py:607-824`; wds instances use a discounted bg weight,
+    # `ddpm.py:2917-2946`)
+    wds_shards: tuple = ()
+    p_wds_comp: float = 0.5
+    wds_bg_recon_weight: float = 0.05
     seed: int = 0
     logdir: str = "logs/run"
 
@@ -119,6 +125,13 @@ class Trainer:
         self._encode_vae = jax.jit(
             lambda params, x: p.vae.apply({"params": params}, x,
                                           method=AutoencoderKL.encode))
+        self.compositor = None
+        if cfg.wds_shards:
+            from adaface_tpu.data.wds import BackgroundCompositor
+
+            self.compositor = BackgroundCompositor(
+                list(cfg.wds_shards), size=dataset.size)
+            self._wds_steps = {}
         # optional compositional-iteration plumbing
         self.teacher_filter = None  # set via set_teacher_filter()
         self.cached_inits = None
@@ -231,6 +244,18 @@ class Trainer:
     def _run_recon(self, plan: IterPlan):
         B = self.cfg.batch_size
         ex = self._draw_examples(B)
+        use_wds = (self.compositor is not None
+                   and self.rng.random() < self.cfg.p_wds_comp)
+        if use_wds:
+            spec = self.dataset.subjects[0]
+            for e in ex:
+                self.compositor.composite(e, spec.cls_delta_string)
+            use_wds = all(e.get("has_wds_comp") for e in ex)
+        if use_wds:
+            for e in ex:
+                e["image"] = e["wds_image"]
+                e["caption"] = e["wds_caption"]
+                e["caption_bg"] = e.get("wds_caption_bg", e["wds_caption"])
         batch_np = collate_examples(ex)
         latents = self._latents(batch_np["image"])
         lh, lw = latents.shape[1:3]
@@ -250,8 +275,23 @@ class Trainer:
             timesteps=jnp.asarray(t, jnp.int32),
             noise=jnp.asarray(self.rng.standard_normal(latents.shape),
                               jnp.float32), **noise_kw)
-        self.mgr.embedders, self.opt_state, metrics = self._steps[RECON](
+        step = self._steps[RECON]
+        if use_wds:
+            # wds instances: discounted background recon weight
+            if "wds" not in getattr(self, "_wds_steps", {}):
+                p = self.pipe
+                self._wds_steps = getattr(self, "_wds_steps", {})
+                self._wds_steps["wds"] = jax.jit(make_recon_train_step(
+                    p.clip, p.clip_params, p.unet, p.unet_params,
+                    p.base_sched, self.optimizer,
+                    skip_weights=p.skip_weights,
+                    bg_weight=self.cfg.wds_bg_recon_weight))
+            step = self._wds_steps["wds"]
+        self.mgr.embedders, self.opt_state, metrics = step(
             self.mgr.embedders, self.opt_state, batch)
+        if use_wds:
+            metrics = dict(metrics)
+            metrics["wds_comp"] = 1.0
         return metrics
 
     def _run_compos(self, plan: IterPlan):
