@@ -303,8 +303,15 @@ class UNetModel(nn.Module):
             ks = c.conv_attn_kernel_size
             if ks > 1 and layer_idx in (12, 16, 17, 18, 19):
                 ks = 1
-            st = SpatialTransformer(c.num_heads, self.dtype,
-                                    c.use_flash_attention, ks, name=name)
+            cls = SpatialTransformer
+            if c.use_remat and not do_cap:
+                # rematerialize the transformer block in the backward pass
+                # (the reference's torch checkpointing, `attention.py:321`);
+                # capture layers stay un-remat'ed — their activations ARE
+                # the loss inputs (SURVEY §7.3)
+                cls = nn.remat(SpatialTransformer, static_argnums=(5,))
+            st = cls(c.num_heads, self.dtype,
+                     c.use_flash_attention, ks, name=name)
             h, aux = st(h, cv, ck, img_mask, do_cap,
                         subj_slot_map=subj_slot_map)
             if do_cap:
