@@ -60,10 +60,10 @@ def make_recon_train_step(
     frozen backbone — the TPU equivalent of a normal-recon `training_step`
     (`ddpm.py:519-576` + `shared_step` recon branch)."""
 
-    def loss_fn(embedders, batch: ReconBatch):
+    def loss_fn(embedders, batch: ReconBatch, fz):
         from adaface_tpu.ops.grad import add_noise_to_tensor
 
-        embedded = clip.apply({"params": clip_params}, batch.token_ids,
+        embedded = clip.apply({"params": fz["clip"]}, batch.token_ids,
                               method=CLIPTextEncoder.embed_tokens)
         subj = {s: compute_static_embedding(p) for s, p in embedders.items()}
         if batch.emb_noise_std is not None and batch.emb_noise_key is not None:
@@ -74,19 +74,21 @@ def make_recon_train_step(
         patched = EmbeddingManager.patch_prompt_embeddings(
             embedded, batch.slot_maps, subj)
         L, B, T, D = patched.shape
-        ctx = clip.apply({"params": clip_params},
+        ctx = clip.apply({"params": fz["clip"]},
                          input_embeds=patched.reshape(L * B, T, D),
                          skip_weights=jnp.asarray(skip_weights))
         ctx = ctx.reshape(L, B, T, D)
         x_noisy = sched.q_sample(batch.latents, batch.timesteps, batch.noise)
-        eps = unet.apply({"params": unet_params}, x_noisy, batch.timesteps, ctx)
+        eps = unet.apply({"params": fz["unet"]}, x_noisy, batch.timesteps, ctx)
         recon = masked_recon_loss(eps, batch.noise, batch.fg_mask, bg_weight=bg_weight)
         reg = sum(embedding_norm_loss(e) for e in subj.values()) / max(len(subj), 1)
         loss = recon + emb_reg_weight * reg
         return loss, {"loss": loss, "recon": recon, "emb_reg": reg}
 
-    def step(embedders, opt_state, batch: ReconBatch):
-        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(embedders, batch)
+    def step(embedders, opt_state, batch: ReconBatch, frozen=None):
+        fz = frozen if frozen is not None else {"clip": clip_params, "unet": unet_params}
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            embedders, batch, fz)
         updates, opt_state = optimizer.update(grads, opt_state, embedders)
         embedders = optax.apply_updates(embedders, updates)
         return embedders, opt_state, metrics
@@ -150,14 +152,14 @@ def make_compos_distill_step(
     )
     from adaface_tpu.training.mixing import mix_static_vk_embeddings
 
-    def loss_fn(embedders, batch: ComposBatch):
-        embedded = clip.apply({"params": clip_params}, batch.token_ids,
+    def loss_fn(embedders, batch: ComposBatch, fz):
+        embedded = clip.apply({"params": fz["clip"]}, batch.token_ids,
                               method=CLIPTextEncoder.embed_tokens)
         subj = {s: compute_static_embedding(p) for s, p in embedders.items()}
         patched = EmbeddingManager.patch_prompt_embeddings(
             embedded, batch.slot_maps, subj)
         L, B4, T, D = patched.shape
-        ctx = clip.apply({"params": clip_params},
+        ctx = clip.apply({"params": fz["clip"]},
                          input_embeds=patched.reshape(L * B4, T, D),
                          skip_weights=jnp.asarray(skip_weights))
         ctx = ctx.reshape(L, B4, T, D)
@@ -189,7 +191,7 @@ def make_compos_distill_step(
         t4 = jnp.tile(batch.timesteps, (4,))
         n4 = jnp.tile(batch.noise, (4, 1, 1, 1))
         x_noisy = sched.q_sample(x4, t4, n4)
-        eps, aux = unet.apply({"params": unet_params}, x_noisy, t4,
+        eps, aux = unet.apply({"params": fz["unet"]}, x_noisy, t4,
                               ctx_v, context_k=ctx_k, capture=True)
 
         # feat/attn delta alignment (`calc_prompt_mix_loss`, `ddpm.py:3710`)
@@ -260,9 +262,10 @@ def make_compos_distill_step(
                    "fg_bg": loss_fg_bg, "comp_fg_bg_preserve": loss_preserve}
         return loss, metrics
 
-    def step(embedders, opt_state, batch: ComposBatch):
+    def step(embedders, opt_state, batch: ComposBatch, frozen=None):
+        fz = frozen if frozen is not None else {"clip": clip_params, "unet": unet_params}
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            embedders, batch)
+            embedders, batch, fz)
         updates, opt_state = optimizer.update(grads, opt_state, embedders)
         embedders = optax.apply_updates(embedders, updates)
         return embedders, opt_state, metrics
@@ -305,7 +308,7 @@ def make_arc2face_distill_step(
     teacher's noise predictions at the trailing steps, loss summed and
     divided by sqrt(S). One compiled variant per S (static unroll)."""
 
-    def loss_fn(embedders, batch: Arc2FaceBatch):
+    def loss_fn(embedders, batch: Arc2FaceBatch, fz):
         S = num_denoising_steps
         B = batch.latents.shape[0]
         # ---- teacher trajectory (frozen, fp32 master here vs fp16 there)
@@ -314,7 +317,7 @@ def make_arc2face_distill_step(
         noise_preds = []
         for i in range(S):
             x_noisy = sched.q_sample(x_starts[i], ts[i], batch.noises[i])
-            pred = teacher_unet.apply({"params": teacher_params}, x_noisy,
+            pred = teacher_unet.apply({"params": fz["teacher"]}, x_noisy,
                                       ts[i], batch.teacher_context[None])
             pred = jax.lax.stop_gradient(pred)
             noise_preds.append(pred)
@@ -332,13 +335,13 @@ def make_arc2face_distill_step(
         max_loss_steps = max(max_accumu_batch // B, 1)
         loss_start = max(0, S - max_loss_steps)
 
-        embedded = clip.apply({"params": clip_params}, batch.token_ids,
+        embedded = clip.apply({"params": fz["clip"]}, batch.token_ids,
                               method=CLIPTextEncoder.embed_tokens)
         subj = {s: compute_static_embedding(p) for s, p in embedders.items()}
         patched = EmbeddingManager.patch_prompt_embeddings(
             embedded, batch.slot_maps, subj)
         L, _, T, D = patched.shape
-        ctx = clip.apply({"params": clip_params},
+        ctx = clip.apply({"params": fz["clip"]},
                          input_embeds=patched.reshape(L * B, T, D),
                          skip_weights=jnp.asarray(skip_weights))
         ctx = ctx.reshape(L, B, T, D)
@@ -347,7 +350,7 @@ def make_arc2face_distill_step(
         for s in range(loss_start, S):
             x0_s = batch.latents if s == 0 else x_starts[s]
             x_noisy = sched.q_sample(x0_s, ts[s], batch.noises[s])
-            student = unet.apply({"params": unet_params}, x_noisy, ts[s], ctx)
+            student = unet.apply({"params": fz["unet"]}, x_noisy, ts[s], ctx)
             if use_fg_mask and batch.fg_mask is not None:
                 # distill only on fg (bg suppressed by the teacher,
                 # bg_pixel_weight=0, `:3017-3024`)
@@ -359,9 +362,10 @@ def make_arc2face_distill_step(
         loss = sum(losses) / jnp.sqrt(float(S))
         return loss, {"loss": loss, "n_loss_steps": float(len(losses))}
 
-    def step(embedders, opt_state, batch: Arc2FaceBatch):
+    def step(embedders, opt_state, batch: Arc2FaceBatch, frozen=None):
+        fz = frozen if frozen is not None else {"clip": clip_params, "unet": unet_params, "teacher": teacher_params}
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            embedders, batch)
+            embedders, batch, fz)
         updates, opt_state = optimizer.update(grads, opt_state, embedders)
         embedders = optax.apply_updates(embedders, updates)
         return embedders, opt_state, metrics
@@ -391,30 +395,31 @@ def make_dreambooth_train_step(
     recon on class images (`ddpm.py:578-585,783-804`; trained by
     `main_db.py`). Same trainable-embedder contract as the other steps."""
 
-    def one_loss(embedders, batch: ReconBatch):
-        embedded = clip.apply({"params": clip_params}, batch.token_ids,
+    def one_loss(embedders, batch: ReconBatch, fz):
+        embedded = clip.apply({"params": fz["clip"]}, batch.token_ids,
                               method=CLIPTextEncoder.embed_tokens)
         subj = {s: compute_static_embedding(p) for s, p in embedders.items()}
         patched = EmbeddingManager.patch_prompt_embeddings(
             embedded, batch.slot_maps, subj)
         L, B, T, D = patched.shape
-        ctx = clip.apply({"params": clip_params},
+        ctx = clip.apply({"params": fz["clip"]},
                          input_embeds=patched.reshape(L * B, T, D),
                          skip_weights=jnp.asarray(skip_weights))
         ctx = ctx.reshape(L, B, T, D)
         x_noisy = sched.q_sample(batch.latents, batch.timesteps, batch.noise)
-        eps = unet.apply({"params": unet_params}, x_noisy, batch.timesteps, ctx)
+        eps = unet.apply({"params": fz["unet"]}, x_noisy, batch.timesteps, ctx)
         return masked_recon_loss(eps, batch.noise, batch.fg_mask)
 
-    def loss_fn(embedders, batch: DreamBoothBatch):
-        loss_train = one_loss(embedders, batch.train)
-        loss_reg = one_loss(embedders, batch.reg)
+    def loss_fn(embedders, batch: DreamBoothBatch, fz):
+        loss_train = one_loss(embedders, batch.train, fz)
+        loss_reg = one_loss(embedders, batch.reg, fz)
         loss = loss_train + db_reg_weight * loss_reg
         return loss, {"loss": loss, "recon": loss_train, "db_reg": loss_reg}
 
-    def step(embedders, opt_state, batch: DreamBoothBatch):
+    def step(embedders, opt_state, batch: DreamBoothBatch, frozen=None):
+        fz = frozen if frozen is not None else {"clip": clip_params, "unet": unet_params}
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            embedders, batch)
+            embedders, batch, fz)
         updates, opt_state = optimizer.update(grads, opt_state, embedders)
         embedders = optax.apply_updates(embedders, updates)
         return embedders, opt_state, metrics
@@ -461,12 +466,12 @@ def make_zero_shot_recon_step(
     -> generator inverse -> patched prompt context -> eps recon."""
     from adaface_tpu.personalization.arc2face import forward_face_embs_fn
 
-    def loss_fn(gen_params: dict, batch: ZeroShotReconBatch):
+    def loss_fn(gen_params: dict, batch: ZeroShotReconBatch, fz):
         # frozen Arc2Face forward: id emb -> 16 core prompt embeddings
         embed_fn = lambda ids: arc2face_encoder.apply(
-            {"params": arc2face_params}, ids, method="embed_tokens")
+            {"params": fz["arc"]}, ids, method="embed_tokens")
         encode_fn = lambda e, w, n: arc2face_encoder.apply(
-            {"params": arc2face_params}, input_embeds=e, skip_weights=w,
+            {"params": fz["arc"]}, input_embeds=e, skip_weights=w,
             num_skip_layers=n)
         _, arc_id_embs = forward_face_embs_fn(
             embed_fn, encode_fn, jax.lax.stop_gradient(batch.id_embs),
@@ -483,24 +488,26 @@ def make_zero_shot_recon_step(
                 inverse_template_ids=inverse_template_ids)
             subj[s] = jnp.transpose(embs, (1, 0, 2, 3))  # [L, B, K, D]
 
-        embedded = clip.apply({"params": clip_params}, batch.token_ids,
+        embedded = clip.apply({"params": fz["clip"]}, batch.token_ids,
                               method=CLIPTextEncoder.embed_tokens)
         patched = EmbeddingManager.patch_prompt_embeddings(
             embedded, batch.slot_maps, subj)
         L, B, T, D = patched.shape
-        ctx = clip.apply({"params": clip_params},
+        ctx = clip.apply({"params": fz["clip"]},
                          input_embeds=patched.reshape(L * B, T, D),
                          skip_weights=jnp.asarray(skip_weights))
         ctx = ctx.reshape(L, B, T, D)
         x_noisy = sched.q_sample(batch.latents, batch.timesteps, batch.noise)
-        eps = unet.apply({"params": unet_params}, x_noisy, batch.timesteps, ctx)
+        eps = unet.apply({"params": fz["unet"]}, x_noisy, batch.timesteps, ctx)
         recon = masked_recon_loss(eps, batch.noise, batch.fg_mask,
                                   bg_weight=bg_weight)
         return recon, {"loss": recon, "recon": recon}
 
-    def step(gen_params, opt_state, batch: ZeroShotReconBatch):
+    def step(gen_params, opt_state, batch: ZeroShotReconBatch, frozen=None):
+        fz = frozen if frozen is not None else {
+            "clip": clip_params, "unet": unet_params, "arc": arc2face_params}
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            gen_params, batch)
+            gen_params, batch, fz)
         updates, opt_state = optimizer.update(grads, opt_state, gen_params)
         gen_params = optax.apply_updates(gen_params, updates)
         return gen_params, opt_state, metrics

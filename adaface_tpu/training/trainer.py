@@ -122,6 +122,10 @@ class Trainer:
                 self.optimizer, skip_weights=p.skip_weights)),
         }
         self._a2f_steps: Dict[int, object] = {}
+        # frozen backbone as explicit jit ARGUMENTS (closed-over params
+        # would embed as HLO constants — oversized programs for the
+        # remote-compile transport on real chips)
+        self._frozen = {"clip": p.clip_params, "unet": p.unet_params}
         self._encode_vae = jax.jit(
             lambda params, x: p.vae.apply({"params": params}, x,
                                           method=AutoencoderKL.encode))
@@ -288,7 +292,7 @@ class Trainer:
                     bg_weight=self.cfg.wds_bg_recon_weight))
             step = self._wds_steps["wds"]
         self.mgr.embedders, self.opt_state, metrics = step(
-            self.mgr.embedders, self.opt_state, batch)
+            self.mgr.embedders, self.opt_state, batch, self._frozen)
         if use_wds:
             metrics = dict(metrics)
             metrics["wds_comp"] = 1.0
@@ -372,7 +376,7 @@ class Trainer:
             t_frac=jnp.asarray(t / self.plan_cfg.num_timesteps, jnp.float32),
             training_percent=jnp.asarray(plan.training_percent, jnp.float32))
         self.mgr.embedders, self.opt_state, metrics = self._steps[COMPOS_DISTILL](
-            self.mgr.embedders, self.opt_state, batch)
+            self.mgr.embedders, self.opt_state, batch, self._frozen)
         return metrics
 
     def _compos_contexts(self, ids, slots, plan, t):
@@ -449,8 +453,10 @@ class Trainer:
             relative_ts=jnp.asarray(self.rng.uniform(size=(max(S - 1, 1), B)),
                                     jnp.float32),
             fg_mask=jnp.asarray(self._mask_to_latent(batch_np["fg_mask"], lh, lw)))
+        frozen = dict(self._frozen)
+        frozen["teacher"] = teacher_params
         self.mgr.embedders, self.opt_state, metrics = self._a2f_steps[key](
-            self.mgr.embedders, self.opt_state, batch)
+            self.mgr.embedders, self.opt_state, batch, frozen)
         return metrics
 
     # ------------------------------------------------------------------ run

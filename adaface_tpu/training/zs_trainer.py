@@ -47,6 +47,7 @@ class ZeroShotTrainer(Trainer):
         self.gen_params = generator_params
         self.bg_placeholders = frozenset(bg_placeholders)
         tok = pipeline.tokenizer
+        self._arc_frozen = arc2face_params
         self._fwd_ids = jnp.asarray(tok([FORWARD_TEMPLATE]))
         self._inv_ids = jnp.asarray(tok([INVERSE_TEMPLATE]))
         self._arc_tid = int(tok.encode("id")[0])
@@ -107,7 +108,8 @@ class ZeroShotTrainer(Trainer):
                                       (B,) + feats.clip_bg.shape[1:]),
                 id_embs=id_embs)
             self.gen_params, self.opt_state, metrics = self._zs_step(
-                self.gen_params, self.opt_state, batch)
+                self.gen_params, self.opt_state, batch,
+                {**self._frozen, "arc": self._arc_frozen})
             self._log(metrics, plan)
             self.global_step += 1
             if self.global_step % self.cfg.ckpt_every_steps == 0:
