@@ -2,9 +2,10 @@
 
 The unfused GroupNorm reads the activation slab from HBM for the stats,
 again for the normalize, and the SiLU adds another elementwise pass unless
-XLA fuses it. This kernel does ONE pass per batch item entirely in VMEM:
-stats, normalize, affine, SiLU. SD activation slabs max out around
-64x64x320 fp32 = 5.2 MB per item — comfortably inside a v5e core's VMEM.
+XLA fuses it. This kernel keeps the slab VMEM-resident once per batch item
+(bf16), computing stats + normalize + affine + SiLU with row-chunked fp32
+working sets: SD slabs max out at 64x64x320 (bf16 2.6 MB), well under the
+~16 MB/core scoped-vmem limit, while a full fp32 cast + x*x would not be.
 
 Forward-only Pallas with a jnp backward (jax.custom_vjp recomputation):
 training batches are small and the win is sampling throughput; the

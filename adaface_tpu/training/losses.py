@@ -1,9 +1,12 @@
 """Training losses.
 
 Re-derivations of the reference's loss battery (`ddpm.py:3457-4779`,
-SURVEY.md §2.6). This module starts with the core reconstruction loss and
-the always-on prompt-delta regularizer; the distillation losses land with
-the compositional-iteration machinery.
+SURVEY.md §2.6): masked reconstruction, prompt-delta regularization, the
+attention suppression/complementarity/cross-layer-consistency family,
+delta alignment, elastic matching (comp fg/bg preservation), padding
+orthogonality, and the shared helpers (ortho subtract, weighted cosine,
+masked means, normalized sums, dynamic scales). Dense-mask (static shape)
+forms throughout; per-CA-layer weight tables match the reference.
 """
 
 from __future__ import annotations
