@@ -117,6 +117,19 @@ COMMUNITY_PROMPTS = [
     "a marble sculpture of {0} {1}{2}",
 ]
 
+# Short hard-prompt bank in the spirit of `evaluation/freeu_prompts.py`:
+# dense multi-attribute scenes that stress prompt adherence.
+FREEU_PROMPTS = [
+    "{0} {1}{2} in a teddy bear costume on a skateboard in times square",
+    "{0} {1}{2} as an astronaut riding a horse on the moon, photorealistic",
+    "{0} {1}{2} piloting a wooden biplane over snow-capped mountains",
+    "{0} {1}{2} playing a grand piano on a beach at sunset, waves crashing",
+    "{0} {1}{2} juggling glowing orbs in a misty bamboo forest",
+    "{0} {1}{2} ice skating on a frozen lake under the aurora borealis",
+    "{0} {1}{2} baking bread in a rustic kitchen, flour dust in the air",
+    "{0} {1}{2} conducting an orchestra of robots in a concert hall",
+]
+
 
 def get_prompt_list(subject_string: str, z_prefix: str, z_suffix: str,
                     background_string: str, class_token: str,

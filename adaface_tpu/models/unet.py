@@ -174,7 +174,11 @@ class UNetCrossAttention(nn.Module):
         if capture:
             # q scaled by sqrt(scale) so q·qᵀ products carry the full scale
             # (`attention.py:247-256`)
-            aux = {"q": qh * (scale ** 0.5), "attn": attn, "attnscore": sim}
+            aux = {"q": qh * (scale ** 0.5), "attn": attn, "attnscore": sim,
+               # per-head CA keys/values for the subj-comp ortho loss
+               # (reference captures these at `attention.py:245-256`; its
+               # ddpm-side consumers are commented out)
+               "k": kh, "v": vh}
             return out, aux
         return out, None
 

@@ -355,13 +355,25 @@ class StableDiffusionPipeline:
         width: int = 512,
         seed: int = 0,
         sampler: str = "ddim",
+        compel_cfg_weight_level: float = 0.0,
     ) -> np.ndarray:
-        """Returns uint8 images [B, H, W, 3]."""
+        """Returns uint8 images [B, H, W, 3].
+
+        `compel_cfg_weight_level` != 0 amplifies the cond context's offset
+        from the empty-prompt context by 1.1^level before sampling
+        (`stable_txt2img.py:680-694`: inference applies compel to the cond
+        half of the CFG batch only)."""
         b = len(prompts)
         f = 2 ** (len(self.vae.cfg.ch_mult) - 1)  # VAE spatial factor (8 for SD)
         lh, lw = height // f, width // f
         ctx_c = self.encode_prompts(prompts)
         ctx_u = self.encode_negative(negative_prompt, b)
+        if compel_cfg_weight_level:
+            from adaface_tpu.ops.compel import apply_compel_cfg
+
+            empty = self.encode_negative("", 1)[0]
+            ctx_c = apply_compel_cfg(ctx_c, empty.astype(ctx_c.dtype),
+                                     compel_cfg_weight_level)
         x_T = jax.random.normal(jax.random.PRNGKey(seed),
                                 (b, lh, lw, self.unet.cfg.in_channels), jnp.float32)
         run = self._get_sampler_fn(b, (lh, lw), num_steps, guidance_scale, sampler)

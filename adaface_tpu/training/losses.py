@@ -67,7 +67,8 @@ def _demean(x):
 
 def ref_cosine_loss(delta, ref_delta, emb_weights=None, exponent: float = 2.0,
                     do_demean_first: bool = True, ref_grad_scale: float = 0.05,
-                    aim_to_align: bool = True) -> jnp.ndarray:
+                    aim_to_align: bool = True,
+                    margin: float = 0.0) -> jnp.ndarray:
     """Weighted cosine alignment of `delta` to `ref_delta`
     (`calc_ref_cosine_loss`, `ldm/util.py`): demean both over the embedding
     dim, gradient-scale + signed-pow the reference side
@@ -86,8 +87,14 @@ def ref_cosine_loss(delta, ref_delta, emb_weights=None, exponent: float = 2.0,
     losses = (1.0 - cos) if aim_to_align else jnp.maximum(cos, 0.0)
     if emb_weights is not None:
         w = jnp.broadcast_to(emb_weights, losses.shape)
-        return jnp.sum(losses * w) / (jnp.sum(w) + 1e-8)
-    return losses.mean()
+        loss = jnp.sum(losses * w) / (jnp.sum(w) + 1e-8)
+    else:
+        loss = losses.mean()
+    if margin > 0:
+        # hinge: no gradient until the mean loss exceeds the margin
+        # (`calc_ref_cosine_loss` margin clamp, `ldm/util.py:528-532`)
+        loss = jnp.maximum(loss - margin, 0.0)
+    return loss
 
 
 def prompt_delta_loss(
@@ -534,3 +541,108 @@ def padding_embs_align_loss(
                         subj_contrast_bg_grad_scale)
                if bg_token_mask is not None else jnp.asarray(0.0))
     return loss_pad, loss_bg
+
+
+# Per-CA-layer weights for the subject/comp K/V orthogonality loss
+# (`calc_subj_comp_ortho_loss`, `ddpm.py:4556-4576`).
+K_ORTHO_LAYER_WEIGHTS = {7: 0.5, 8: 0.5, 12: 1.0, 16: 1.0, 17: 1.0, 18: 1.0,
+                         19: 1.0, 20: 1.0, 21: 1.0, 22: 1.0, 23: 1.0, 24: 1.0}
+V_ORTHO_LAYER_WEIGHTS = {7: 0.5, 8: 0.5, 12: 1.0, 16: 1.0, 17: 1.0, 18: 0.5,
+                         19: 0.5, 20: 0.5, 21: 0.25, 22: 0.25,
+                         23: 0.25, 24: 0.25}
+
+
+def normalized_ortho_subtract(a: jnp.ndarray, b: jnp.ndarray,
+                              eps: float = 1e-6) -> jnp.ndarray:
+    """Scale both sides to their mean norm before the orthogonal subtract
+    (`normalized_ortho_subtract`, `ldm/util.py:376-382`)."""
+    an = jnp.linalg.norm(a, axis=-1, keepdims=True) + eps
+    bn = jnp.linalg.norm(b, axis=-1, keepdims=True) + eps
+    mean2 = (an + bn) / 2.0
+    return ortho_subtract(a * mean2 / an, b * mean2 / bn)
+
+
+def _weighted_token_mean(seq: jnp.ndarray, token_mask: jnp.ndarray,
+                         token_weights: jnp.ndarray) -> jnp.ndarray:
+    """Mean of weight-scaled selected tokens: [H, T, D], [T], [T] -> [H, D]
+    (`sel_emb_attns_by_indices` with do_mean, `ldm/util.py:2185-2216`).
+    The reference scales each selected row by its weight and divides by the
+    COUNT of selected tokens (not the weight sum)."""
+    m = token_mask.astype(jnp.float32)
+    num = jnp.einsum("t,htd->hd", m * token_weights,
+                     seq.astype(jnp.float32))
+    return num / (jnp.sum(m) + 1e-8)
+
+
+def comp_extra_token_mask(prompt_emb_mask: jnp.ndarray,
+                          subj_token_mask: jnp.ndarray,
+                          bg_token_mask: Optional[jnp.ndarray] = None):
+    """Tokens belonging to the compositional suffix: real tokens that are
+    neither subject nor background slots (`gen_comp_extra_indices_by_block`,
+    `ldm/util.py:2218+`). All args [B, T] (or [T]); returns float mask."""
+    m = prompt_emb_mask.astype(jnp.float32) * \
+        (1.0 - subj_token_mask.astype(jnp.float32))
+    if bg_token_mask is not None:
+        m = m * (1.0 - bg_token_mask.astype(jnp.float32))
+    return m
+
+
+def subj_comp_ortho_loss(
+    ca_ks: dict,            # layer -> [4, H, Tctx, Dh] captured CA keys
+    ca_vs: dict,            # layer -> [4, H, Tctx, Dh] captured CA values
+    ca_attnscores: dict,    # layer -> [4, H, Q, Tctx]
+    subj_comp_subj_mask: jnp.ndarray,   # [T] subject slots, subj-comp instance
+    subj_comp_extra_mask: jnp.ndarray,  # [T] comp-extra tokens, subj-comp
+    cls_comp_subj_mask: jnp.ndarray,    # [T] class slots, cls-comp instance
+    cls_comp_extra_mask: jnp.ndarray,   # [T] comp-extra tokens, cls-comp
+    subj_block: int = 1,
+    cls_block: int = 3,
+    cls_grad_scale: float = 0.05,
+):
+    """Subject/comp K+V orthogonality alignment (`calc_subj_comp_ortho_loss`,
+    `ddpm.py:4551-4629` + `calc_layer_subj_comp_k_or_v_ortho_loss`,
+    `ldm/util.py:2129-2182`). NOTE: the reference defines but never CALLS
+    this loss (its k/v captures are commented out, `ddpm.py:42`); provided
+    for parity and kept off by default in the trainer as well.
+
+    The 4-type compos batch is [subj-single, subj-comp, cls-single,
+    cls-comp]; the subject-token and comp-extra-token weighted mean K (and V)
+    of the subj-comp instance are ortho-subtracted, likewise for cls-comp,
+    and the two difference directions are cosine-aligned (margins 0.6 K /
+    0.7 V, cls side grad-scaled).
+    Returns (loss_key_ortho, loss_value_ortho)."""
+    kw = _normalize_weights({k: v for k, v in K_ORTHO_LAYER_WEIGHTS.items()
+                             if k in ca_ks})
+    vw = _normalize_weights({k: v for k, v in V_ORTHO_LAYER_WEIGHTS.items()
+                             if k in ca_ks})
+    loss_k = jnp.asarray(0.0)
+    loss_v = jnp.asarray(0.0)
+
+    def one(seq, scores, margin):
+        # token importance = avg attention it receives, clamped >= 0
+        # (`ddpm.py:4593-4598`)
+        w_subj = jnp.maximum(scores[subj_block].mean(axis=(0, 1)), 0.0)
+        w_cls = jnp.maximum(scores[cls_block].mean(axis=(0, 1)), 0.0)
+        subj_subj = _weighted_token_mean(seq[subj_block],
+                                         subj_comp_subj_mask, w_subj)
+        subj_comp = _weighted_token_mean(seq[subj_block],
+                                         subj_comp_extra_mask, w_subj)
+        cls_subj = _weighted_token_mean(seq[cls_block],
+                                        cls_comp_subj_mask, w_cls)
+        cls_comp = _weighted_token_mean(seq[cls_block],
+                                        cls_comp_extra_mask, w_cls)
+        subj_diff = normalized_ortho_subtract(subj_subj, subj_comp)
+        cls_diff = normalized_ortho_subtract(cls_subj, cls_comp)
+        return ref_cosine_loss(subj_diff, cls_diff, exponent=2.0,
+                               do_demean_first=False,
+                               ref_grad_scale=cls_grad_scale,
+                               aim_to_align=True, margin=margin)
+
+    for layer in ca_ks:
+        if layer not in kw:
+            continue
+        scores = ca_attnscores[layer].astype(jnp.float32)
+        scores = jax.lax.stop_gradient(scores)  # `ddpm.py:4592` no BP via attn
+        loss_k = loss_k + kw[layer] * one(ca_ks[layer], scores, margin=0.6)
+        loss_v = loss_v + vw[layer] * one(ca_vs[layer], scores, margin=0.7)
+    return loss_k, loss_v

@@ -112,6 +112,10 @@ class ComposBatch(NamedTuple):
     noise: jnp.ndarray  # [B, h, w, 4]
     t_frac: jnp.ndarray  # [B] = t / num_timesteps
     training_percent: jnp.ndarray  # scalar
+    # compel CFG weighting of the mixed contexts (`openaimodel.py:898-916`);
+    # level 0 is an exact no-op so one compiled step covers on/off iters
+    compel_level: float = 0.0  # scalar (python float traces as weak f32[])
+    compel_batch_mask: Optional[jnp.ndarray] = None  # [4B] 1 = apply
 
 
 def make_compos_distill_step(
@@ -187,6 +191,17 @@ def make_compos_distill_step(
         ctx_vk = jnp.concatenate(
             [s_vk_single, s_vk_comp, m_vk_single, m_vk_comp], axis=1)
         ctx_v, ctx_k = ctx_vk[:, :, :T], ctx_vk[:, :, T:]
+        if "empty_ctx" in fz:
+            # compel CFG weighting of the V and K contexts separately
+            # (`openaimodel.py:896-916`: the (v, k) tuple is transformed
+            # elementwise); level 0 (the non-applied iters) is exact identity
+            from adaface_tpu.ops.compel import apply_compel_cfg
+
+            empty = fz["empty_ctx"].astype(ctx_v.dtype)
+            ctx_v = apply_compel_cfg(ctx_v, empty, batch.compel_level,
+                                     batch_mask=batch.compel_batch_mask)
+            ctx_k = apply_compel_cfg(ctx_k, empty, batch.compel_level,
+                                     batch_mask=batch.compel_batch_mask)
         x4 = jnp.tile(batch.latents, (4, 1, 1, 1))
         t4 = jnp.tile(batch.timesteps, (4,))
         n4 = jnp.tile(batch.noise, (4, 1, 1, 1))

@@ -76,6 +76,11 @@ class TrainerConfig:
     wds_shards: tuple = ()
     p_wds_comp: float = 0.5
     wds_bg_recon_weight: float = 0.05
+    # compel-style CFG embedding weighting of compos-iter contexts
+    # (`v1-finetune-ada.yaml:50-52`: prob 0.5, level range [2, 2];
+    # disabled whenever zero-shot features ride along, `ddpm.py:979-988`)
+    apply_compel_cfg_prob: float = 0.0
+    compel_cfg_weight_level_range: tuple = (2.0, 2.0)
     seed: int = 0
     logdir: str = "logs/run"
 
@@ -126,6 +131,9 @@ class Trainer:
         # would embed as HLO constants — oversized programs for the
         # remote-compile transport on real chips)
         self._frozen = {"clip": p.clip_params, "unet": p.unet_params}
+        if cfg.apply_compel_cfg_prob > 0:
+            # empty-prompt context, first layer only (`ddpm.py:806-808`)
+            self._frozen["empty_ctx"] = p.encode_negative("", 1)[0]
         self._encode_vae = jax.jit(
             lambda params, x: p.vae.apply({"params": params}, x,
                                           method=AutoencoderKL.encode))
@@ -365,6 +373,16 @@ class Trainer:
                 self.cached_inits.put(e["subject_name"],
                                       cand_x[i:i + 1], t)
 
+        compel_level, compel_mask = 0.0, None
+        if self.cfg.apply_compel_cfg_prob > 0:
+            from adaface_tpu.ops.compel import sample_compel_cfg
+
+            compel_level, compel_mask = sample_compel_cfg(
+                self.rng, self.cfg.apply_compel_cfg_prob,
+                self.cfg.compel_cfg_weight_level_range,
+                n_instances=4, is_training=True)
+            if compel_mask is None:  # keep the jit signature stable
+                compel_mask = jnp.ones((4,), jnp.float32)
         batch = ComposBatch(
             token_ids=jnp.asarray(ids),
             slot_maps={k: jnp.asarray(v) for k, v in slots.items()},
@@ -374,7 +392,8 @@ class Trainer:
             timesteps=jnp.asarray(t, jnp.int32),
             noise=noise,
             t_frac=jnp.asarray(t / self.plan_cfg.num_timesteps, jnp.float32),
-            training_percent=jnp.asarray(plan.training_percent, jnp.float32))
+            training_percent=jnp.asarray(plan.training_percent, jnp.float32),
+            compel_level=compel_level, compel_batch_mask=compel_mask)
         self.mgr.embedders, self.opt_state, metrics = self._steps[COMPOS_DISTILL](
             self.mgr.embedders, self.opt_state, batch, self._frozen)
         return metrics

@@ -43,6 +43,9 @@ def parse_args(argv=None):
                         "(`stable_txt2img.py:87-159`)")
     p.add_argument("--neg_prompt", type=str, default=None)
     p.add_argument("--sampler", choices=("ddim", "plms"), default="ddim")
+    p.add_argument("--compel_cfg_weight_level", type=float, default=0.0,
+                   help="amplify cond context offset from the empty prompt "
+                        "by 1.1^level (stable_txt2img.py:680-694)")
     p.add_argument("--out", "--outdir", dest="outdir", type=str,
                    default="outputs/txt2img")
     p.add_argument("--compare_with", type=str, default=None,
@@ -163,7 +166,8 @@ def main(opt):
             imgs = pipe.generate([prompt] * opt.n_samples, negative_prompt=neg,
                                  num_steps=opt.steps, guidance_scale=guidance,
                                  height=opt.size, width=opt.size,
-                                 seed=opt.seed + rep, sampler=opt.sampler)
+                                 seed=opt.seed + rep, sampler=opt.sampler,
+                                 compel_cfg_weight_level=opt.compel_cfg_weight_level)
             for im in imgs:
                 Image.fromarray(im).save(os.path.join(outd, f"{idx:05}.jpg"))
                 idx += 1
