@@ -81,6 +81,10 @@ class TrainerConfig:
     # disabled whenever zero-shot features ride along, `ddpm.py:979-988`)
     apply_compel_cfg_prob: float = 0.0
     compel_cfg_weight_level_range: tuple = (2.0, 2.0)
+    # EMA shadow of the trainable embedders (`ldm/modules/ema.py` LitEma;
+    # off by default like `v1-finetune-ada.yaml:25`)
+    use_ema: bool = False
+    ema_decay: float = 0.9999
     seed: int = 0
     logdir: str = "logs/run"
 
@@ -134,6 +138,11 @@ class Trainer:
         if cfg.apply_compel_cfg_prob > 0:
             # empty-prompt context, first layer only (`ddpm.py:806-808`)
             self._frozen["empty_ctx"] = p.encode_negative("", 1)[0]
+        self.ema_state = None
+        if cfg.use_ema:
+            from adaface_tpu.training.ema import ema_init
+
+            self.ema_state = ema_init(self.mgr.embedders)
         self._encode_vae = jax.jit(
             lambda params, x: p.vae.apply({"params": params}, x,
                                           method=AutoencoderKL.encode))
@@ -185,7 +194,17 @@ class Trainer:
     def save_checkpoint(self, tag: Optional[str] = None):
         tag = tag or f"gs-{self.global_step}"
         path = os.path.join(self.cfg.logdir, f"embeddings_{tag}.npz")
-        self.mgr.save_native(path)
+        if self.ema_state is not None:
+            # checkpoint the EMA shadow (the reference's `ema_scope`
+            # copy-to/restore around save, `ddpm.py:310-323`)
+            live = self.mgr.embedders
+            self.mgr.embedders = self.ema_state.shadow
+            try:
+                self.mgr.save_native(path)
+            finally:
+                self.mgr.embedders = live
+        else:
+            self.mgr.save_native(path)
         print(f"saved {path}", flush=True)
         return path
 
@@ -204,6 +223,8 @@ class Trainer:
             "opt_state": jax.device_get(self.opt_state),
             "rng_state": self.rng.bit_generator.state,
             "dataset_rng_state": self.dataset.rng.bit_generator.state,
+            "ema_state": (jax.device_get(self.ema_state)
+                          if self.ema_state is not None else None),
         }
         with open(path, "wb") as f:
             pickle.dump(state, f)
@@ -223,6 +244,11 @@ class Trainer:
             state["opt_state"])
         self.rng.bit_generator.state = state["rng_state"]
         self.dataset.rng.bit_generator.state = state["dataset_rng_state"]
+        if state.get("ema_state") is not None:
+            from adaface_tpu.training.ema import EmaState
+
+            self.ema_state = EmaState(*jax.tree_util.tree_map(
+                jnp.asarray, tuple(state["ema_state"])))
         print(f"resumed from {path} at step {self.global_step}", flush=True)
         return self
 
@@ -497,6 +523,12 @@ class Trainer:
                 else:
                     metrics = self._run_arc2face(plan, arc2face_teacher)
                 self._log(metrics, plan)
+                if self.ema_state is not None:
+                    from adaface_tpu.training.ema import ema_update
+
+                    self.ema_state = ema_update(self.ema_state,
+                                                self.mgr.embedders,
+                                                self.cfg.ema_decay)
                 self.global_step += 1
                 if self._sig_ckpt_requested:
                     self.save_checkpoint()

@@ -11,10 +11,11 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
 import sys
 import time
 
-N_SAMPLES = 4
+N_SAMPLES = int(os.environ.get("ADAFACE_BENCH_BATCH", "4"))
 STEPS = 50
 SIZE = 512
 TORCH_A100_BASELINE_IMG_S = 2.0

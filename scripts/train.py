@@ -13,6 +13,7 @@ weights (smoke mode — the reference *requires* an SD ckpt, `main.py:188`).
 """
 
 import argparse
+import dataclasses
 import os
 import sys
 
@@ -71,6 +72,39 @@ def main(opt):
 
     cfg = load_config(*opt.base) if opt.base else {}
     cfg = apply_dotlist(cfg, opt.overrides)
+    # precedence: explicit CLI flag > YAML config > argparse default
+    # (the reference's OmegaConf merge order, `main.py:853-864`)
+    explicit = {a.split("=")[0].lstrip("-").replace("-", "_")
+                for a in sys.argv[1:] if a.startswith("--")}
+
+    def cfg_opt(section: str, key: str, flag: str = None):
+        """Overlay cfg[section][key] onto opt.<flag> unless the flag was
+        given on the command line."""
+        flag = flag or key
+        if flag not in explicit and key in cfg.get(section, {}):
+            setattr(opt, flag, cfg[section][key])
+
+    for k in ("subject_string", "background_string",
+              "num_vectors_per_subj_token", "num_vectors_per_bg_token"):
+        cfg_opt("personalization", k)
+    cfg_opt("data", "size")
+    for k in ("max_steps", "batch_size", "accumulate_grad_batches",
+              "ckpt_every_steps"):
+        cfg_opt("trainer", k)
+    cfg_opt("iter_plan", "composition_regs_iter_gap")
+    if "use_prodigy" in cfg.get("trainer", {}) and "optimizer" not in explicit:
+        opt.optimizer = "prodigy" if cfg["trainer"]["use_prodigy"] else "adamw"
+    if cfg.get("model", {}).get("params", {}).get("dtype") == "bfloat16" \
+            and "bf16" not in explicit:
+        opt.bf16 = True
+
+    def dataclass_cfg(dc_cls, section: str, skip=()):
+        """cfg[section] keys that are fields of dc_cls (for fields without
+        a dedicated CLI flag: grad_clip, d_coef, wds_*, compel, ...)."""
+        names = {f.name for f in dataclasses.fields(dc_cls)}
+        return {k: (tuple(v) if isinstance(v, list) else v)
+                for k, v in cfg.get(section, {}).items()
+                if k in names and k not in skip}
 
     # dataset
     if opt.subjects:
@@ -132,13 +166,19 @@ def main(opt):
                             init_key=jax.random.PRNGKey(opt.seed + 2),
                             emb_dim=emb_dim)
 
+    cli_handled = {"max_steps", "batch_size", "accumulate_grad_batches",
+                   "ckpt_every_steps", "use_prodigy"}
     tcfg = TrainerConfig(
+        **dataclass_cfg(TrainerConfig, "trainer", skip=cli_handled),
+        **dataclass_cfg(TrainerConfig, "data", skip=cli_handled),
         max_steps=opt.max_steps, batch_size=opt.batch_size,
         accumulate_grad_batches=opt.accumulate_grad_batches,
         learning_rate=opt.lr, use_prodigy=(opt.optimizer == "prodigy"),
         ckpt_every_steps=opt.ckpt_every_steps, seed=opt.seed,
         logdir=opt.logdir)
     pcfg = IterPlanConfig(
+        **dataclass_cfg(IterPlanConfig, "iter_plan",
+                        skip={"composition_regs_iter_gap", "max_steps"}),
         composition_regs_iter_gap=opt.composition_regs_iter_gap,
         max_steps=opt.max_steps)
     if opt.dreambooth:
