@@ -26,10 +26,32 @@ from jax.experimental.pallas import tpu as pltpu
 
 from adaface_tpu.ops.basic import group_norm
 
-VMEM_BUDGET_BYTES = 12 * 1024 * 1024  # leave headroom below ~16 MB/core
-
-
 _ROW_CHUNK = 512
+_CHUNK_FP32_BUDGET = 4 * 1024 * 1024  # xb + xb*xb fp32 working set target
+
+
+def _pick_num_chunks(n: int, c: int) -> int:
+    """Largest divisor of n whose fp32 row-chunk working set (xb and xb*xb)
+    fits _CHUNK_FP32_BUDGET, preferring ~_ROW_CHUNK rows."""
+    best = max(1, n // _ROW_CHUNK)
+    while n % best:
+        best -= 1
+    while best < n and (n // best) * c * 4 * 2 > _CHUNK_FP32_BUDGET:
+        nxt = best + 1
+        while nxt <= n and n % nxt:
+            nxt += 1
+        if nxt > n:
+            break
+        best = nxt
+    return best
+
+
+# Empirical per-core block budget, measured on v5e (Mosaic scoped-vmem
+# accounting behaves as ~3 fp32-equivalent copies of the block against the
+# 16 MB limit, independent of the declared dtype):
+#   OK:  4096x320 (f32+bf16), 1024x1280, 1024x960, 1024x640  <= 1.31M elems
+#   OOM: 4096x640, 1024x1920 (f32+bf16)                      >= 1.97M elems
+_MAX_BLOCK_ELEMS = 1_350_000
 
 
 def _gn_silu_kernel(x_ref, scale_ref, bias_ref, gmat_ref, o_ref, *,
@@ -85,9 +107,7 @@ def _fused_forward(x3, scale, bias, num_groups, eps, apply_silu):
     b, n, c = x3.shape
     cg = c // num_groups
     gmat = jnp.repeat(jnp.eye(num_groups, dtype=x3.dtype), cg, axis=0)  # [C, G]
-    num_chunks = max(1, n // _ROW_CHUNK)
-    while n % num_chunks:
-        num_chunks -= 1
+    num_chunks = _pick_num_chunks(n, c)
     kernel = functools.partial(_gn_silu_kernel, inv_count=1.0 / (n * cg),
                                eps=eps, apply_silu=apply_silu,
                                num_chunks=num_chunks)
@@ -145,8 +165,7 @@ def group_norm_silu(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
     n = 1
     for d in x.shape[1:-1]:
         n *= d
-    slab_bytes = n * c * 4
-    if (c % num_groups or slab_bytes > VMEM_BUDGET_BYTES or x.ndim < 3
+    if (c % num_groups or n * c > _MAX_BLOCK_ELEMS or x.ndim < 3
             or n % 8):
         return _plain(x, scale, bias, num_groups, eps, apply_silu)
     x3 = x.reshape(x.shape[0], n, c)
