@@ -72,7 +72,10 @@ def forward_face_embs_fn(
     B = face_embs.shape[0]
     ids = jnp.broadcast_to(template_ids, (B, template_ids.shape[1]))
     token_embs = embed_fn(ids)
-    padded = jnp.pad(face_embs, ((0, 0), (0, hidden_size - face_embs.shape[-1])))
+    # zero-pad 512 -> hidden (`ldm/util.py:1093-1096`); tiny test configs
+    # with hidden < 512 truncate instead
+    k = min(face_embs.shape[-1], hidden_size)
+    padded = jnp.pad(face_embs[..., :k], ((0, 0), (0, hidden_size - k)))
     is_id = (ids == arcface_token_id)[..., None]
     token_embs = jnp.where(is_id, padded[:, None, :].astype(token_embs.dtype),
                            token_embs)

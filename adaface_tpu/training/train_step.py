@@ -147,6 +147,38 @@ def make_compos_distill_step(
     this step (re-running with the winning candidate); this step itself is
     the filter-free grad pass.
     """
+    core = _make_compos_loss_core(
+        clip, unet, sched, skip_weights, prompt_delta_weight,
+        feat_align_weight, attn_align_weight, attn_norm_distill_weight,
+        fg_bg_weight, comp_fg_bg_preserve_weight)
+
+    def loss_fn(embedders, batch: ComposBatch, fz):
+        embedded = clip.apply({"params": fz["clip"]}, batch.token_ids,
+                              method=CLIPTextEncoder.embed_tokens)
+        subj = {s: compute_static_embedding(p) for s, p in embedders.items()}
+        patched = EmbeddingManager.patch_prompt_embeddings(
+            embedded, batch.slot_maps, subj)
+        return core(patched, batch, fz)
+
+    def step(embedders, opt_state, batch: ComposBatch, frozen=None):
+        fz = frozen if frozen is not None else {"clip": clip_params, "unet": unet_params}
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            embedders, batch, fz)
+        updates, opt_state = optimizer.update(grads, opt_state, embedders)
+        embedders = optax.apply_updates(embedders, updates)
+        return embedders, opt_state, metrics
+
+    return step
+
+
+def _make_compos_loss_core(clip, unet, sched, skip_weights,
+                           prompt_delta_weight, feat_align_weight,
+                           attn_align_weight, attn_norm_distill_weight,
+                           fg_bg_weight, comp_fg_bg_preserve_weight):
+    """Shared compositional-distillation loss over an already-patched
+    4-type prompt-embedding batch: second-half CLIP encode, V/K mixing,
+    captured UNet forward, the distillation loss battery. Used by both the
+    static-embedder and the zero-shot (generator-trained) compos steps."""
     from adaface_tpu.models.unet import DISTILL_LAYER_INDICES
     from adaface_tpu.training.losses import (
         comp_fg_bg_preserve_loss,
@@ -156,12 +188,7 @@ def make_compos_distill_step(
     )
     from adaface_tpu.training.mixing import mix_static_vk_embeddings
 
-    def loss_fn(embedders, batch: ComposBatch, fz):
-        embedded = clip.apply({"params": fz["clip"]}, batch.token_ids,
-                              method=CLIPTextEncoder.embed_tokens)
-        subj = {s: compute_static_embedding(p) for s, p in embedders.items()}
-        patched = EmbeddingManager.patch_prompt_embeddings(
-            embedded, batch.slot_maps, subj)
+    def core(patched, batch, fz):
         L, B4, T, D = patched.shape
         ctx = clip.apply({"params": fz["clip"]},
                          input_embeds=patched.reshape(L * B4, T, D),
@@ -277,15 +304,7 @@ def make_compos_distill_step(
                    "fg_bg": loss_fg_bg, "comp_fg_bg_preserve": loss_preserve}
         return loss, metrics
 
-    def step(embedders, opt_state, batch: ComposBatch, frozen=None):
-        fz = frozen if frozen is not None else {"clip": clip_params, "unet": unet_params}
-        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            embedders, batch, fz)
-        updates, opt_state = optimizer.update(grads, opt_state, embedders)
-        embedders = optax.apply_updates(embedders, updates)
-        return embedders, opt_state, metrics
-
-    return step
+    return core
 
 
 class Arc2FaceBatch(NamedTuple):
@@ -519,6 +538,119 @@ def make_zero_shot_recon_step(
         return recon, {"loss": recon, "recon": recon}
 
     def step(gen_params, opt_state, batch: ZeroShotReconBatch, frozen=None):
+        fz = frozen if frozen is not None else {
+            "clip": clip_params, "unet": unet_params, "arc": arc2face_params}
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            gen_params, batch, fz)
+        updates, opt_state = optimizer.update(grads, opt_state, gen_params)
+        gen_params = optax.apply_updates(gen_params, updates)
+        return gen_params, opt_state, metrics
+
+    return step
+
+
+class ZeroShotComposBatch(NamedTuple):
+    """Zero-shot compositional-distillation iteration: the 4-type prompt
+    batch of ComposBatch plus the subject's identity evidence, with subject
+    embeddings produced in-graph by the SubjBasisGenerators
+    (`embedding_manager.py:1455-1505` 'compos_distill_iter' branch)."""
+
+    token_ids: jnp.ndarray  # [4B, T]
+    slot_maps: Dict[str, jnp.ndarray]  # placeholder -> [4B, T]
+    subj_slot_map: jnp.ndarray  # [4B, T]
+    latents: jnp.ndarray  # [B, h, w, 4]
+    fg_mask: Optional[jnp.ndarray]
+    timesteps: jnp.ndarray  # [B]
+    noise: jnp.ndarray
+    t_frac: jnp.ndarray  # [B]
+    training_percent: jnp.ndarray  # scalar
+    clip_fg: jnp.ndarray  # [1, N_tok, D_img] (same_subject_in_batch)
+    clip_bg: jnp.ndarray
+    id_embs: jnp.ndarray  # [1, 512]
+    compel_level: float = 0.0
+    compel_batch_mask: Optional[jnp.ndarray] = None
+
+
+def make_zero_shot_compos_step(
+    clip: CLIPTextEncoder,
+    clip_params: dict,
+    unet: UNetModel,
+    unet_params: dict,
+    sched: DiffusionSchedule,
+    optimizer: optax.GradientTransformation,
+    generators: dict,  # placeholder -> SubjBasisGenerator module (static)
+    bg_placeholders: frozenset,
+    arc2face_encoder,
+    arc2face_params: dict,
+    forward_template_ids: jnp.ndarray,
+    inverse_template_ids: jnp.ndarray,
+    arcface_token_id: int,
+    skip_weights=(0.5, 0.5),
+    frozen_blend: float = 0.9,
+    out_id_embs_scale: float = 1.0,
+    prompt_delta_weight: float = 2e-4,
+    feat_align_weight: float = 1e-3,
+    attn_align_weight: float = 1e-3,
+    attn_norm_distill_weight: float = 1e-2,
+    fg_bg_weight: float = 1.0,
+    comp_fg_bg_preserve_weight: float = 1e-3,
+):
+    """Compositional distillation with generator-produced subject
+    embeddings (the zero-shot compos_distill_iter,
+    `embedding_manager.py:1455-1505`): the subj-SINGLE block's embeddings
+    are `frozen_blend`·frozen-generator + (1-blend)·live-generator — the
+    frozen deep-copy made at setup (`make_frozen_copy_of_subj_basis_
+    generators`, `embedding_manager.py:2055-2062`) keeps the recon anchor
+    stable while the live generator learns from the comp block. Frozen
+    generator params ride in `fz["gen0"]`."""
+    from adaface_tpu.personalization.arc2face import forward_face_embs_fn
+
+    core = _make_compos_loss_core(
+        clip, unet, sched, skip_weights, prompt_delta_weight,
+        feat_align_weight, attn_align_weight, attn_norm_distill_weight,
+        fg_bg_weight, comp_fg_bg_preserve_weight)
+
+    def _gen_embs(params, batch, fz, arc_id_embs):
+        subj = {}
+        for s, gen in generators.items():
+            feats = batch.clip_bg if s in bg_placeholders else batch.clip_fg
+            embs, _ = gen.apply(
+                {"params": params[s]}, feats, None, arc_id_embs,
+                out_id_embs_scale=out_id_embs_scale, is_face=True,
+                is_training=True, inverse_template_ids=inverse_template_ids)
+            subj[s] = jnp.transpose(embs, (1, 0, 2, 3))  # [L, 1, K, D]
+        return subj
+
+    def loss_fn(gen_params: dict, batch: ZeroShotComposBatch, fz):
+        embed_fn = lambda ids: arc2face_encoder.apply(
+            {"params": fz["arc"]}, ids, method="embed_tokens")
+        encode_fn = lambda e, w, n: arc2face_encoder.apply(
+            {"params": fz["arc"]}, input_embeds=e, skip_weights=w,
+            num_skip_layers=n)
+        _, arc_id_embs = forward_face_embs_fn(
+            embed_fn, encode_fn, jax.lax.stop_gradient(batch.id_embs),
+            forward_template_ids, arcface_token_id,
+            arc2face_encoder.cfg.hidden_size)
+
+        live = _gen_embs(gen_params, batch, fz, arc_id_embs)
+        frozen = jax.lax.stop_gradient(
+            _gen_embs(fz["gen0"], batch, fz, arc_id_embs))
+        B4 = batch.token_ids.shape[0]
+        subj = {}
+        for s in live:
+            single = frozen_blend * frozen[s] + (1 - frozen_blend) * live[s]
+            # rows [subj_single, subj_comp, cls_single, cls_comp]; class
+            # rows carry slot -1 everywhere so their value is never read
+            rows = [single] + [live[s]] * (B4 - 1)
+            subj[s] = jnp.concatenate(rows, axis=1)  # [L, 4B, K, D]
+
+        embedded = clip.apply({"params": fz["clip"]}, batch.token_ids,
+                              method=CLIPTextEncoder.embed_tokens)
+        patched = EmbeddingManager.patch_prompt_embeddings(
+            embedded, batch.slot_maps, subj)
+        return core(patched, batch, fz)
+
+    def step(gen_params, opt_state, batch: ZeroShotComposBatch, frozen=None):
         fz = frozen if frozen is not None else {
             "clip": clip_params, "unet": unet_params, "arc": arc2face_params}
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(

@@ -25,9 +25,16 @@ from adaface_tpu.personalization.arc2face import (
     FORWARD_TEMPLATE,
     INVERSE_TEMPLATE,
 )
-from adaface_tpu.training.iter_plan import RECON, plan_iteration, sample_timesteps
+from adaface_tpu.training.iter_plan import (
+    COMPOS_DISTILL,
+    RECON,
+    plan_iteration,
+    sample_timesteps,
+)
 from adaface_tpu.training.train_step import (
+    ZeroShotComposBatch,
     ZeroShotReconBatch,
+    make_zero_shot_compos_step,
     make_zero_shot_recon_step,
 )
 from adaface_tpu.training.trainer import Trainer, TrainerConfig
@@ -65,6 +72,21 @@ class ZeroShotTrainer(Trainer):
             arcface_token_id=self._arc_tid,
             skip_weights=p.skip_weights,
             bg_weight=cfg.bg_recon_weight))
+        # frozen deep-copy of the generators at setup, used to anchor the
+        # subj-single block of compos iters
+        # (`make_frozen_copy_of_subj_basis_generators`,
+        # `embedding_manager.py:2055-2062`)
+        self._gen0 = jax.tree_util.tree_map(jnp.asarray, generator_params)
+        self._zs_compos_step = jax.jit(make_zero_shot_compos_step(
+            p.clip, p.clip_params, p.unet, p.unet_params, p.base_sched,
+            self.optimizer, generators=self.generators,
+            bg_placeholders=self.bg_placeholders,
+            arc2face_encoder=arc2face_encoder,
+            arc2face_params=arc2face_params,
+            forward_template_ids=self._fwd_ids,
+            inverse_template_ids=self._inv_ids,
+            arcface_token_id=self._arc_tid,
+            skip_weights=p.skip_weights))
 
     def save_checkpoint(self, tag: Optional[str] = None):
         tag = tag or f"gs-{self.global_step}"
@@ -75,12 +97,65 @@ class ZeroShotTrainer(Trainer):
         print(f"saved {path}", flush=True)
         return path
 
+    def _run_zs_compos(self, plan):
+        """Zero-shot compositional distillation iteration (BLOCK_SIZE=1,
+        same_subject_in_batch): generator-produced subject embeddings with
+        the frozen-copy blend on the subj-single block. Teacher filtering /
+        reuse-init caching are not applied on the zs path yet (the grad
+        pass itself matches `embedding_manager.py:1455-1505`)."""
+        ex = self._draw_examples(1)
+        e = ex[0]
+
+        def keys_for(suffix):
+            return [f"subj_prompt_single{suffix}", f"subj_prompt_comp{suffix}",
+                    f"cls_prompt_single{suffix}", f"cls_prompt_comp{suffix}"]
+
+        suffix = "_bg" if (plan.use_background_token
+                           and all(k in e for k in keys_for("_bg"))) else ""
+        prompts = [e[k].split("|")[0] for k in keys_for(suffix)]
+        ids = self.pipe.tokenizer(prompts)
+        slots = self.mgr.build_slot_maps(ids)
+        subj_string = next(s for s in self.generators
+                           if s not in self.bg_placeholders)
+        latents = self._latents(e["image"][None])
+        lh, lw = latents.shape[1:3]
+        t = sample_timesteps(self.rng, plan, 1, self.plan_cfg)
+        feats = self.extractor.encode([e["image_unnorm"]], [e["fg_mask"]],
+                                      is_face=True)
+        id_embs = feats.id_embs if feats.id_embs is not None else \
+            jnp.asarray(self.rng.standard_normal((1, 512)), jnp.float32)
+        batch = ZeroShotComposBatch(
+            token_ids=jnp.asarray(ids),
+            slot_maps={k: jnp.asarray(v) for k, v in slots.items()},
+            subj_slot_map=jnp.asarray(slots[subj_string]),
+            latents=latents,
+            fg_mask=jnp.asarray(
+                self._mask_to_latent(e["fg_mask"][None], lh, lw)),
+            timesteps=jnp.asarray(t, jnp.int32),
+            noise=jnp.asarray(self.rng.standard_normal(latents.shape),
+                              jnp.float32),
+            t_frac=jnp.asarray(t / self.plan_cfg.num_timesteps, jnp.float32),
+            training_percent=jnp.asarray(plan.training_percent, jnp.float32),
+            clip_fg=feats.clip_fg[:1], clip_bg=feats.clip_bg[:1],
+            id_embs=id_embs[:1])
+        self.gen_params, self.opt_state, metrics = self._zs_compos_step(
+            self.gen_params, self.opt_state, batch,
+            {**self._frozen, "arc": self._arc_frozen, "gen0": self._gen0})
+        return metrics
+
     def fit(self, num_steps: Optional[int] = None, face_embed_fn=None):
         n = num_steps or self.cfg.max_steps
         B = self.cfg.batch_size
         while self.global_step < n:
             plan = plan_iteration(self.rng, self.global_step, self.plan_cfg)
-            plan.iter_type = RECON  # compos/arc2face for zs land separately
+            if plan.iter_type == COMPOS_DISTILL:
+                metrics = self._run_zs_compos(plan)
+                self._log(metrics, plan)
+                self.global_step += 1
+                if self.global_step % self.cfg.ckpt_every_steps == 0:
+                    self.save_checkpoint()
+                continue
+            plan.iter_type = RECON  # arc2face-distill for zs lands separately
             ex = self._draw_examples(B)
             batch_np = collate_examples(ex)
             latents = self._latents(batch_np["image"])

@@ -284,3 +284,89 @@ def test_zero_shot_recon_train_step(stack):
     d_hslw = float(jnp.abs(new_params["z"]["hidden_state_layer_weights"]
                            - trainable["z"]["hidden_state_layer_weights"]).max())
     assert d_hslw > 0
+
+
+def test_zero_shot_compos_step():
+    """Zero-shot compositional distillation: generator-trained 4-type batch
+    with frozen-copy blend on the subj-single block."""
+    import optax
+
+    from adaface_tpu.models.unet import UNetConfig, UNetModel
+    from adaface_tpu.ops.schedule import make_diffusion_schedule
+    from adaface_tpu.training.train_step import (
+        ZeroShotComposBatch,
+        make_zero_shot_compos_step,
+    )
+
+    tok = HashTokenizer()
+    tok.max_length = T
+    txt_cfg = CLIPTextConfig.tiny(vocab_size=512, hidden_size=D, num_layers=2,
+                                  max_position_embeddings=T, num_extra_tokens=2)
+    sd_clip = CLIPTextEncoder(txt_cfg)
+    sd_clip_params = sd_clip.init(jax.random.PRNGKey(0),
+                                  input_ids=jnp.zeros((1, T), jnp.int32))["params"]
+    arc_enc = CLIPTextEncoder(CLIPTextConfig.tiny(
+        vocab_size=512, hidden_size=D, num_layers=2, max_position_embeddings=T))
+    arc_params = arc_enc.init(jax.random.PRNGKey(1),
+                              input_ids=jnp.zeros((1, T), jnp.int32))["params"]
+    gen = SubjBasisGenerator(placeholder_is_bg=False,
+                             num_out_layers=NUM_CA_LAYERS,
+                             num_out_embs_per_layer=16, output_dim=D,
+                             proj_cfg=CLIPTextConfig.tiny(
+                                 vocab_size=512, hidden_size=D, num_layers=2,
+                                 max_position_embeddings=T),
+                             pad_token_id=tok.eos_id)
+    inv_ids = jnp.asarray(tok([INVERSE_TEMPLATE], max_length=T))
+    fwd_ids = jnp.asarray(tok([FORWARD_TEMPLATE], max_length=T))
+    gparams = gen.init(jax.random.PRNGKey(2), None, None,
+                       jnp.zeros((1, 16, D)),
+                       inverse_template_ids=inv_ids)["params"]
+    unet_cfg = UNetConfig(model_channels=32, channel_mult=(1, 2),
+                          num_res_blocks=1, attention_levels=(0, 1),
+                          num_heads=4, context_dim=D, use_flash_attention=False)
+    unet = UNetModel(unet_cfg)
+    HW = 8
+    unet_params = unet.init(jax.random.PRNGKey(3), jnp.zeros((1, HW, HW, 4)),
+                            jnp.zeros((1,), jnp.int32),
+                            jnp.zeros((1, 1, T, D)))["params"]
+    sched = make_diffusion_schedule()
+    opt = optax.adamw(1e-3)
+    trainable = {"z": gparams}
+    gen0 = jax.tree_util.tree_map(jnp.asarray, trainable)
+    step = make_zero_shot_compos_step(
+        sd_clip, sd_clip_params, unet, unet_params, sched, opt,
+        generators={"z": gen}, bg_placeholders=frozenset(),
+        arc2face_encoder=arc_enc, arc2face_params=arc_params,
+        forward_template_ids=fwd_ids, inverse_template_ids=inv_ids,
+        arcface_token_id=int(tok.encode("id")[0]))
+
+    rng = np.random.default_rng(11)
+    # 4-type rows: subject rows carry the placeholder; class rows don't
+    ids = rng.integers(1, 500, (4, T)).astype(np.int32)
+    ids[:2, 3] = 512
+    slot = np.full((4, T), -1, np.int32)
+    for k in range(8):
+        slot[:2, 3 + k] = k
+    t = rng.integers(800, 1000, 1)
+    batch = ZeroShotComposBatch(
+        token_ids=jnp.asarray(ids), slot_maps={"z": jnp.asarray(slot)},
+        subj_slot_map=jnp.asarray(slot),
+        latents=jnp.asarray(rng.standard_normal((1, HW, HW, 4)), jnp.float32),
+        fg_mask=jnp.asarray((rng.random((1, HW, HW, 1)) > 0.5), jnp.float32),
+        timesteps=jnp.asarray(t, jnp.int32),
+        noise=jnp.asarray(rng.standard_normal((1, HW, HW, 4)), jnp.float32),
+        t_frac=jnp.asarray(t / 1000.0, jnp.float32),
+        training_percent=jnp.asarray(0.3, jnp.float32),
+        clip_fg=jnp.asarray(rng.standard_normal((1, 5, 48)), jnp.float32),
+        clip_bg=jnp.asarray(rng.standard_normal((1, 5, 48)), jnp.float32),
+        id_embs=jnp.asarray(rng.standard_normal((1, 50)), jnp.float32))
+    fz = {"clip": sd_clip_params, "unet": unet_params, "arc": arc_params,
+          "gen0": gen0}
+    new_params, _, m = jax.jit(step)(trainable, opt.init(trainable), batch, fz)
+    for k, v in m.items():
+        assert np.isfinite(float(v)), (k, v)
+    leaves0 = jax.tree_util.tree_leaves(trainable)
+    leaves1 = jax.tree_util.tree_leaves(new_params)
+    assert all(np.isfinite(np.asarray(x)).all() for x in leaves1)
+    moved = max(float(jnp.abs(a - b).max()) for a, b in zip(leaves0, leaves1))
+    assert moved > 0
