@@ -51,3 +51,17 @@ def add_noise_to_tensor(key: jax.Array, ts: jnp.ndarray, noise_std: float,
             jnp.linalg.norm(out, axis=norm_dim, keepdims=True))
         return out * orig_norm / (new_norm + 1e-8)
     return ts + noise
+
+
+def perturb_params(key: jax.Array, params, perturb_ratio: float = 0.2):
+    """Multiplicative uniform perturbation of a trainable pytree — the
+    reference's `perturb_model_parameters` (`embedding_manager.py:2064-2076`,
+    each param scaled by U(1-ratio, 1+ratio) to inject randomness against
+    overfitting when resuming)."""
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    keys = jax.random.split(key, len(leaves))
+    out = [l * jax.random.uniform(k, l.shape, jnp.float32,
+                                  1.0 - perturb_ratio,
+                                  1.0 + perturb_ratio).astype(l.dtype)
+           for k, l in zip(keys, leaves)]
+    return jax.tree_util.tree_unflatten(treedef, out)

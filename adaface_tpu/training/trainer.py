@@ -183,6 +183,13 @@ class Trainer:
     def _log(self, metrics: Dict, plan: IterPlan):
         rec = {"step": self.global_step, "iter_type": plan.iter_type}
         rec.update({k: float(v) for k, v in metrics.items()})
+        if not all(np.isfinite(v) for v in rec.values()
+                   if isinstance(v, float)):
+            # the reference traps NaN losses with a breakpoint
+            # (`ddpm.py:3448`); here: emergency checkpoint + hard stop
+            self.save_checkpoint("nonfinite")
+            raise FloatingPointError(
+                f"non-finite metric at step {self.global_step}: {rec}")
         self._log_f.write(json.dumps(rec) + "\n")
         self._log_f.flush()
         if self.global_step % self.cfg.log_every_steps == 0:

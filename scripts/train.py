@@ -49,6 +49,9 @@ def parse_args(argv=None):
                    help="tiny random models (CPU smoke/verify mode)")
     p.add_argument("--resume", "-r", type=str, default=None,
                    help="train_state.pkl to resume from")
+    p.add_argument("--perturb_ratio", type=float, default=0.0,
+                   help="multiplicative U(1-r,1+r) param perturbation after "
+                        "resume (perturb_model_parameters analog)")
     p.add_argument("--dreambooth", action="store_true",
                    help="DreamBooth baseline (main_db.py analog)")
     p.add_argument("--reg_data_root", type=str, default=None,
@@ -186,6 +189,13 @@ def main(opt):
     trainer = Trainer(pipe, dataset, tcfg, pcfg)
     if opt.resume:
         trainer.load_state(opt.resume)
+    if opt.perturb_ratio > 0:
+        from adaface_tpu.ops.grad import perturb_params
+
+        trainer.mgr.embedders = perturb_params(
+            jax.random.PRNGKey(opt.seed + 9), trainer.mgr.embedders,
+            opt.perturb_ratio)
+        print(f"perturbed embedder params by U(1±{opt.perturb_ratio})")
     trainer.fit()
     trainer.save_state()
     return 0
