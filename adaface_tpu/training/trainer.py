@@ -158,6 +158,9 @@ class Trainer:
         self.cached_inits = None
         self.image_logger = None
         signal.signal(signal.SIGUSR1, self._on_sigusr1)
+        # SIGUSR2 -> debugger at the next safe point (the reference drops
+        # into pudb, `main.py:1217-1234`)
+        signal.signal(signal.SIGUSR2, self._on_sigusr2)
 
     def set_teacher_filter(self, clip_scorer):
         """Enable CLIP teacher filtering + reuse-init caching for
@@ -179,6 +182,11 @@ class Trainer:
     # ------------------------------------------------------------- plumbing
     def _on_sigusr1(self, *_):
         self._sig_ckpt_requested = True
+
+    def _on_sigusr2(self, *_):
+        import pdb
+
+        pdb.set_trace()
 
     def _log(self, metrics: Dict, plan: IterPlan):
         rec = {"step": self.global_step, "iter_type": plan.iter_type}
@@ -546,6 +554,12 @@ class Trainer:
         except KeyboardInterrupt:
             # checkpoint on interrupt, like `main.py:559-563`
             self.save_checkpoint("interrupted")
+            raise
+        except Exception:
+            # checkpoint on exception (`main.py:1241-1243` "melk")
+            self.save_checkpoint("exception")
+            self.save_state(os.path.join(self.cfg.logdir,
+                                         "train_state_exception.pkl"))
             raise
         self.save_checkpoint("last")
         dt = time.time() - t0
