@@ -651,8 +651,18 @@ def make_zero_shot_compos_step(
         return core(patched, batch, fz)
 
     def step(gen_params, opt_state, batch: ZeroShotComposBatch, frozen=None):
+        if frozen is not None and "gen0" not in frozen:
+            raise KeyError(
+                "make_zero_shot_compos_step: frozen dict must carry 'gen0' "
+                "(the frozen deep-copy of the generator params made at setup"
+                " — embedding_manager.py:2055-2062); got keys "
+                f"{sorted(frozen)}")
+        # Default: snapshot the CURRENT generator params as the frozen
+        # anchor (equivalent to a setup-time copy on the first step; the
+        # stop_gradient in loss_fn keeps it an anchor either way).
         fz = frozen if frozen is not None else {
-            "clip": clip_params, "unet": unet_params, "arc": arc2face_params}
+            "clip": clip_params, "unet": unet_params, "arc": arc2face_params,
+            "gen0": jax.tree_util.tree_map(jax.lax.stop_gradient, gen_params)}
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             gen_params, batch, fz)
         updates, opt_state = optimizer.update(grads, opt_state, gen_params)

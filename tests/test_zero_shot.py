@@ -370,3 +370,14 @@ def test_zero_shot_compos_step():
     assert all(np.isfinite(np.asarray(x)).all() for x in leaves1)
     moved = max(float(jnp.abs(a - b).max()) for a, b in zip(leaves0, leaves1))
     assert moved > 0
+
+    # regression (VERDICT r1): step() with the DEFAULT frozen dict must not
+    # KeyError on 'gen0' — it snapshots the current generator as the anchor
+    _, _, m_def = jax.jit(step)(trainable, opt.init(trainable), batch)
+    assert np.isfinite(float(m_def["loss"]))
+    # and an explicit frozen dict missing 'gen0' fails loudly
+    import pytest
+
+    with pytest.raises(KeyError, match="gen0"):
+        step(trainable, opt.init(trainable), batch,
+             {"clip": sd_clip_params, "unet": unet_params, "arc": arc_params})
