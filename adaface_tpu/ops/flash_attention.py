@@ -29,37 +29,58 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
+_LOG2E = 1.4426950408889634
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, block_k: int,
-                  scale: float, have_bias: bool):
+                  scale: float, have_bias: bool, unroll: int = 2):
     # q_ref: [1, block_q, D]; k_ref/v_ref: [1, Lk, D]; bias_ref: [1, 1, Lk];
     # o_ref: [1, block_q, D]
-    q = q_ref[0].astype(jnp.float32) * scale
+    #
+    # MXU-friendly choices (measured on v5e, scripts/perf_flash_sweep.py):
+    # matmul inputs stay in the input dtype (bf16) with fp32 accumulation —
+    # an fp32 upcast before the dot is pure loss; softmax uses exp2 with the
+    # log2(e) folded into the score scale; the k-loop is unrolled 2x so the
+    # next block's q·kᵀ can overlap the previous block's VPU softmax.
+    q = q_ref[0]
     lk = k_ref.shape[1]
     bq, d = q.shape
     num_kb = lk // block_k
+    sc = scale * _LOG2E  # exp2((s*scale - m)*log2e) == exp(s*scale - m)
+
+    def one_block(i, acc, m, l):
+        ks = k_ref[0, pl.ds(i * block_k, block_k), :]
+        vs = v_ref[0, pl.ds(i * block_k, block_k), :]
+        s = jax.lax.dot_general(q, ks, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * sc
+        if have_bias:
+            s = s + bias_ref[0, 0, pl.ds(i * block_k, block_k)][None, :] * _LOG2E
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp2(s - m_new)
+        corr = jnp.exp2(m - m_new)
+        l_new = l * corr + jnp.sum(p, axis=-1, keepdims=True)
+        acc_new = acc * corr + jax.lax.dot_general(
+            p.astype(vs.dtype), vs, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return acc_new, m_new, l_new
 
     def body(i, carry):
         acc, m, l = carry
-        ks = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        vs = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        s = jax.lax.dot_general(q, ks, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)  # [bq, bk]
-        if have_bias:
-            s = s + bias_ref[0, 0, pl.ds(i * block_k, block_k)][None, :]
-        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        corr = jnp.exp(m - m_new)
-        l_new = l * corr + jnp.sum(p, axis=-1, keepdims=True)
-        acc_new = acc * corr + jax.lax.dot_general(
-            p, vs, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-        return acc_new, m_new, l_new
+        for u in range(unroll):
+            acc, m, l = one_block(i * unroll + u, acc, m, l)
+        return acc, m, l
 
     acc0 = jnp.zeros((bq, d), jnp.float32)
     m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
     l0 = jnp.zeros((bq, 1), jnp.float32)
-    acc, m, l = jax.lax.fori_loop(0, num_kb, body, (acc0, m0, l0))
+    acc, m, l = jax.lax.fori_loop(0, num_kb // unroll, body, (acc0, m0, l0))
+
+    def tail(i, carry):
+        acc, m, l = carry
+        return one_block(i, acc, m, l)
+
+    acc, m, l = jax.lax.fori_loop((num_kb // unroll) * unroll, num_kb, tail,
+                                  (acc, m, l))
     o_ref[0] = (acc / l).astype(o_ref.dtype)
 
 
@@ -156,7 +177,7 @@ def flash_attention(
     v: jnp.ndarray,  # [B, H, Lk, D]
     key_bias: Optional[jnp.ndarray] = None,  # [B, Lk] additive (-inf to mask)
     scale: Optional[float] = None,
-    block_q: int = 256,
+    block_q: int = 512,
     block_k: int = 512,
     min_pallas_len: int = 256,
 ) -> jnp.ndarray:
