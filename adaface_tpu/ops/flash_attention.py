@@ -33,7 +33,7 @@ _LOG2E = 1.4426950408889634
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, block_k: int,
-                  scale: float, have_bias: bool, unroll: int = 2):
+                  scale: float, have_bias: bool, unroll: int = 4):
     # q_ref: [1, block_q, D]; k_ref/v_ref: [1, Lk, D]; bias_ref: [1, 1, Lk];
     # o_ref: [1, block_q, D]
     #

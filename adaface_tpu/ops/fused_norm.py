@@ -51,7 +51,11 @@ def _pick_num_chunks(n: int, c: int) -> int:
 # 16 MB limit, independent of the declared dtype):
 #   OK:  4096x320 (f32+bf16), 1024x1280, 1024x960, 1024x640  <= 1.31M elems
 #   OOM: 4096x640, 1024x1920 (f32+bf16)                      >= 1.97M elems
-_MAX_BLOCK_ELEMS = 1_350_000
+# Upper bound lowered from 1.35M after A/B on v5e: at the 4096x320 UNet
+# slab the plain XLA path is FASTER (1.04 vs 1.30 ms inside a ResBlock) --
+# XLA fuses the norm+silu into the adjacent convs, while the opaque Pallas
+# call serializes; at 1024x640 the kernel still wins (0.80 vs 1.48 ms).
+_MAX_BLOCK_ELEMS = 700_000
 
 
 def _gn_silu_kernel(x_ref, scale_ref, bias_ref, gmat_ref, o_ref, *,
