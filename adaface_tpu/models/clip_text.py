@@ -172,13 +172,20 @@ class CLIPTextEncoder(nn.Module):
         x = input_embeds + pos[None]
         causal = jnp.tril(jnp.ones((l, l), dtype=bool))[None, None]
 
-        n = min(max(1, num_skip_layers), c.num_layers)
+        # HF's hidden_states tuple is (embedding output, layer 1 out, ...,
+        # layer N out) — num_layers+1 entries; the reference blends the last
+        # `num_skip_layers` of THAT tuple (`arc2face_models.py:238-249`), so
+        # the pre-encoder embedding output participates when
+        # num_skip_layers > num_layers.
+        n = min(max(1, num_skip_layers), c.num_layers + 1)
         if skip_weights is not None and skip_weights.shape[0] > n:
             skip_weights = skip_weights[-n:]
-        collected = []  # hidden states AFTER layers num_layers-n .. num_layers-1
+        collected = []  # last n of the (num_layers+1)-entry hidden-state tuple
+        if n > c.num_layers:
+            collected.append(x)
         for i, layer in enumerate(self.layers):
             x = layer(x, causal)
-            if i >= c.num_layers - n:
+            if i + 1 >= c.num_layers + 1 - n:
                 collected.append(x)
         if skip_weights is None or n == 1:
             blended = x

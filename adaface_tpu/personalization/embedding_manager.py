@@ -242,13 +242,26 @@ class EmbeddingManager:
 
     def load_reference_checkpoint(self, path: str,
                                   token_id_resolver=None,
-                                  placeholder_remap: Optional[Dict[str, str]] = None):
+                                  placeholder_remap: Optional[Dict[str, str]] = None,
+                                  load_subj_basis_generators: bool = True,
+                                  extend_attention_multiplier: int = -1,
+                                  ext_perturb_ratio: float = 0.0,
+                                  ext_key: Optional[jax.Array] = None):
         """Import a reference `embeddings_gs-*.pt` (format:
         `embedding_manager.py:1820-1834`). `token_id_resolver(string)` maps a
         placeholder string to a token id in OUR vocab (defaults to sequential
         ids starting at 49408). `placeholder_remap` renames placeholders on
         load, the analog of the reference's `ckpt:z-z2` syntax
-        (`embedding_manager.py:1869-1883`)."""
+        (`embedding_manager.py:1869-1883`).
+
+        Zero-shot: `string_to_subj_basis_generator_dict` modules are imported
+        into flax `SubjBasisGenerator`s (`interop/subj_basis.py`), including
+        MKV-extended prompt2token_proj attention.
+        `extend_attention_multiplier` replays the reference's load-time
+        surgery (`embedding_manager.py:1884-1977`): if the checkpoint is
+        unextended, extend all proj layers by the multiplier; if already
+        extended by `m0` and the request is `m0*r`, further extend the first
+        3 layers by `r` (the reference's second-ext recipe)."""
         ckpt = load_torch_checkpoint(path)
         remap = placeholder_remap or {}
         token2num = {str(k): int(np.asarray(v)) for k, v in
@@ -285,4 +298,72 @@ class EmbeddingManager:
                 self.use_conv_attn_kernel_size = int(np.asarray(ckpt["use_conv_attn_kernel_size"]))
             except (TypeError, ValueError):
                 pass
+
+        if load_subj_basis_generators:
+            self._load_subj_basis_generators(
+                ckpt, remap, extend_attention_multiplier, ext_perturb_ratio,
+                ext_key)
         return self
+
+    def _load_subj_basis_generators(self, ckpt, remap,
+                                    extend_attention_multiplier=-1,
+                                    ext_perturb_ratio=0.0, ext_key=None):
+        """Import `string_to_subj_basis_generator_dict` (zero-shot ckpts)."""
+        from adaface_tpu.interop.subj_basis import (
+            build_generator_from_meta,
+            map_subj_basis_generator,
+        )
+
+        gens = ckpt.get("string_to_subj_basis_generator_dict")
+        if gens is None:
+            return
+        if isinstance(gens, TorchObjectStub):
+            items = dict(gens.__dict__.get("_modules") or {})
+        else:
+            items = dict(gens)
+        for name, stub in items.items():
+            target = remap.get(name, name)
+            params, meta = map_subj_basis_generator(stub)
+            params = jax.tree_util.tree_map(jnp.asarray, params)
+
+            if (not meta.placeholder_is_bg
+                    and extend_attention_multiplier > 1):
+                from adaface_tpu.personalization.arc2face import (
+                    extend_clip_mkv_params,
+                )
+                from adaface_tpu.models.clip_text import CLIPTextConfig
+
+                proj_cfg = CLIPTextConfig.vit_l_14(
+                    kv_multipliers=meta.kv_multipliers,
+                    num_layers=meta.num_proj_layers or 12)
+                key = ext_key if ext_key is not None else jax.random.PRNGKey(0)
+                m0 = max(meta.kv_multipliers or (1,))
+                if m0 == 1:
+                    # unextended ckpt: extend ALL layers (`:1934-1940`)
+                    params["prompt2token_proj"], proj_cfg = extend_clip_mkv_params(
+                        params["prompt2token_proj"], proj_cfg, key,
+                        multiplier=extend_attention_multiplier,
+                        noise_std=ext_perturb_ratio)
+                elif extend_attention_multiplier % m0 == 0 \
+                        and extend_attention_multiplier > m0:
+                    # already extended by m0: second-ext of the first 3
+                    # layers by the ratio (`:1957-1971`)
+                    params["prompt2token_proj"], proj_cfg = extend_clip_mkv_params(
+                        params["prompt2token_proj"], proj_cfg, key,
+                        multiplier=extend_attention_multiplier // m0,
+                        noise_std=ext_perturb_ratio,
+                        begin_layer_idx=0, end_layer_idx=3)
+                meta = dataclasses.replace(
+                    meta, kv_multipliers=proj_cfg.kv_multipliers)
+
+            gen = build_generator_from_meta(meta)
+            info = self.placeholders.get(target)
+            if info is not None:
+                info.is_background = meta.placeholder_is_bg or info.is_background
+                self.subj_basis_generators[target] = (gen, params)
+            else:
+                self.add_zero_shot_placeholder(
+                    target, token_id=49408 + len(self.placeholders),
+                    generator=gen, generator_params=params,
+                    num_vectors=meta.num_out_embs_per_layer,
+                    is_background=meta.placeholder_is_bg)

@@ -107,10 +107,14 @@ class SubjBasisGenerator(nn.Module):
     proj_cfg: Optional[CLIPTextConfig] = None
     pad_token_id: int = 49407
     bg_num_id_vecs: int = 257  # CLIP vision tokens (`num_id_vecs['bg']`)
+    # fg pos_embs row count; the reference defaults `num_id_vecs['subj']` to
+    # 77 (`subj_basis_generator.py:375`) and never uses fg pos_embs — kept
+    # configurable so imported checkpoints shape-match exactly
+    fg_num_id_vecs: int = 77
 
     def setup(self):
         D = self.output_dim
-        num_id_vecs = self.bg_num_id_vecs if self.placeholder_is_bg else NUM_CORE_EMBS
+        num_id_vecs = self.bg_num_id_vecs if self.placeholder_is_bg else self.fg_num_id_vecs
         self.pos_embs = self.param(
             "pos_embs", nn.initializers.normal(1.0), (1, num_id_vecs, D))
         self.pos_embs_ln = nn.LayerNorm(name="pos_embs_ln")

@@ -54,9 +54,45 @@ def export(npz_path: str, out_path: str):
     print(f"exported {len(string_to_token)} placeholders -> {out_path}")
 
 
+def export_zs(pkl_path: str, out_path: str):
+    """Export a ZeroShotTrainer checkpoint (`subj_basis_*.pkl`, a pytree of
+    per-placeholder SubjBasisGenerator params) to a .pt whose
+    `string_to_subj_basis_generator_state_dicts` entry holds torch-layout
+    state dicts — a reference-side user loads each with
+    `module.load_state_dict(sd)` on a constructed `SubjBasisGenerator`
+    (`ldm/modules/subj_basis_generator.py:369`). The import direction
+    (pickled modules -> flax) lives in `interop/subj_basis.py`."""
+    import pickle
+
+    import torch
+
+    from adaface_tpu.interop.subj_basis import export_subj_basis_generator
+
+    with open(pkl_path, "rb") as f:
+        ckpt = pickle.load(f)
+    gen_params = ckpt["generator_params"]
+    state_dicts = {}
+    for name, params in gen_params.items():
+        is_bg = "bg_proj_dense" in params
+        sd = export_subj_basis_generator(params, placeholder_is_bg=is_bg)
+        state_dicts[name] = {k: torch.tensor(np.asarray(v))
+                             for k, v in sd.items()}
+    torch.save({
+        "string_to_subj_basis_generator_state_dicts": state_dicts,
+        "placeholder_strings": list(gen_params),
+        "background_strings": [n for n, p in gen_params.items()
+                               if "bg_proj_dense" in p],
+        "global_step": ckpt.get("global_step", 0),
+        "do_zero_shot": True,
+    }, out_path)
+    print(f"exported {len(state_dicts)} subj-basis generators -> {out_path}")
+
+
 if __name__ == "__main__":
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("input")
     p.add_argument("--out", required=True)
+    p.add_argument("--zs", action="store_true",
+                   help="input is a ZeroShotTrainer subj_basis_*.pkl")
     a = p.parse_args()
-    export(a.input, a.out)
+    (export_zs if a.zs else export)(a.input, a.out)
