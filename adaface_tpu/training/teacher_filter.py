@@ -25,10 +25,12 @@ import numpy as np
 
 from adaface_tpu.models.vae import SD_VAE_SCALE_FACTOR, AutoencoderKL
 
-# student/teacher CFG scales for the filter pass
-# (`gen_cfg_scales_for_stu_tea(6, 5, ...)`, `ddpm.py:3113-3116`)
-STUDENT_CFG_SCALE = 6.0
-TEACHER_CFG_SCALE = 5.0
+# Default student/teacher CFG scales for the filter pass. The reference
+# calls `gen_cfg_scales_for_stu_tea(6, 5, ...)` (`ddpm.py:3113-3116`) whose
+# signature is `(tea_scale, stu_scale, ...)` (`ldm/util.py:2459-2464`):
+# teacher (mix-comp) rows get 6, student (subj-comp) rows get 5.
+STUDENT_CFG_SCALE = 5.0
+TEACHER_CFG_SCALE = 6.0
 
 
 @dataclasses.dataclass
@@ -43,11 +45,15 @@ class FilterVerdict:
 class TeacherFilter:
     def __init__(self, clip_scorer, unet, unet_params, vae, vae_params,
                  sched, clip_loss_thres: float = 0.28,
-                 cls_subj_clip_margin: float = 0.002):
+                 cls_subj_clip_margin: float = 0.002,
+                 student_cfg_scale: float = STUDENT_CFG_SCALE,
+                 teacher_cfg_scale: float = TEACHER_CFG_SCALE):
         self.clip_scorer = clip_scorer
         self.sched = sched
         self.clip_loss_thres = clip_loss_thres
         self.cls_subj_clip_margin = cls_subj_clip_margin
+        self.student_cfg_scale = student_cfg_scale
+        self.teacher_cfg_scale = teacher_cfg_scale
 
         @jax.jit
         def _denoise(x_start, noise, t, ctx_v, ctx_k, uncond_ctx, cfg_scales):
@@ -82,7 +88,8 @@ class TeacherFilter:
         ctx_v = jnp.concatenate([subj_comp_ctx[0], mix_comp_ctx[0]], axis=1)
         ctx_k = jnp.concatenate([subj_comp_ctx[1], mix_comp_ctx[1]], axis=1)
         un2 = jnp.concatenate([uncond_ctx, uncond_ctx], axis=1)
-        scales = jnp.asarray([STUDENT_CFG_SCALE] * N + [TEACHER_CFG_SCALE] * N)
+        scales = jnp.asarray([self.student_cfg_scale] * N
+                             + [self.teacher_cfg_scale] * N)
         imgs, _ = self._denoise(x2, n2, t2, ctx_v, ctx_k, un2, scales)
         imgs255 = np.asarray((imgs * 255).astype(jnp.uint8))
 

@@ -162,15 +162,17 @@ class Trainer:
         # into pudb, `main.py:1217-1234`)
         signal.signal(signal.SIGUSR2, self._on_sigusr2)
 
-    def set_teacher_filter(self, clip_scorer):
+    def set_teacher_filter(self, clip_scorer, **filter_kw):
         """Enable CLIP teacher filtering + reuse-init caching for
-        compositional iterations (`ddpm.py:3039-3180`)."""
+        compositional iterations (`ddpm.py:3039-3180`). `filter_kw` passes
+        through to `TeacherFilter` (clip_loss_thres, cls_subj_clip_margin,
+        student_cfg_scale, teacher_cfg_scale) for parity experiments."""
         from adaface_tpu.training.teacher_filter import CachedInits, TeacherFilter
 
         p = self.pipe
         self.teacher_filter = TeacherFilter(
             clip_scorer, p.unet, p.unet_params, p.vae, p.vae_params,
-            p.base_sched)
+            p.base_sched, **filter_kw)
         self.cached_inits = CachedInits()
 
     def set_image_logger(self, every_steps: int = 500, **kw):
@@ -463,12 +465,22 @@ class Trainer:
                                input_embeds=patched.reshape(L * B4, T, D),
                                skip_weights=jnp.asarray(p.skip_weights))
             ctx = ctx.reshape(L, B4, T, D)
+        subj_slot = jnp.asarray(slots[next(
+            s for s, i in self.mgr.placeholders.items()
+            if not i.is_background)])
+        return self._mix_ctx_for_filter(ctx, subj_slot, plan, t, ids.shape[1])
+
+    def _mix_ctx_for_filter(self, ctx, subj_slot, plan, t, T):
+        """Shared tail of the teacher-filter context build: 4-type encoded
+        contexts [L, 4B, T, D] -> (subj_comp, mix_comp, uncond) V/K pairs
+        replicated num_candidate_teachers times. Used by both the static
+        path and `ZeroShotTrainer` (`ddpm.py:3039-3131`)."""
+        from adaface_tpu.training.mixing import mix_static_vk_embeddings
+
         B = ctx.shape[1] // 4
         subj_comp = ctx[:, B:2 * B]
         cls_comp = ctx[:, 3 * B:]
-        subj_tok = (jnp.asarray(slots[next(
-            s for s, i in self.mgr.placeholders.items()
-            if not i.is_background)])[B:2 * B] >= 0).astype(jnp.float32)
+        subj_tok = (subj_slot[B:2 * B] >= 0).astype(jnp.float32)
         n_cand = self.plan_cfg.num_candidate_teachers
         sc = jnp.concatenate([subj_comp] * n_cand, axis=1)
         cc = jnp.concatenate([cls_comp] * n_cand, axis=1)
@@ -476,8 +488,7 @@ class Trainer:
         t_frac = jnp.asarray(t / self.plan_cfg.num_timesteps, jnp.float32)
         s_vk, m_vk = mix_static_vk_embeddings(
             sc, cc, st, plan.training_percent, t_frac)
-        T = ids.shape[1]
-        uncond = p.encode_negative("", n_cand)
+        uncond = self.pipe.encode_negative("", n_cand)
         return {
             "subj_comp": (s_vk[:, :, :T], s_vk[:, :, T:]),
             "mix_comp": (m_vk[:, :, :T], m_vk[:, :, T:]),

@@ -54,6 +54,7 @@ class ZeroShotTrainer(Trainer):
         self.gen_params = generator_params
         self.bg_placeholders = frozenset(bg_placeholders)
         tok = pipeline.tokenizer
+        self._arc_encoder = arc2face_encoder
         self._arc_frozen = arc2face_params
         self._fwd_ids = jnp.asarray(tok([FORWARD_TEMPLATE]))
         self._inv_ids = jnp.asarray(tok([INVERSE_TEMPLATE]))
@@ -97,12 +98,64 @@ class ZeroShotTrainer(Trainer):
         print(f"saved {path}", flush=True)
         return path
 
+    def _zs_subject_embs(self, feats, id_embs):
+        """No-grad zero-shot subject embeddings from the LIVE generators:
+        placeholder -> [L, 1, K, D] (the filter-pass analog of
+        `_gen_embs` inside the jitted step)."""
+        from adaface_tpu.personalization.arc2face import forward_face_embs_fn
+
+        enc, enc_p = self._arc_encoder, self._arc_frozen
+        embed_fn = lambda i: enc.apply({"params": enc_p}, i,
+                                       method="embed_tokens")
+        encode_fn = lambda em, w, n: enc.apply(
+            {"params": enc_p}, input_embeds=em, skip_weights=w,
+            num_skip_layers=n)
+        _, arc_id_embs = forward_face_embs_fn(
+            embed_fn, encode_fn, jnp.asarray(id_embs), self._fwd_ids,
+            self._arc_tid, enc.cfg.hidden_size)
+        subj = {}
+        for s, gen in self.generators.items():
+            f = feats.clip_bg if s in self.bg_placeholders else feats.clip_fg
+            embs, _ = gen.apply(
+                {"params": self.gen_params[s]}, f[:1], None, arc_id_embs,
+                is_face=True, is_training=True,
+                inverse_template_ids=self._inv_ids)
+            subj[s] = jnp.transpose(embs, (1, 0, 2, 3))
+        return subj
+
+    def _zs_compos_contexts(self, ids, slots, plan, t, feats, id_embs):
+        """(subj_comp, mix_comp, uncond) filter contexts for the zs path:
+        generator embeddings patched into the 4-type prompts, encoded, then
+        V/K-mixed — the no-grad twin of the jitted compos step
+        (`ddpm.py:3039-3131` zero-shot branch)."""
+        from adaface_tpu.personalization.embedding_manager import (
+            EmbeddingManager,
+        )
+
+        p = self.pipe
+        subj = self._zs_subject_embs(feats, id_embs)
+        B4 = ids.shape[0]
+        subj4 = {s: jnp.concatenate([v] * B4, axis=1) for s, v in subj.items()}
+        embedded = p.clip.apply({"params": p.clip_params}, jnp.asarray(ids),
+                                method=type(p.clip).embed_tokens)
+        patched = EmbeddingManager.patch_prompt_embeddings(
+            embedded, {k: jnp.asarray(v) for k, v in slots.items()}, subj4)
+        L, B, T, D = patched.shape
+        ctx = p.clip.apply({"params": p.clip_params},
+                           input_embeds=patched.reshape(L * B, T, D),
+                           skip_weights=jnp.asarray(p.skip_weights))
+        ctx = ctx.reshape(L, B, T, D)
+        subj_string = next(s for s in self.generators
+                           if s not in self.bg_placeholders)
+        return self._mix_ctx_for_filter(
+            ctx, jnp.asarray(slots[subj_string]), plan, t, T)
+
     def _run_zs_compos(self, plan):
         """Zero-shot compositional distillation iteration (BLOCK_SIZE=1,
         same_subject_in_batch): generator-produced subject embeddings with
-        the frozen-copy blend on the subj-single block. Teacher filtering /
-        reuse-init caching are not applied on the zs path yet (the grad
-        pass itself matches `embedding_manager.py:1455-1505`)."""
+        the frozen-copy blend on the subj-single block, CLIP teacher
+        filtering and reuse-init caching (`ddpm.py:3039-3180`, `:2604-2635`)
+        when `set_teacher_filter` is active."""
         ex = self._draw_examples(1)
         e = ex[0]
 
@@ -119,11 +172,54 @@ class ZeroShotTrainer(Trainer):
                            if s not in self.bg_placeholders)
         latents = self._latents(e["image"][None])
         lh, lw = latents.shape[1:3]
-        t = sample_timesteps(self.rng, plan, 1, self.plan_cfg)
         feats = self.extractor.encode([e["image_unnorm"]], [e["fg_mask"]],
                                       is_face=True)
         id_embs = feats.id_embs if feats.id_embs is not None else \
             jnp.asarray(self.rng.standard_normal((1, 512)), jnp.float32)
+
+        prev_t = None
+        if (self.cached_inits is not None
+                and e["subject_name"] in self.cached_inits):
+            # reuse-init follow-up at mid-range t (`ddpm.py:2604-2635`)
+            entry = self.cached_inits.pop(e["subject_name"])
+            latents = jnp.asarray(entry["x_start"][:1])
+            prev_t = entry["t"][:1]
+            plan.reuse_init_conds = True
+            plan.do_teacher_filter = False
+        t = sample_timesteps(self.rng, plan, 1, self.plan_cfg, prev_t=prev_t)
+        noise = jnp.asarray(self.rng.standard_normal(latents.shape),
+                            jnp.float32)
+
+        if (self.teacher_filter is not None and plan.do_teacher_filter
+                and not plan.reuse_init_conds):
+            n_cand = self.plan_cfg.num_candidate_teachers
+            cand_x = jnp.concatenate([latents] * n_cand)
+            cand_noise = jnp.asarray(
+                self.rng.standard_normal(cand_x.shape), jnp.float32)
+            cand_t = jnp.asarray(
+                sample_timesteps(self.rng, plan, n_cand, self.plan_cfg),
+                jnp.int32)
+            ctx = self._zs_compos_contexts(ids, slots, plan, cand_t,
+                                           feats, id_embs)
+            verdict = self.teacher_filter.filter(
+                cand_x, cand_noise, cand_t,
+                ctx["subj_comp"], ctx["mix_comp"], ctx["uncond"],
+                prompts[3])
+            if self.image_logger is not None \
+                    and self.image_logger.should_log(self.global_step):
+                colors = [2 if i == verdict.best_cand_idx else 1
+                          for i in range(2 * n_cand)]
+                self.image_logger.log_candidates(self.global_step,
+                                                 verdict.images, colors)
+            if not verdict.is_teachable:
+                # skip the distillation loss this iter (`ddpm.py:3047-3050`)
+                return {"loss": jnp.asarray(0.0), "skipped_unteachable": 1.0}
+            i = verdict.best_cand_idx
+            noise = cand_noise[i:i + 1]
+            t = np.asarray(cand_t)[i:i + 1]
+            if self.cached_inits is not None:
+                self.cached_inits.put(e["subject_name"], cand_x[i:i + 1], t)
+
         batch = ZeroShotComposBatch(
             token_ids=jnp.asarray(ids),
             slot_maps={k: jnp.asarray(v) for k, v in slots.items()},
@@ -132,8 +228,7 @@ class ZeroShotTrainer(Trainer):
             fg_mask=jnp.asarray(
                 self._mask_to_latent(e["fg_mask"][None], lh, lw)),
             timesteps=jnp.asarray(t, jnp.int32),
-            noise=jnp.asarray(self.rng.standard_normal(latents.shape),
-                              jnp.float32),
+            noise=noise,  # the filter-selected candidate's noise when teachable
             t_frac=jnp.asarray(t / self.plan_cfg.num_timesteps, jnp.float32),
             training_percent=jnp.asarray(plan.training_percent, jnp.float32),
             clip_fg=feats.clip_fg[:1], clip_bg=feats.clip_bg[:1],
