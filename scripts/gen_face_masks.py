@@ -39,7 +39,17 @@ def main(opt):
 
     from adaface_tpu.evaluation.eval_utils import list_image_files
 
-    if opt.use_detector:
+    if opt.use_detector and opt.detector == "scrfd":
+        # antelopev2-parity detector (`ddpm.py:904-933`)
+        import jax
+
+        from adaface_tpu.models.scrfd import SCRFDDetector, init_scrfd
+
+        model, params = init_scrfd(jax.random.PRNGKey(0))
+        print("NOTE: SCRFD with synthetic weights (smoke) — boxes are "
+              "architecture-real but untrained")
+        detect = SCRFDDetector(model, params, score_thresh=opt.score_thresh)
+    elif opt.use_detector:
         import jax
         import jax.numpy as jnp
 
@@ -95,6 +105,10 @@ if __name__ == "__main__":
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("folders", nargs="+")
     p.add_argument("--use_detector", action="store_true")
+    p.add_argument("--detector", choices=["scrfd", "retinaface"],
+                   default="scrfd",
+                   help="scrfd = antelopev2 parity (the reference's "
+                        "training-time detector)")
     p.add_argument("--score_thresh", type=float, default=0.5)
     p.add_argument("--overwrite", action="store_true")
     sys.exit(main(p.parse_args()))
