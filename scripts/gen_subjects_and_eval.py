@@ -84,11 +84,16 @@ def main(opt):
         emb = find_newest_embeddings(opt.logdir, subject)
         out = os.path.join(opt.outdir, subject)
         gt = os.path.join(data_root, subject)
+        is_face = subj2attr.get("are_faces", {}).get(subject, 1)
         argv = ["--from_file", tsv, "--out", out,
                 "--steps", str(opt.steps), "--size", str(opt.size),
                 "--n_samples", str(opt.n_samples)]
         if os.path.isdir(gt):
             argv += ["--compare_with", gt, "--class_prompt", cls_prompts[0]]
+            if int(is_face):
+                # face-sim + exception accounting only for are_faces
+                # subjects (`info-subjects.sh` $are_faces row)
+                argv += ["--calc_face_sim"]
         if emb:
             argv += ["--embedding_paths", emb]
         if opt.ckpt:
@@ -108,13 +113,21 @@ def main(opt):
 
         with open(scores_path, "w") as f:
             w = csv.writer(f)
-            w.writerow(["subject", "prompt", "clip_i", "clip_t", "dino"])
+            w.writerow(["subject", "prompt", "clip_i", "clip_t", "dino",
+                        "face_sim", "face_exceptions", "face_exception_rate"])
             w.writerows(rows)
             arr = np.asarray([[float(x) for x in r[2:5]] for r in rows])
             mean = arr.mean(axis=0)
-            w.writerow(["MEAN", "", *[f"{m:.4f}" for m in mean]])
-        print(f"aggregated {len(rows)} rows -> {scores_path}; "
-              f"mean CLIP-I={mean[0]:.4f} CLIP-T={mean[1]:.4f} DINO={mean[2]:.4f}")
+            face = np.asarray([float(r[5]) for r in rows if len(r) > 5])
+            exc = np.asarray([float(r[7]) for r in rows if len(r) > 7])
+            w.writerow(["MEAN", "", *[f"{m:.4f}" for m in mean],
+                        f"{face.mean():.4f}" if len(face) else "",
+                        "", f"{exc.mean():.4f}" if len(exc) else ""])
+        msg = (f"aggregated {len(rows)} rows -> {scores_path}; mean "
+               f"CLIP-I={mean[0]:.4f} CLIP-T={mean[1]:.4f} DINO={mean[2]:.4f}")
+        if len(face):
+            msg += f" face={face.mean():.4f} exc_rate={exc.mean():.4f}"
+        print(msg)
     return 0
 
 

@@ -52,6 +52,9 @@ def parse_args(argv=None):
                    help="reference image folder for CLIP-I/T + face scores")
     p.add_argument("--class_prompt", type=str, default=None,
                    help="prompt with the class word for CLIP-T scoring")
+    p.add_argument("--calc_face_sim", action="store_true",
+                   help="also score ArcFace similarity + no-face exception "
+                        "rate (the reference's are_faces subjects)")
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--tiny", action="store_true",
                    help="tiny random models (CPU smoke/verify mode)")
@@ -217,10 +220,33 @@ def evaluate(opt, jobs):
     prompt = opt.class_prompt or jobs[0][1]
     ci, ct, dn = compare_folders(scorer, dino, opt.outdir, opt.compare_with,
                                  prompt)
+    res = {"clip_i": ci, "clip_t": ct, "dino": dn}
+    row = [prompt, f"{ci:.4f}", f"{ct:.4f}", f"{dn:.4f}"]
+    if opt.calc_face_sim:
+        # ArcFace-cosine face similarity + no-face exception accounting
+        # (`stable_txt2img.py:871-897`, `compare_face_folders_fast`)
+        from adaface_tpu.evaluation.eval_utils import compare_face_folders
+        from adaface_tpu.face_app import FaceApp
+        from adaface_tpu.models.arcface import IResNet, IResNetConfig
+
+        rec = IResNet(IResNetConfig.tiny())
+        rp = rec.init(jax.random.PRNGKey(3),
+                      jnp.zeros((1, 16, 16, 3)))["params"]
+        app = FaceApp(recognizer=rec, params=rp)
+        embed = lambda im: (lambda fs: fs[0].normed_embedding if fs else None)(
+            app.get(im))
+        n_gen = len([None for r, d, fs in os.walk(opt.outdir) for f in fs
+                     if f.endswith((".jpg", ".png"))])
+        sim, nf_gen, nf_gt = compare_face_folders(
+            embed, opt.outdir, opt.compare_with)
+        exc_rate = nf_gen / max(n_gen, 1)
+        res.update({"face_sim": float(sim), "face_exceptions": nf_gen,
+                    "face_exception_rate": exc_rate})
+        row += [f"{sim:.4f}", str(nf_gen), f"{exc_rate:.4f}"]
     path = os.path.join(opt.outdir, "scores.csv")
     with open(path, "a") as f:
-        csv.writer(f).writerow([prompt, f"{ci:.4f}", f"{ct:.4f}", f"{dn:.4f}"])
-    return {"clip_i": ci, "clip_t": ct, "dino": dn}
+        csv.writer(f).writerow(row)
+    return res
 
 
 if __name__ == "__main__":
