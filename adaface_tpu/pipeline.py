@@ -356,6 +356,7 @@ class StableDiffusionPipeline:
         seed: int = 0,
         sampler: str = "ddim",
         compel_cfg_weight_level: float = 0.0,
+        x_T: Optional[np.ndarray] = None,  # [B, h, w, C] initial noise
     ) -> np.ndarray:
         """Returns uint8 images [B, H, W, 3].
 
@@ -374,8 +375,12 @@ class StableDiffusionPipeline:
             empty = self.encode_negative("", 1)[0]
             ctx_c = apply_compel_cfg(ctx_c, empty.astype(ctx_c.dtype),
                                      compel_cfg_weight_level)
-        x_T = jax.random.normal(jax.random.PRNGKey(seed),
-                                (b, lh, lw, self.unet.cfg.in_channels), jnp.float32)
+        if x_T is None:
+            x_T = jax.random.normal(jax.random.PRNGKey(seed),
+                                    (b, lh, lw, self.unet.cfg.in_channels),
+                                    jnp.float32)
+        else:
+            x_T = jnp.asarray(x_T, jnp.float32)
         run = self._get_sampler_fn(b, (lh, lw), num_steps, guidance_scale, sampler)
         # CFG doubles the batch inside make_cfg_eps_fn (cond; uncond): the
         # uncond half carries no subject tokens -> slot -1

@@ -71,6 +71,14 @@ def import_reference_module(name: str):
                                  ("taming.modules.vqvae", tv),
                                  ("taming.modules.vqvae.quantize", tq)]:
                 sys.modules[modname] = mod
+        # `ldm.modules.encoders.modules` imports clip + kornia at module
+        # level; only non-FrozenCLIPEmbedder classes use them
+        for mod in ("clip", "kornia"):
+            if mod not in sys.modules:
+                m2 = types.ModuleType(mod)
+                m2.__spec__ = importlib.machinery.ModuleSpec(mod, loader=None)
+                m2.load = lambda *a, **k: (None, None)
+                sys.modules[mod] = m2
         os.environ.setdefault("HF_HUB_OFFLINE", "1")
         os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
         # ldm.modules.subj_basis_generator downloads a CLIP tokenizer at
