@@ -52,6 +52,11 @@ def parse_args(argv=None):
     p.add_argument("--perturb_ratio", type=float, default=0.0,
                    help="multiplicative U(1-r,1+r) param perturbation after "
                         "resume (perturb_model_parameters analog)")
+    p.add_argument("--arc2face_unet", type=str, default=None,
+                   help="diffusers-layout arc2face teacher UNet dir/file; "
+                        "enables arc2face distillation iterations")
+    p.add_argument("--arc2face_text_encoder", type=str, default=None,
+                   help="arc2face CLIPTextModel weights (.safetensors/.bin)")
     p.add_argument("--dreambooth", action="store_true",
                    help="DreamBooth baseline (main_db.py analog)")
     p.add_argument("--reg_data_root", type=str, default=None,
@@ -196,7 +201,17 @@ def main(opt):
             jax.random.PRNGKey(opt.seed + 9), trainer.mgr.embedders,
             opt.perturb_ratio)
         print(f"perturbed embedder params by U(1±{opt.perturb_ratio})")
-    trainer.fit()
+    teacher = None
+    if opt.arc2face_unet:
+        from adaface_tpu.training.arc2face_teacher import load_arc2face_teacher
+
+        if not opt.arc2face_text_encoder:
+            raise SystemExit("--arc2face_unet requires --arc2face_text_encoder")
+        teacher = load_arc2face_teacher(
+            opt.arc2face_unet, opt.arc2face_text_encoder, tok,
+            dtype=dtype).as_tuple()
+        print(f"arc2face teacher loaded from {opt.arc2face_unet}")
+    trainer.fit(arc2face_teacher=teacher)
     trainer.save_state()
     return 0
 
