@@ -7,6 +7,7 @@ with n the update count, so early updates average aggressively.
 
 from __future__ import annotations
 
+import contextlib
 from typing import NamedTuple
 
 import jax
@@ -32,5 +33,30 @@ def ema_update(state: EmaState, params, decay: float = 0.9999) -> EmaState:
 
 
 def ema_params(state: EmaState) -> dict:
-    """The shadow params (use inside an `ema_scope` analog at eval)."""
+    """The shadow params (use inside `ema_scope` at eval)."""
     return state.shadow
+
+
+@contextlib.contextmanager
+def ema_scope(holder, attr: str, state: EmaState, context: str = ""):
+    """Swap `holder.<attr>` for the EMA shadow inside the block — the
+    reference's `LitEma` eval scope (`ddpm.py:310-323`: store live weights,
+    copy shadow in, yield, restore). Typical use:
+
+        with ema_scope(trainer.mgr, "embedders", trainer.ema_state,
+                       "sampling"):
+            pipe.generate(...)
+    """
+    if state is None:
+        yield
+        return
+    live = getattr(holder, attr)
+    setattr(holder, attr, ema_params(state))
+    if context:
+        print(f"{context}: switched to EMA weights")
+    try:
+        yield
+    finally:
+        setattr(holder, attr, live)
+        if context:
+            print(f"{context}: restored training weights")

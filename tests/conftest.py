@@ -22,6 +22,16 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
+# Persistent compilation cache: the suite's cost is dominated by re-jitting
+# the same tiny models every run; cache hits cut repeat runs to seconds.
+_cache_dir = os.environ.get("ADAFACE_TEST_JAX_CACHE",
+                            "/tmp/adaface_jax_test_cache")
+try:
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:  # older jax without the knobs: run uncached
+    pass
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

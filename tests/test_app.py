@@ -9,6 +9,9 @@ import urllib.request
 import numpy as np
 import pytest
 
+# oracle-parity / integration battery: minutes of compile; run with -m slow
+pytestmark = pytest.mark.slow
+
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
 
 

@@ -22,6 +22,9 @@ from adaface_tpu.models.clip_text import CLIPTextConfig, CLIPTextEncoder
 from adaface_tpu.interop.torch_pickle import load_torch_checkpoint
 from adaface_tpu.interop.hf_clip import map_clip_text_params
 
+# oracle-parity / integration battery: minutes of compile; run with -m slow
+pytestmark = pytest.mark.slow
+
 CFG = dict(vocab_size=99, hidden_size=64, num_hidden_layers=3, num_attention_heads=4,
            intermediate_size=128, max_position_embeddings=16, hidden_act="quick_gelu")
 

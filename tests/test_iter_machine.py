@@ -27,6 +27,9 @@ from adaface_tpu.training.train_step import (
     make_compos_distill_step,
 )
 
+# oracle-parity / integration battery: minutes of compile; run with -m slow
+pytestmark = pytest.mark.slow
+
 T, D, HW = 16, 32, 8
 
 

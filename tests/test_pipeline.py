@@ -12,6 +12,9 @@ from adaface_tpu.models.unet import UNetConfig
 from adaface_tpu.models.vae import VAEConfig
 from adaface_tpu.pipeline import StableDiffusionPipeline
 
+# oracle-parity / integration battery: minutes of compile; run with -m slow
+pytestmark = pytest.mark.slow
+
 
 def _tiny_pipeline():
     tok = HashTokenizer()

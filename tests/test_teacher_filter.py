@@ -11,6 +11,9 @@ from adaface_tpu.models.vae import AutoencoderKL, VAEConfig
 from adaface_tpu.ops.schedule import make_diffusion_schedule
 from adaface_tpu.training.teacher_filter import CachedInits, TeacherFilter
 
+# oracle-parity / integration battery: minutes of compile; run with -m slow
+pytestmark = pytest.mark.slow
+
 
 class FakeScorer:
     """Deterministic CLIP-T: returns preset sims per call order."""

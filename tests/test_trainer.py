@@ -18,6 +18,9 @@ from adaface_tpu.pipeline import StableDiffusionPipeline
 from adaface_tpu.training.iter_plan import IterPlanConfig
 from adaface_tpu.training.trainer import Trainer, TrainerConfig
 
+# oracle-parity / integration battery: minutes of compile; run with -m slow
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def subject_dir(tmp_path_factory):

@@ -17,7 +17,7 @@ from adaface_tpu.models.unet import UNetModel, UNetConfig, CA_LAYER_INDEX, DISTI
 from adaface_tpu.interop.sd_unet import map_unet_params
 from tests.reference_oracle import reference_available, import_reference_module
 
-pytestmark = pytest.mark.skipif(not reference_available(), reason="reference tree absent")
+pytestmark = [pytest.mark.skipif(not reference_available(), reason="reference tree absent"), pytest.mark.slow]
 
 CFG = UNetConfig(model_channels=64, channel_mult=(1, 2, 4, 4), num_res_blocks=2,
                  attention_levels=(0, 1, 2), num_heads=8, context_dim=96)

@@ -27,6 +27,9 @@ from adaface_tpu.personalization.zero_shot import (
     ZeroShotFeatures,
 )
 
+# oracle-parity / integration battery: minutes of compile; run with -m slow
+pytestmark = pytest.mark.slow
+
 T, D = 32, 64
 
 

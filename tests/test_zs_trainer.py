@@ -25,6 +25,9 @@ from adaface_tpu.training.iter_plan import IterPlanConfig
 from adaface_tpu.training.trainer import TrainerConfig
 from adaface_tpu.training.zs_trainer import ZeroShotTrainer
 
+# oracle-parity / integration battery: minutes of compile; run with -m slow
+pytestmark = pytest.mark.slow
+
 D = 64
 
 
