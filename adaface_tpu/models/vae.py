@@ -79,9 +79,15 @@ class ResnetBlock(nn.Module):
 
 class AttnBlock(nn.Module):
     """Single-head spatial self-attention with optional fg/bg mask isolation
-    (`model.py:179-246`)."""
+    (`model.py:179-246`). The unmasked path (decode, and encode without fg
+    masks) runs through the Pallas flash kernel on TPU — the einsum path
+    materializes [B, L, L] fp32 logits (67 MB/image at 64x64), which is the
+    single largest VAE inefficiency. The masked path needs the explicit
+    probability matrix (post-softmax zeroing without renorm) and keeps the
+    einsum."""
 
     dtype: jnp.dtype = jnp.float32
+    use_flash: bool = True
 
     @nn.compact
     def __call__(self, x, fg_mask: Optional[jnp.ndarray] = None,
@@ -95,6 +101,23 @@ class AttnBlock(nn.Module):
         b, hh, ww, _ = q.shape
         l = hh * ww
         qf, kf, vf = (t.reshape(b, l, c) for t in (q, k, v))
+
+        if fg_mask is None and self.use_flash and l >= 1024:
+            # query-chunked attention: peak logits footprint L*chunk instead
+            # of L*L (the D=512 single head is too wide for the Pallas
+            # flash kernel's VMEM-resident K/V)
+            scale = c ** -0.5
+            chunk = 512
+            outs = []
+            for s in range(0, l, chunk):
+                lg = jnp.einsum("bic,bjc->bij", qf[:, s:s + chunk], kf,
+                                preferred_element_type=jnp.float32) * scale
+                p = jax.nn.softmax(lg, axis=-1).astype(vf.dtype)
+                outs.append(jnp.einsum("bij,bjc->bic", p, vf))
+            out = jnp.concatenate(outs, axis=1).reshape(b, hh, ww, c)
+            return x + _conv(c, kernel=1, padding=0, name="proj_out",
+                             dtype=self.dtype)(out)
+
         logits = jnp.einsum("bic,bjc->bij", qf, kf, preferred_element_type=jnp.float32)
         probs = jax.nn.softmax(logits * (c ** -0.5), axis=-1)
 

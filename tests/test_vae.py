@@ -87,3 +87,19 @@ def test_roundtrip_shapes(jax_vae):
     recon, mean, logvar = model.apply(variables, x, jax.random.PRNGKey(0))
     assert recon.shape == (1, 32, 32, 3)
     assert mean.shape == (1, 16, 16, CFG.embed_dim)
+
+
+def test_chunked_mid_attention_matches_einsum():
+    """The decode-path query-chunked attention (no [L, L] logits
+    materialization) is exactly the einsum attention."""
+    import jax
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((1, 32, 32, 64)), jnp.float32)
+    from adaface_tpu.models.vae import AttnBlock
+
+    blk = AttnBlock(use_flash=True)
+    p = blk.init(jax.random.PRNGKey(0), x)["params"]
+    a = blk.apply({"params": p}, x)
+    b = AttnBlock(use_flash=False).apply({"params": p}, x)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
