@@ -407,6 +407,135 @@ def make_arc2face_distill_step(
     return step
 
 
+class ZeroShotArc2FaceBatch(NamedTuple):
+    """Zero-shot arc2face distillation: same trajectory machinery as
+    `Arc2FaceBatch` but the student context comes from the
+    SubjBasisGenerators (trainables), and the teacher context is computed
+    in-graph from the SAME identity embeddings through the frozen Arc2Face
+    encoder (`ddpm.py:1786-1798` + `:2950-3035` in zero-shot mode)."""
+
+    latents: jnp.ndarray  # [B, h, w, 4] x_start (noise for rand faces)
+    token_ids: jnp.ndarray  # [B, T] student subject prompt
+    slot_maps: Dict[str, jnp.ndarray]
+    timesteps: jnp.ndarray  # [B]
+    noises: jnp.ndarray  # [S, B, h, w, 4]
+    relative_ts: jnp.ndarray  # [S-1, B]
+    fg_mask: Optional[jnp.ndarray]
+    clip_fg: jnp.ndarray  # [B, N_tok, D_img]
+    clip_bg: jnp.ndarray
+    id_embs: jnp.ndarray  # [B, 512]
+
+
+def make_zero_shot_arc2face_step(
+    clip: CLIPTextEncoder,
+    clip_params: dict,
+    unet: UNetModel,
+    unet_params: dict,
+    teacher_unet: UNetModel,
+    teacher_params: dict,
+    sched: DiffusionSchedule,
+    optimizer: optax.GradientTransformation,
+    generators: dict,
+    bg_placeholders: frozenset,
+    arc2face_encoder,
+    arc2face_params: dict,
+    forward_template_ids: jnp.ndarray,
+    inverse_template_ids: jnp.ndarray,
+    arcface_token_id: int,
+    num_denoising_steps: int = 1,
+    skip_weights=(0.5, 0.5),
+    max_accumu_batch: int = 7,
+    use_fg_mask: bool = True,
+    out_id_embs_scale: float = 1.0,
+):
+    """Arc2face distillation with the SubjBasisGenerators as trainables —
+    the zero-shot mode's teacher iterations. The identity embedding feeds
+    BOTH sides: the frozen Arc2Face forward pass is the teacher's prompt
+    context AND the generator's input; gradients flow only through the
+    generator branch."""
+    from adaface_tpu.personalization.arc2face import forward_face_embs_fn
+
+    def loss_fn(gen_params, batch: ZeroShotArc2FaceBatch, fz):
+        S = num_denoising_steps
+        B = batch.latents.shape[0]
+        embed_fn = lambda ids: arc2face_encoder.apply(
+            {"params": fz["arc"]}, ids, method="embed_tokens")
+        encode_fn = lambda e, w, n: arc2face_encoder.apply(
+            {"params": fz["arc"]}, input_embeds=e, skip_weights=w,
+            num_skip_layers=n)
+        full, arc_id_embs = forward_face_embs_fn(
+            embed_fn, encode_fn, jax.lax.stop_gradient(batch.id_embs),
+            forward_template_ids, arcface_token_id,
+            arc2face_encoder.cfg.hidden_size)
+        teacher_context = jax.lax.stop_gradient(full)  # [B, 77, D]
+
+        # ---- teacher trajectory (identical to the static step)
+        x_starts = [batch.latents]
+        ts = [batch.timesteps]
+        noise_preds = []
+        for i in range(S):
+            x_noisy = sched.q_sample(x_starts[i], ts[i], batch.noises[i])
+            pred = teacher_unet.apply({"params": fz["teacher"]}, x_noisy,
+                                      ts[i], teacher_context[None])
+            pred = jax.lax.stop_gradient(pred)
+            noise_preds.append(pred)
+            x0 = sched.predict_x0_from_eps(x_noisy, ts[i], pred)
+            x_starts.append(jax.lax.stop_gradient(x0))
+            if i < S - 1:
+                k = (S - 1) ** -0.3
+                t_lb = ts[i] * (0.5 ** k)
+                t_ub = ts[i] * (0.7 ** k)
+                t_next = ((t_ub - t_lb) * batch.relative_ts[i] + t_lb)
+                ts.append(t_next.astype(jnp.int32))
+
+        # ---- student context from the generators
+        subj = {}
+        for s, gen in generators.items():
+            feats = batch.clip_bg if s in bg_placeholders else batch.clip_fg
+            embs, _ = gen.apply(
+                {"params": gen_params[s]}, feats, None, arc_id_embs,
+                out_id_embs_scale=out_id_embs_scale, is_face=True,
+                is_training=True, inverse_template_ids=inverse_template_ids)
+            subj[s] = jnp.transpose(embs, (1, 0, 2, 3))
+        embedded = clip.apply({"params": fz["clip"]}, batch.token_ids,
+                              method=CLIPTextEncoder.embed_tokens)
+        patched = EmbeddingManager.patch_prompt_embeddings(
+            embedded, batch.slot_maps, subj)
+        L, _, T, D = patched.shape
+        ctx = clip.apply({"params": fz["clip"]},
+                         input_embeds=patched.reshape(L * B, T, D),
+                         skip_weights=jnp.asarray(skip_weights))
+        ctx = ctx.reshape(L, B, T, D)
+
+        max_loss_steps = max(max_accumu_batch // B, 1)
+        loss_start = max(0, S - max_loss_steps)
+        losses = []
+        for s in range(loss_start, S):
+            x0_s = batch.latents if s == 0 else x_starts[s]
+            x_noisy = sched.q_sample(x0_s, ts[s], batch.noises[s])
+            student = unet.apply({"params": fz["unet"]}, x_noisy, ts[s], ctx)
+            if use_fg_mask and batch.fg_mask is not None:
+                l = masked_recon_loss(student, noise_preds[s], batch.fg_mask,
+                                      bg_weight=0.0)
+            else:
+                l = jnp.mean(jnp.square(student - noise_preds[s]))
+            losses.append(l)
+        loss = sum(losses) / jnp.sqrt(float(S))
+        return loss, {"loss": loss, "n_loss_steps": float(len(losses))}
+
+    def step(gen_params, opt_state, batch: ZeroShotArc2FaceBatch, frozen=None):
+        fz = frozen if frozen is not None else {
+            "clip": clip_params, "unet": unet_params,
+            "teacher": teacher_params, "arc": arc2face_params}
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            gen_params, batch, fz)
+        updates, opt_state = optimizer.update(grads, opt_state, gen_params)
+        gen_params = optax.apply_updates(gen_params, updates)
+        return gen_params, opt_state, metrics
+
+    return step
+
+
 class DreamBoothBatch(NamedTuple):
     """(subject batch, class-regularization batch) pair — the reference's
     ConcatDataset tuple (`main_db.py:245-307`)."""

@@ -32,8 +32,10 @@ from adaface_tpu.training.iter_plan import (
     sample_timesteps,
 )
 from adaface_tpu.training.train_step import (
+    ZeroShotArc2FaceBatch,
     ZeroShotComposBatch,
     ZeroShotReconBatch,
+    make_zero_shot_arc2face_step,
     make_zero_shot_compos_step,
     make_zero_shot_recon_step,
 )
@@ -238,7 +240,78 @@ class ZeroShotTrainer(Trainer):
             {**self._frozen, "arc": self._arc_frozen, "gen0": self._gen0})
         return metrics
 
-    def fit(self, num_steps: Optional[int] = None, face_embed_fn=None):
+    def _run_zs_arc2face(self, plan, teacher):
+        """Zero-shot arc2face distillation iteration: the generators train
+        against the frozen teacher's multi-step trajectory, with the
+        identity embedding driving both sides (`ddpm.py:1714-1878`,
+        `:2950-3035` zero-shot branch). Random-face iterations start from
+        pure noise with random identity embeddings."""
+        from adaface_tpu.training.iter_plan import ARC2FACE_DISTILL
+
+        teacher_unet, teacher_params = teacher[0], teacher[1]
+        S = plan.num_denoising_steps
+        key = (S, plan.gen_arc2face_rand_face)
+        if not hasattr(self, "_zs_a2f_steps"):
+            self._zs_a2f_steps = {}
+        if key not in self._zs_a2f_steps:
+            p = self.pipe
+            self._zs_a2f_steps[key] = jax.jit(make_zero_shot_arc2face_step(
+                p.clip, p.clip_params, p.unet, p.unet_params,
+                teacher_unet, teacher_params, p.base_sched, self.optimizer,
+                generators=self.generators,
+                bg_placeholders=self.bg_placeholders,
+                arc2face_encoder=self._arc_encoder,
+                arc2face_params=self._arc_frozen,
+                forward_template_ids=self._fwd_ids,
+                inverse_template_ids=self._inv_ids,
+                arcface_token_id=self._arc_tid,
+                num_denoising_steps=S, skip_weights=p.skip_weights,
+                use_fg_mask=not plan.gen_arc2face_rand_face))
+        B = max(self.cfg.batch_size // 2, 1)  # HALF_BS (`ddpm.py:1853-1878`)
+        ex = self._draw_examples(B)
+        batch_np = collate_examples(ex)
+        feats = self.extractor.encode([e["image_unnorm"] for e in ex],
+                                      [e["fg_mask"] for e in ex],
+                                      is_face=True)
+        bfg = feats.clip_fg if feats.clip_fg.shape[0] == B else \
+            jnp.broadcast_to(feats.clip_fg, (B,) + feats.clip_fg.shape[1:])
+        bbg = feats.clip_bg if feats.clip_bg.shape[0] == B else \
+            jnp.broadcast_to(feats.clip_bg, (B,) + feats.clip_bg.shape[1:])
+        if plan.gen_arc2face_rand_face:
+            # random identities + pure-noise x_start (`:1714-1718`)
+            id_embs = jnp.asarray(
+                self.rng.standard_normal((B, 512)), jnp.float32)
+            latents = jnp.asarray(self.rng.standard_normal(
+                self._latents(batch_np["image"]).shape), jnp.float32)
+            fg = None
+        else:
+            id_embs = feats.id_embs if feats.id_embs is not None else \
+                jnp.asarray(self.rng.standard_normal((B, 512)), jnp.float32)
+            latents = self._latents(batch_np["image"])
+            lh, lw = latents.shape[1:3]
+            fg = jnp.asarray(self._mask_to_latent(batch_np["fg_mask"], lh, lw))
+        ids, slots = self._prompt_batch(ex, "caption")
+        t = sample_timesteps(self.rng, plan, B, self.plan_cfg)
+        batch = ZeroShotArc2FaceBatch(
+            latents=latents, token_ids=ids, slot_maps=slots,
+            timesteps=jnp.asarray(t, jnp.int32),
+            noises=jnp.asarray(self.rng.standard_normal((S,) + latents.shape),
+                               jnp.float32),
+            relative_ts=jnp.asarray(self.rng.uniform(size=(max(S - 1, 1), B)),
+                                    jnp.float32),
+            fg_mask=fg, clip_fg=bfg, clip_bg=bbg,
+            id_embs=id_embs / (jnp.linalg.norm(id_embs, axis=-1,
+                                               keepdims=True) + 1e-12))
+        self.gen_params, self.opt_state, metrics = self._zs_a2f_steps[key](
+            self.gen_params, self.opt_state, batch,
+            {**self._frozen, "arc": self._arc_frozen,
+             "teacher": teacher_params})
+        return metrics
+
+    def fit(self, num_steps: Optional[int] = None, face_embed_fn=None,
+            arc2face_teacher=None):
+        from adaface_tpu.training.iter_plan import ARC2FACE_DISTILL
+
         n = num_steps or self.cfg.max_steps
         B = self.cfg.batch_size
         while self.global_step < n:
@@ -250,7 +323,14 @@ class ZeroShotTrainer(Trainer):
                 if self.global_step % self.cfg.ckpt_every_steps == 0:
                     self.save_checkpoint()
                 continue
-            plan.iter_type = RECON  # arc2face-distill for zs lands separately
+            if plan.iter_type == ARC2FACE_DISTILL and arc2face_teacher is not None:
+                metrics = self._run_zs_arc2face(plan, arc2face_teacher)
+                self._log(metrics, plan)
+                self.global_step += 1
+                if self.global_step % self.cfg.ckpt_every_steps == 0:
+                    self.save_checkpoint()
+                continue
+            plan.iter_type = RECON
             ex = self._draw_examples(B)
             batch_np = collate_examples(ex)
             latents = self._latents(batch_np["image"])
