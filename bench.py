@@ -22,8 +22,18 @@ TORCH_A100_BASELINE_IMG_S = 2.0
 
 
 def main():
+    import time as _t
+
+    t_start = _t.time()
+    print("# bench: importing jax / claiming device (the axon pool is "
+          "shared — a blocked claim means another tenant holds the chip)",
+          file=sys.stderr, flush=True)
     import jax
     import jax.numpy as jnp
+
+    jnp.zeros(()).block_until_ready()
+    print(f"# bench: device claimed in {_t.time() - t_start:.1f}s; "
+          f"building pipeline", file=sys.stderr, flush=True)
 
     from adaface_tpu.data.tokenizer import HashTokenizer
     from adaface_tpu.pipeline import StableDiffusionPipeline
