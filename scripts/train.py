@@ -175,13 +175,24 @@ def main(opt):
                             emb_dim=emb_dim)
 
     cli_handled = {"max_steps", "batch_size", "accumulate_grad_batches",
-                   "ckpt_every_steps", "use_prodigy"}
+                   "ckpt_every_steps", "use_prodigy", "learning_rate",
+                   "seed", "logdir"}
+    # precedence: explicit CLI flag > config file > argparse default —
+    # the file's learning_rate/use_prodigy win only when the CLI flag was
+    # left at its default
+    file_trainer = cfg.get("trainer", {})
+    lr = opt.lr
+    if opt.lr == 7e-4 and "learning_rate" in file_trainer:
+        lr = float(file_trainer["learning_rate"])
+    use_prodigy = opt.optimizer == "prodigy"
+    if opt.optimizer == "prodigy" and "use_prodigy" in file_trainer:
+        use_prodigy = bool(file_trainer["use_prodigy"])
     tcfg = TrainerConfig(
         **dataclass_cfg(TrainerConfig, "trainer", skip=cli_handled),
         **dataclass_cfg(TrainerConfig, "data", skip=cli_handled),
         max_steps=opt.max_steps, batch_size=opt.batch_size,
         accumulate_grad_batches=opt.accumulate_grad_batches,
-        learning_rate=opt.lr, use_prodigy=(opt.optimizer == "prodigy"),
+        learning_rate=lr, use_prodigy=use_prodigy,
         ckpt_every_steps=opt.ckpt_every_steps, seed=opt.seed,
         logdir=opt.logdir)
     pcfg = IterPlanConfig(
