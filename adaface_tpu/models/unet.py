@@ -113,6 +113,19 @@ class ResBlock(nn.Module):
         return x + h
 
 
+class _ProjKernel(nn.Module):
+    """Owns a Dense-compatible `kernel` param without computing the matmul
+    (so fused-QKV can concatenate kernels while keeping checkpoint param
+    paths identical to three separate nn.Dense modules)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_dim: int) -> jnp.ndarray:
+        return self.param("kernel", nn.initializers.lecun_normal(),
+                          (in_dim, self.features))
+
+
 class UNetCrossAttention(nn.Module):
     """8-head attention; self-attn when ctx_v is None. Mask semantics and
     capture payload match `attention.py:172-257`. Long self-attention runs
@@ -130,14 +143,26 @@ class UNetCrossAttention(nn.Module):
                  subj_slot_map=None, infeat_hw=None):
         h, d = self.num_heads, self.head_dim
         inner = h * d
-        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
         is_cross = ctx_v is not None
-        if ctx_v is None:
+        if not is_cross:
+            # self-attention: q/k/v share the input — one fused [C, 3*inner]
+            # matmul keeps the MXU busy with a single large GEMM instead of
+            # three narrow ones. Param tree unchanged (to_q/to_k/to_v each
+            # own a Dense-shaped `kernel`); concatenation happens at apply.
+            in_dim = x.shape[-1]
+            wq_ = _ProjKernel(inner, name="to_q")(in_dim)
+            wk_ = _ProjKernel(inner, name="to_k")(in_dim)
+            wv_ = _ProjKernel(inner, name="to_v")(in_dim)
+            w = jnp.concatenate([wq_, wk_, wv_], axis=1).astype(self.dtype)
+            qkv = x @ w
+            q, k, v = jnp.split(qkv, 3, axis=-1)
             ctx_v = ctx_k = x
-        elif ctx_k is None:
-            ctx_k = ctx_v
-        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(ctx_k)
-        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(ctx_v)
+        else:
+            q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+            if ctx_k is None:
+                ctx_k = ctx_v
+            k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(ctx_k)
+            v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(ctx_v)
         b, lq, _ = q.shape
         lk = k.shape[1]
         split = lambda t, l: t.reshape(b, l, h, d).transpose(0, 2, 1, 3)
