@@ -96,9 +96,28 @@ class ZeroShotTrainer(Trainer):
         path = os.path.join(self.cfg.logdir, f"subj_basis_{tag}.pkl")
         with open(path, "wb") as f:
             pickle.dump({"generator_params": jax.device_get(self.gen_params),
-                         "global_step": self.global_step}, f)
+                         "global_step": self.global_step,
+                         "opt_state": jax.device_get(self.opt_state),
+                         "rng_state": self.rng.bit_generator.state}, f)
         print(f"saved {path}", flush=True)
         return path
+
+    def load_checkpoint(self, path: str):
+        """Resume generator training: params + optimizer state + host RNG
+        (the zs analog of `Trainer.load_state`)."""
+        with open(path, "rb") as f:
+            ckpt = pickle.load(f)
+        self.gen_params = jax.tree_util.tree_map(
+            jnp.asarray, ckpt["generator_params"])
+        self.global_step = int(ckpt["global_step"])
+        if "opt_state" in ckpt:
+            self.opt_state = jax.tree_util.tree_map(
+                lambda x: jnp.asarray(x) if hasattr(x, "shape") else x,
+                ckpt["opt_state"])
+        if "rng_state" in ckpt:
+            self.rng.bit_generator.state = ckpt["rng_state"]
+        print(f"resumed zs training from {path} at step {self.global_step}")
+        return self
 
     def _zs_subject_embs(self, feats, id_embs):
         """No-grad zero-shot subject embeddings from the LIVE generators:
