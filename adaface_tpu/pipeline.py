@@ -75,29 +75,49 @@ class StableDiffusionPipeline:
         clip_cfg = clip_cfg or CLIPTextConfig.vit_l_14(num_extra_tokens=num_extra_tokens)
         k1, k2, k3 = jax.random.split(key, 3)
         clip = CLIPTextEncoder(clip_cfg, dtype)
-        clip_params = clip.init(k1, input_ids=jnp.zeros((1, 77), jnp.int32))["params"]
         unet = UNetModel(unet_cfg, dtype)
-        latc = unet_cfg.in_channels
-        unet_params = unet.init(
-            k2, jnp.zeros((1, 8, 8, latc)), jnp.zeros((1,), jnp.int32),
-            jnp.zeros((NUM_CA_LAYERS, 1, 77, unet_cfg.context_dim)))["params"]
-        # SD's zero-initialized output convs make a *random* UNet context-blind
-        # (eps == 0); give them small random values so smoke/bench pipelines
-        # actually exercise the conditioning path.
-        def _fill_zeros(path, leaf):
-            if leaf.ndim >= 2 and not jnp.any(leaf):
-                import hashlib
-
-                name = "/".join(str(p) for p in path).encode()
-                # md5, not hash(): python string hashing is salted per
-                # process, which made 'random' weights differ run-to-run
-                seed = int(hashlib.md5(name).hexdigest()[:8], 16)
-                return jax.random.normal(jax.random.PRNGKey(seed), leaf.shape,
-                                         leaf.dtype) * 0.02
-            return leaf
-        unet_params = jax.tree_util.tree_map_with_path(_fill_zeros, unet_params)
         vae = AutoencoderKL(vae_cfg, dtype)
-        vae_params = vae.init(k3, jnp.zeros((1, 32, 32, 3)), jax.random.PRNGKey(0))["params"]
+        latc = unet_cfg.in_channels
+
+        # Host-side init: build shapes abstractly (eval_shape) and fill with
+        # numpy. The previous on-device init did one dispatch + one `any`
+        # READBACK per leaf (~700 synchronous tunnel round-trips) — tens of
+        # seconds at the normal ~35ms RTT and tens of MINUTES when the
+        # shared axon tunnel is loaded. Host init also covers the
+        # zero-initialized SD output convs (a *random* UNet would otherwise
+        # be context-blind — eps == 0 — so smoke/bench pipelines wouldn't
+        # exercise conditioning).
+        import hashlib
+
+        def host_init(shapes, base_seed: int):
+            def leaf(path, s):
+                name = "/".join(str(p) for p in path).encode()
+                seed = (base_seed * 0x9E3779B1
+                        + int(hashlib.md5(name).hexdigest()[:8], 16)) % (2**32)
+                rng = np.random.default_rng(seed)
+                arr = (rng.standard_normal(s.shape).astype(np.float32) * 0.02
+                       if s.ndim >= 1 else np.zeros((), np.float32))
+                kp = str(path[-1]) if path else ""
+                if "scale" in kp or ("norm" in kp and "bias" not in kp):
+                    arr = np.ones(s.shape, np.float32)  # LN/GN scales at 1
+                return jnp.asarray(arr, s.dtype)
+
+            return jax.tree_util.tree_map_with_path(leaf, shapes)
+
+        clip_shapes = jax.eval_shape(
+            lambda k: clip.init(k, input_ids=jnp.zeros((1, 77), jnp.int32)),
+            k1)["params"]
+        clip_params = host_init(clip_shapes, 1)
+        unet_shapes = jax.eval_shape(
+            lambda k: unet.init(
+                k, jnp.zeros((1, 8, 8, latc)), jnp.zeros((1,), jnp.int32),
+                jnp.zeros((NUM_CA_LAYERS, 1, 77, unet_cfg.context_dim))),
+            k2)["params"]
+        unet_params = host_init(unet_shapes, 2)
+        vae_shapes = jax.eval_shape(
+            lambda k: vae.init(k, jnp.zeros((1, 32, 32, 3)),
+                               jax.random.PRNGKey(0)), k3)["params"]
+        vae_params = host_init(vae_shapes, 3)
         return cls(tokenizer=tokenizer, clip=clip, clip_params=clip_params,
                    unet=unet, unet_params=unet_params, vae=vae, vae_params=vae_params,
                    embedding_manager=EmbeddingManager(),
