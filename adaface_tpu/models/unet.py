@@ -60,6 +60,7 @@ class UNetConfig:
     conv_attn_kernel_size: int = -1
     use_remat: bool = False  # jax.checkpoint over transformer blocks
     use_flash_attention: bool = True  # Pallas flash kernel on long self-attn
+    fuse_qkv: bool = True  # one [C, 3*inner] GEMM for self-attn projections
 
     @classmethod
     def sd_v1(cls, **kw) -> "UNetConfig":
@@ -137,6 +138,7 @@ class UNetCrossAttention(nn.Module):
     dtype: jnp.dtype = jnp.float32
     use_flash: bool = True
     conv_attn_ks: int = -1  # effective kernel size at this layer
+    fuse_qkv: bool = True
 
     @nn.compact
     def __call__(self, x, ctx_v=None, ctx_k=None, key_mask=None, capture=False,
@@ -144,7 +146,7 @@ class UNetCrossAttention(nn.Module):
         h, d = self.num_heads, self.head_dim
         inner = h * d
         is_cross = ctx_v is not None
-        if not is_cross:
+        if not is_cross and self.fuse_qkv:
             # self-attention: q/k/v share the input — one fused [C, 3*inner]
             # matmul keeps the MXU busy with a single large GEMM instead of
             # three narrow ones. Param tree unchanged (to_q/to_k/to_v each
@@ -159,7 +161,9 @@ class UNetCrossAttention(nn.Module):
             ctx_v = ctx_k = x
         else:
             q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
-            if ctx_k is None:
+            if ctx_v is None:  # self-attn with fuse_qkv off
+                ctx_v = ctx_k = x
+            elif ctx_k is None:
                 ctx_k = ctx_v
             k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(ctx_k)
             v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(ctx_v)
@@ -214,13 +218,14 @@ class TransformerBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
     use_flash: bool = True
     conv_attn_ks: int = -1
+    fuse_qkv: bool = True
 
     @nn.compact
     def __call__(self, x, ctx_v, ctx_k, key_mask, capture=False,
                  subj_slot_map=None, infeat_hw=None):
         ln = lambda name: nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=name)
         a1, _ = UNetCrossAttention(self.num_heads, self.head_dim, self.dtype,
-                                   self.use_flash,
+                                   self.use_flash, fuse_qkv=self.fuse_qkv,
                                    name="attn1")(ln("norm1")(x), key_mask=key_mask)
         x = x + a1
         a2, aux = UNetCrossAttention(self.num_heads, self.head_dim, self.dtype,
@@ -242,6 +247,7 @@ class SpatialTransformer(nn.Module):
     dtype: jnp.dtype = jnp.float32
     use_flash: bool = True
     conv_attn_ks: int = -1
+    fuse_qkv: bool = True
 
     @nn.compact
     def __call__(self, x, ctx_v, ctx_k, img_mask=None, capture=False,
@@ -257,6 +263,7 @@ class SpatialTransformer(nn.Module):
             key_mask = _nearest_resize_mask(img_mask, hh, ww).reshape(b, hh * ww) > 0
         h, aux = TransformerBlock(self.num_heads, head_dim, self.dtype,
                                   self.use_flash, self.conv_attn_ks,
+                                  fuse_qkv=self.fuse_qkv,
                                   name="block_0")(h, ctx_v, ctx_k, key_mask,
                                                   capture,
                                                   subj_slot_map=subj_slot_map,
@@ -340,7 +347,8 @@ class UNetModel(nn.Module):
                 # the loss inputs (SURVEY §7.3)
                 cls = nn.remat(SpatialTransformer, static_argnums=(5,))
             st = cls(c.num_heads, self.dtype,
-                     c.use_flash_attention, ks, name=name)
+                     c.use_flash_attention, ks, fuse_qkv=c.fuse_qkv,
+                     name=name)
             h, aux = st(h, cv, ck, img_mask, do_cap,
                         subj_slot_map=subj_slot_map)
             if do_cap:
