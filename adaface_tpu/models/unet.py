@@ -60,7 +60,11 @@ class UNetConfig:
     conv_attn_kernel_size: int = -1
     use_remat: bool = False  # jax.checkpoint over transformer blocks
     use_flash_attention: bool = True  # Pallas flash kernel on long self-attn
-    fuse_qkv: bool = True  # one [C, 3*inner] GEMM for self-attn projections
+    # one [C, 3*inner] GEMM for self-attn projections. Default OFF: on-chip
+    # A/B at the bench operating point measured 3.70s vs 3.675s per batch
+    # WITH fusion — the per-call kernel concat costs more than the GEMM
+    # consolidation saves (XLA already schedules the three dots well).
+    fuse_qkv: bool = False
 
     @classmethod
     def sd_v1(cls, **kw) -> "UNetConfig":

@@ -40,8 +40,13 @@ def main():
     from adaface_tpu.personalization.static_embedding import init_static_embedder
 
     tok = HashTokenizer()
+    kw = {}
+    if os.environ.get("ADAFACE_FUSE_QKV") == "0":  # A/B knob
+        from adaface_tpu.models.unet import UNetConfig
+
+        kw["unet_cfg"] = UNetConfig.sd_v1(fuse_qkv=False)
     pipe = StableDiffusionPipeline.from_random(
-        jax.random.PRNGKey(0), tok, dtype=jnp.bfloat16)
+        jax.random.PRNGKey(0), tok, dtype=jnp.bfloat16, **kw)
     # bf16 weights: halves the weight-side HBM traffic of every matmul/conv
     pipe.cast_params(jnp.bfloat16)
     tid = tok.add_placeholder("z")
