@@ -179,7 +179,10 @@ class UNetCrossAttention(nn.Module):
 
         use_conv = (self.conv_attn_ks > 1 and subj_slot_map is not None
                     and is_cross and infeat_hw is not None)
-        if self.use_flash and not capture and not use_conv:
+        import os as _os
+        min_lk = int(_os.environ.get("ADAFACE_FLASH_MIN_LK", "0"))
+        if (self.use_flash and not capture and not use_conv
+                and ctx_k.shape[1] >= min_lk):
             from adaface_tpu.ops.flash_attention import flash_attention
 
             key_bias = None

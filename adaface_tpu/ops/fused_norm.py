@@ -55,7 +55,8 @@ def _pick_num_chunks(n: int, c: int) -> int:
 # slab the plain XLA path is FASTER (1.04 vs 1.30 ms inside a ResBlock) --
 # XLA fuses the norm+silu into the adjacent convs, while the opaque Pallas
 # call serializes; at 1024x640 the kernel still wins (0.80 vs 1.48 ms).
-_MAX_BLOCK_ELEMS = 700_000
+import os as _os
+_MAX_BLOCK_ELEMS = int(_os.environ.get('ADAFACE_GN_MAX_ELEMS', 700_000))
 
 
 def _gn_silu_kernel(x_ref, scale_ref, bias_ref, gmat_ref, o_ref, *,
