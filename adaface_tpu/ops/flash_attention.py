@@ -102,10 +102,20 @@ def _flash_forward(q, k, v, bias, block_q: int, block_k: int, scale: float):
                                have_bias=have_bias)
     # Pallas TPU kernels run interpreted on non-TPU backends (CPU tests).
     interpret = jax.devices()[0].platform != "tpu"
+    import os
+
+    # both grid dims are embarrassingly parallel (no cross-program state);
+    # declaring them lets Mosaic pipeline block fetches across programs
+    # (ADAFACE_FLASH_SEMANTICS=arbitrary reverts for A/B)
+    sem = (pltpu.GridDimensionSemantics.ARBITRARY
+           if os.environ.get("ADAFACE_FLASH_SEMANTICS") == "arbitrary"
+           else pltpu.GridDimensionSemantics.PARALLEL)
     out = pl.pallas_call(
         kernel,
         interpret=interpret,
         grid=grid,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=(sem, sem)),
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
