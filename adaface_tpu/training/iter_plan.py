@@ -64,6 +64,10 @@ class IterPlan:
     reuse_init_conds: bool = False
     do_teacher_filter: bool = False
     calc_clip_loss: bool = False
+    # fresh compos iters: start from the training image's scaled-down fg on
+    # noise (`init_x_with_fg_from_training_image`) vs pure noise
+    # (`ddpm.py:1534-1557`: p=1 zero-shot, annealed 0.7->0.9 otherwise)
+    comp_init_fg_from_training_image: bool = False
     # arc2face
     gen_arc2face_rand_face: bool = False
     add_noise_to_real_id_embs: bool = False
@@ -132,6 +136,9 @@ def plan_iteration(rng: np.random.Generator, global_step: int,
                              and rng.random() < cfg.p_use_fp_trick)
         plan.use_background_token = (
             rng.random() < cfg.p_use_background_token_compos)
+        p_fg_init = 1.0 if cfg.do_zero_shot else anneal_value(
+            plan.training_percent, 0.5, (0.7, 0.9))
+        plan.comp_init_fg_from_training_image = rng.random() < p_fg_init
         plan.emb_noise_std = sample_emb_noise_std(rng, plan, cfg)
         return plan
 

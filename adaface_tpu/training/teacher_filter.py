@@ -40,6 +40,11 @@ class FilterVerdict:
     losses_subj_comp: np.ndarray  # [N]
     losses_mix_comp: np.ndarray  # [N]
     images: np.ndarray  # [2N, H, W, 3] uint8 (subj-comp, mix-comp rows)
+    # CFG-denoised latent reconstructions [2N, h, w, 4]; the best
+    # candidate's SUBJECT row (`x_recon.chunk(2)[0]`, `ddpm.py:3144`) is
+    # what reuse-init must cache — the teacher's composition, not the
+    # pre-noise training latent
+    x_recons: np.ndarray = None
 
 
 class TeacherFilter:
@@ -90,7 +95,7 @@ class TeacherFilter:
         un2 = jnp.concatenate([uncond_ctx, uncond_ctx], axis=1)
         scales = jnp.asarray([self.student_cfg_scale] * N
                              + [self.teacher_cfg_scale] * N)
-        imgs, _ = self._denoise(x2, n2, t2, ctx_v, ctx_k, un2, scales)
+        imgs, x0 = self._denoise(x2, n2, t2, ctx_v, ctx_k, un2, scales)
         imgs255 = np.asarray((imgs * 255).astype(jnp.uint8))
 
         sims = self.clip_scorer.txt_to_img_similarity(
@@ -101,7 +106,7 @@ class TeacherFilter:
         teachable = (l_mix <= self.clip_loss_thres) & (diffs > self.cls_subj_clip_margin)
         diffs_masked = np.where(teachable, diffs, -1e4)
         return FilterVerdict(bool(teachable.any()), int(np.argmax(diffs_masked)),
-                             l_subj, l_mix, imgs255)
+                             l_subj, l_mix, imgs255, np.asarray(x0))
 
 
 class CachedInits:
@@ -112,9 +117,12 @@ class CachedInits:
     def __init__(self):
         self._store: Dict[str, dict] = {}
 
-    def put(self, subject: str, x_start: jnp.ndarray, t: np.ndarray):
+    def put(self, subject: str, x_start: jnp.ndarray, t: np.ndarray, **extra):
+        """`extra` carries the iteration context the reference also caches
+        (`ddpm.py:3158-3177`): fg_mask, comp_init_fg_from_training_image,
+        use_background_token, ..."""
         self._store[subject] = {"x_start": np.asarray(x_start),
-                                "t": np.asarray(t)}
+                                "t": np.asarray(t), **extra}
 
     def pop(self, subject: str) -> Optional[dict]:
         return self._store.pop(subject, None)

@@ -43,6 +43,95 @@ class ReconBatch(NamedTuple):
     # in-graph to the subject embeddings, `embedding_manager.py:1528-1538`)
     emb_noise_std: Optional[jnp.ndarray] = None  # scalar
     emb_noise_key: Optional[jnp.ndarray] = None  # PRNG key
+    # wds compositing: comp-extra token mask (real tokens that are neither
+    # subject nor bg slots; host-built like `ddpm.py:3498-3524`) enabling
+    # the fg↔wds complementary battery
+    wds_extra_token_mask: Optional[jnp.ndarray] = None  # [B, T]
+
+
+def _slot_union_mask(slot_maps: Dict[str, jnp.ndarray], keys) -> Optional[jnp.ndarray]:
+    """Union of placeholder slot maps -> [B, T] float mask (1 = any of the
+    given placeholders' K vector slots sits at this position)."""
+    masks = [(slot_maps[k] >= 0).astype(jnp.float32) for k in keys]
+    if not masks:
+        return None
+    return jnp.clip(sum(masks), 0.0, 1.0)
+
+
+def _recon_complem_terms(
+    aux: dict,  # layer_idx -> captured activations (needs 'attnscore')
+    slot_maps: Dict[str, jnp.ndarray],
+    fg_mask: Optional[jnp.ndarray],
+    bg_placeholders: frozenset,
+    use_bg_token: bool,
+    do_zero_shot: bool,
+    complem_weight: float,
+    xlayer_weight: float,
+    wds_extra_token_mask: Optional[jnp.ndarray] = None,
+    wds_complem_weight: float = 0.0,
+):
+    """The recon-iteration complementary-loss battery
+    (`calc_recon_and_complem_losses`, `ddpm.py:3457-3565`, + the xlayer
+    consistency block `ddpm.py:3241-3266`):
+
+    - with a background token: `calc_fg_bg_complementary_loss`
+      (`ddpm.py:4039-4253`) -> (complementary, subj_mb_suppress,
+      bg_mf_suppress, mask_contrast), the complementary term scaled 0.2 in
+      zero-shot mode;
+    - without: only `calc_fg_mb_suppress_loss` (`ddpm.py:3928-4037`)
+      (the reference's battery degenerates to it when bg indices are empty);
+    - wds-composited instances add the fg↔wds-extra complementary variant
+      (`ddpm.py:3498-3552`; weight 0 in the shipped config);
+    - `calc_fg_bg_xlayer_consist_loss` (`ddpm.py:4255-4373`) with the
+      zero-shot 0.2/0.06 (else 1.0/0.3) fg/bg scales.
+
+    Returns (loss, metrics). Static control flow only — one compiled step
+    variant per (use_bg_token, weights) combination.
+    """
+    from adaface_tpu.training.losses import (
+        fg_bg_complementary_loss,
+        fg_bg_xlayer_consist_loss,
+        fg_mb_suppress_loss,
+    )
+
+    scores = {i: aux[i]["attnscore"] for i in aux if "attnscore" in aux[i]}
+    subj_keys = sorted(k for k in slot_maps if k not in bg_placeholders)
+    bg_keys = sorted(k for k in slot_maps if k in bg_placeholders)
+    subj_mask = _slot_union_mask(slot_maps, subj_keys)
+    bg_mask = _slot_union_mask(slot_maps, bg_keys) if use_bg_token else None
+
+    loss = jnp.asarray(0.0)
+    metrics = {}
+    if complem_weight > 0 and fg_mask is not None:
+        if bg_mask is not None:
+            comple, subj_mb, bg_mf, contrast = fg_bg_complementary_loss(
+                scores, subj_mask, bg_mask, fg_mask, fg_grad_scale=0.1)
+            comple_scale = 0.2 if do_zero_shot else 1.0
+            loss = loss + (comple * comple_scale + subj_mb + bg_mf
+                           + contrast) * complem_weight
+            metrics.update(fg_bg_complem=comple, subj_mb_suppress=subj_mb,
+                           bg_mf_suppress=bg_mf, fg_bg_mask_contrast=contrast)
+        else:
+            subj_mb = fg_mb_suppress_loss(scores, subj_mask, fg_mask)
+            loss = loss + subj_mb * complem_weight
+            metrics.update(subj_mb_suppress=subj_mb)
+    if (wds_complem_weight > 0 and wds_extra_token_mask is not None
+            and fg_mask is not None):
+        # fg vs wds-extra tokens complementary (`ddpm.py:3498-3552`); the
+        # wds-extra mask plays the bg role
+        w_comple, w_subj_mb, w_align, w_contrast = fg_bg_complementary_loss(
+            scores, subj_mask, wds_extra_token_mask, fg_mask,
+            fg_grad_scale=0.1)
+        loss = loss + (w_comple + w_align + w_subj_mb
+                       + w_contrast) * wds_complem_weight
+        metrics.update(fg_wds_complem=w_comple, wds_mask_align=w_align)
+    if xlayer_weight > 0:
+        fg_x, bg_x = fg_bg_xlayer_consist_loss(scores, subj_mask, bg_mask)
+        fg_scale = 0.2 if do_zero_shot else 1.0
+        bg_scale = 0.06 if do_zero_shot else 0.3
+        loss = loss + (fg_x * fg_scale + bg_x * bg_scale) * xlayer_weight
+        metrics.update(fg_xlayer_consist=fg_x, bg_xlayer_consist=bg_x)
+    return loss, metrics
 
 
 def make_recon_train_step(
@@ -55,10 +144,20 @@ def make_recon_train_step(
     skip_weights=(0.5, 0.5),
     bg_weight: float = 0.1,
     emb_reg_weight: float = 2e-4,
+    complem_weight: float = 0.0,
+    xlayer_weight: float = 0.0,
+    wds_complem_weight: float = 0.0,
+    use_bg_token: bool = False,
+    do_zero_shot: bool = True,
+    bg_placeholders: frozenset = frozenset(),
 ):
     """Returns a jittable `step(embedders, opt_state, batch)` closing over the
     frozen backbone — the TPU equivalent of a normal-recon `training_step`
-    (`ddpm.py:519-576` + `shared_step` recon branch)."""
+    (`ddpm.py:519-576` + `shared_step` recon branch). With
+    `complem_weight`/`xlayer_weight` > 0 the UNet runs with activation
+    capture and the complementary-loss battery of
+    `calc_recon_and_complem_losses` (`ddpm.py:3457-3565`) applies."""
+    do_capture = complem_weight > 0 or xlayer_weight > 0 or wds_complem_weight > 0
 
     def loss_fn(embedders, batch: ReconBatch, fz):
         from adaface_tpu.ops.grad import add_noise_to_tensor
@@ -79,11 +178,25 @@ def make_recon_train_step(
                          skip_weights=jnp.asarray(skip_weights))
         ctx = ctx.reshape(L, B, T, D)
         x_noisy = sched.q_sample(batch.latents, batch.timesteps, batch.noise)
-        eps = unet.apply({"params": fz["unet"]}, x_noisy, batch.timesteps, ctx)
+        if do_capture:
+            eps, aux = unet.apply({"params": fz["unet"]}, x_noisy,
+                                  batch.timesteps, ctx, capture=True)
+        else:
+            eps, aux = unet.apply({"params": fz["unet"]}, x_noisy,
+                                  batch.timesteps, ctx), None
         recon = masked_recon_loss(eps, batch.noise, batch.fg_mask, bg_weight=bg_weight)
         reg = sum(embedding_norm_loss(e) for e in subj.values()) / max(len(subj), 1)
         loss = recon + emb_reg_weight * reg
-        return loss, {"loss": loss, "recon": recon, "emb_reg": reg}
+        metrics = {"recon": recon, "emb_reg": reg}
+        if do_capture:
+            complem, cm = _recon_complem_terms(
+                aux, batch.slot_maps, batch.fg_mask, bg_placeholders,
+                use_bg_token, do_zero_shot, complem_weight, xlayer_weight,
+                batch.wds_extra_token_mask, wds_complem_weight)
+            loss = loss + complem
+            metrics.update(cm)
+        metrics["loss"] = loss
+        return loss, metrics
 
     def step(embedders, opt_state, batch: ReconBatch, frozen=None):
         fz = frozen if frozen is not None else {"clip": clip_params, "unet": unet_params}
@@ -116,6 +229,14 @@ class ComposBatch(NamedTuple):
     # level 0 is an exact no-op so one compiled step covers on/off iters
     compel_level: float = 0.0  # scalar (python float traces as weak f32[])
     compel_batch_mask: Optional[jnp.ndarray] = None  # [4B] 1 = apply
+    # annealed embedding noise for compos iters (p=0.4,
+    # `anneal_add_noise_to_embedding` via `embedding_manager.py:1528-1538`)
+    emb_noise_std: Optional[jnp.ndarray] = None  # scalar
+    emb_noise_key: Optional[jnp.ndarray] = None  # PRNG key
+    # [k_lb, k_ub, v_lb, v_ub] class-mix scale ranges — depend on
+    # do_zero_shot x comp_init_fg_from_training_image (`ddpm.py:2577-2597`);
+    # None keeps the mixing defaults
+    cls_mix_ranges: Optional[jnp.ndarray] = None
 
 
 def make_compos_distill_step(
@@ -132,6 +253,9 @@ def make_compos_distill_step(
     attn_norm_distill_weight: float = 1e-2,
     fg_bg_weight: float = 1.0,
     comp_fg_bg_preserve_weight: float = 1e-3,
+    xlayer_weight: float = 5e-5,
+    do_zero_shot: bool = True,
+    bg_placeholders: frozenset = frozenset(),
 ):
     """Compositional (mix-prompt) distillation step (`p_losses` compos
     branch, `ddpm.py:2545-3453` + `calc_prompt_mix_loss:3710`):
@@ -150,12 +274,20 @@ def make_compos_distill_step(
     core = _make_compos_loss_core(
         clip, unet, sched, skip_weights, prompt_delta_weight,
         feat_align_weight, attn_align_weight, attn_norm_distill_weight,
-        fg_bg_weight, comp_fg_bg_preserve_weight)
+        fg_bg_weight, comp_fg_bg_preserve_weight, xlayer_weight,
+        do_zero_shot, bg_placeholders)
 
     def loss_fn(embedders, batch: ComposBatch, fz):
+        from adaface_tpu.ops.grad import add_noise_to_tensor
+
         embedded = clip.apply({"params": fz["clip"]}, batch.token_ids,
                               method=CLIPTextEncoder.embed_tokens)
         subj = {s: compute_static_embedding(p) for s, p in embedders.items()}
+        if batch.emb_noise_std is not None and batch.emb_noise_key is not None:
+            subj = {s: add_noise_to_tensor(
+                jax.random.fold_in(batch.emb_noise_key, i), e,
+                batch.emb_noise_std, noise_std_is_relative=True)
+                for i, (s, e) in enumerate(sorted(subj.items()))}
         patched = EmbeddingManager.patch_prompt_embeddings(
             embedded, batch.slot_maps, subj)
         return core(patched, batch, fz)
@@ -174,7 +306,9 @@ def make_compos_distill_step(
 def _make_compos_loss_core(clip, unet, sched, skip_weights,
                            prompt_delta_weight, feat_align_weight,
                            attn_align_weight, attn_norm_distill_weight,
-                           fg_bg_weight, comp_fg_bg_preserve_weight):
+                           fg_bg_weight, comp_fg_bg_preserve_weight,
+                           xlayer_weight=5e-5, do_zero_shot=True,
+                           bg_placeholders: frozenset = frozenset()):
     """Shared compositional-distillation loss over an already-patched
     4-type prompt-embedding batch: second-half CLIP encode, V/K mixing,
     captured UNet forward, the distillation loss battery. Used by both the
@@ -183,6 +317,7 @@ def _make_compos_loss_core(clip, unet, sched, skip_weights,
     from adaface_tpu.training.losses import (
         comp_fg_bg_preserve_loss,
         delta_alignment_loss,
+        fg_bg_xlayer_consist_loss,
         fg_mb_suppress_loss,
         prompt_delta_loss,
     )
@@ -207,12 +342,17 @@ def _make_compos_loss_core(clip, unet, sched, skip_weights,
 
         subj_tok_single = (first[:B] >= 0).astype(jnp.float32)
         subj_tok_comp = (first[B:2 * B] >= 0).astype(jnp.float32)
+        mix_kw = {}
+        if batch.cls_mix_ranges is not None:
+            r = batch.cls_mix_ranges
+            mix_kw = dict(k_cls_scale_range=(r[0], r[1]),
+                          v_cls_scale_range=(r[2], r[3]))
         s_vk_single, m_vk_single = mix_static_vk_embeddings(
             subj_single, cls_single, subj_tok_single,
-            batch.training_percent, batch.t_frac)
+            batch.training_percent, batch.t_frac, **mix_kw)
         s_vk_comp, m_vk_comp = mix_static_vk_embeddings(
             subj_comp, cls_comp, subj_tok_comp,
-            batch.training_percent, batch.t_frac)
+            batch.training_percent, batch.t_frac, **mix_kw)
 
         # (subj_single, subj_comp, mix_single, mix_comp) UNet batch
         ctx_vk = jnp.concatenate(
@@ -275,6 +415,28 @@ def _make_compos_loss_core(clip, unet, sched, skip_weights,
         loss_feat, loss_attn = loss_feat / denom, loss_attn / denom
         loss_attn_norm = loss_attn_norm / denom
 
+        # cross-layer attention consistency over the subject sub-batch
+        # (rows ss, sc; SSB_SIZE=2·BLOCK_SIZE on compos iters,
+        # `ddpm.py:3242-3266`)
+        loss_xlayer = 0.0
+        if xlayer_weight > 0:
+            subj_scores = {i: aux[i]["attnscore"][:2 * B]
+                           for i in aux if "attnscore" in aux[i]}
+            subj_mask2 = jnp.concatenate([subj_tok_single, subj_tok_comp],
+                                         axis=0)
+            bg_keys = sorted(k for k in batch.slot_maps if k in bg_placeholders)
+            bg_mask2 = _slot_union_mask(
+                {k: batch.slot_maps[k][:2 * B] for k in bg_keys}, bg_keys)
+            fg_x, bg_x = fg_bg_xlayer_consist_loss(subj_scores, subj_mask2,
+                                                   bg_mask2)
+            fg_scale = 0.2 if do_zero_shot else 1.0
+            bg_scale = 0.06 if do_zero_shot else 0.3
+            if bg_mask2 is not None:
+                # zero out the bg branch when this iteration's prompts carry
+                # no background token (its slots are all -1 -> empty mask)
+                bg_x = bg_x * jnp.clip(jnp.sum(bg_mask2), 0.0, 1.0)
+            loss_xlayer = fg_x * fg_scale + bg_x * bg_scale
+
         loss_fg_bg = 0.0
         loss_preserve = 0.0
         if batch.fg_mask is not None:
@@ -297,11 +459,13 @@ def _make_compos_loss_core(clip, unet, sched, skip_weights,
                 + attn_align_weight * loss_attn
                 + attn_norm_distill_weight * loss_attn_norm
                 + fg_bg_weight * loss_fg_bg
-                + comp_fg_bg_preserve_weight * loss_preserve)
+                + comp_fg_bg_preserve_weight * loss_preserve
+                + xlayer_weight * loss_xlayer)
         metrics = {"loss": loss, "prompt_delta": loss_delta,
                    "feat_align": loss_feat, "attn_align": loss_attn,
                    "attn_norm_distill": loss_attn_norm,
-                   "fg_bg": loss_fg_bg, "comp_fg_bg_preserve": loss_preserve}
+                   "fg_bg": loss_fg_bg, "comp_fg_bg_preserve": loss_preserve,
+                   "xlayer_consist": loss_xlayer}
         return loss, metrics
 
     return core
@@ -603,6 +767,8 @@ class ZeroShotReconBatch(NamedTuple):
     clip_fg: jnp.ndarray  # [B, N_tok, D_img] masked CLIP fg features
     clip_bg: jnp.ndarray  # [B, N_tok, D_img]
     id_embs: jnp.ndarray  # [B, 512] ArcFace (or DINO) identity embeddings
+    emb_noise_std: Optional[jnp.ndarray] = None  # scalar
+    emb_noise_key: Optional[jnp.ndarray] = None  # PRNG key
 
 
 def make_zero_shot_recon_step(
@@ -622,12 +788,20 @@ def make_zero_shot_recon_step(
     skip_weights=(0.5, 0.5),
     bg_weight: float = 0.1,
     out_id_embs_scale: float = 1.0,
+    complem_weight: float = 0.0,
+    xlayer_weight: float = 0.0,
+    use_bg_token: bool = False,
 ):
     """Recon step whose TRAINABLES are the SubjBasisGenerator params — the
     zero-shot ("AdaFace") training mode (`embedding_manager.py:1400-1505`
     inside `p_losses` recon). Identity evidence -> frozen Arc2Face forward
-    -> generator inverse -> patched prompt context -> eps recon."""
+    -> generator inverse -> patched prompt context -> eps recon. With
+    `complem_weight`/`xlayer_weight` > 0, the complementary-loss battery of
+    `calc_recon_and_complem_losses` (`ddpm.py:3457-3565`) applies (capture
+    forward)."""
     from adaface_tpu.personalization.arc2face import forward_face_embs_fn
+
+    do_capture = complem_weight > 0 or xlayer_weight > 0
 
     def loss_fn(gen_params: dict, batch: ZeroShotReconBatch, fz):
         # frozen Arc2Face forward: id emb -> 16 core prompt embeddings
@@ -650,6 +824,13 @@ def make_zero_shot_recon_step(
                 is_face=True, is_training=True,
                 inverse_template_ids=inverse_template_ids)
             subj[s] = jnp.transpose(embs, (1, 0, 2, 3))  # [L, B, K, D]
+        if batch.emb_noise_std is not None and batch.emb_noise_key is not None:
+            from adaface_tpu.ops.grad import add_noise_to_tensor
+
+            subj = {s: add_noise_to_tensor(
+                jax.random.fold_in(batch.emb_noise_key, i), e,
+                batch.emb_noise_std, noise_std_is_relative=True)
+                for i, (s, e) in enumerate(sorted(subj.items()))}
 
         embedded = clip.apply({"params": fz["clip"]}, batch.token_ids,
                               method=CLIPTextEncoder.embed_tokens)
@@ -661,10 +842,24 @@ def make_zero_shot_recon_step(
                          skip_weights=jnp.asarray(skip_weights))
         ctx = ctx.reshape(L, B, T, D)
         x_noisy = sched.q_sample(batch.latents, batch.timesteps, batch.noise)
-        eps = unet.apply({"params": fz["unet"]}, x_noisy, batch.timesteps, ctx)
+        if do_capture:
+            eps, aux = unet.apply({"params": fz["unet"]}, x_noisy,
+                                  batch.timesteps, ctx, capture=True)
+        else:
+            eps, aux = unet.apply({"params": fz["unet"]}, x_noisy,
+                                  batch.timesteps, ctx), None
         recon = masked_recon_loss(eps, batch.noise, batch.fg_mask,
                                   bg_weight=bg_weight)
-        return recon, {"loss": recon, "recon": recon}
+        loss = recon
+        metrics = {"recon": recon}
+        if do_capture:
+            complem, cm = _recon_complem_terms(
+                aux, batch.slot_maps, batch.fg_mask, bg_placeholders,
+                use_bg_token, True, complem_weight, xlayer_weight)
+            loss = loss + complem
+            metrics.update(cm)
+        metrics["loss"] = loss
+        return loss, metrics
 
     def step(gen_params, opt_state, batch: ZeroShotReconBatch, frozen=None):
         fz = frozen if frozen is not None else {
@@ -698,6 +893,9 @@ class ZeroShotComposBatch(NamedTuple):
     id_embs: jnp.ndarray  # [1, 512]
     compel_level: float = 0.0
     compel_batch_mask: Optional[jnp.ndarray] = None
+    emb_noise_std: Optional[jnp.ndarray] = None  # scalar
+    emb_noise_key: Optional[jnp.ndarray] = None  # PRNG key
+    cls_mix_ranges: Optional[jnp.ndarray] = None  # [4], see ComposBatch
 
 
 def make_zero_shot_compos_step(
@@ -723,6 +921,7 @@ def make_zero_shot_compos_step(
     attn_norm_distill_weight: float = 1e-2,
     fg_bg_weight: float = 1.0,
     comp_fg_bg_preserve_weight: float = 1e-3,
+    xlayer_weight: float = 5e-5,
 ):
     """Compositional distillation with generator-produced subject
     embeddings (the zero-shot compos_distill_iter,
@@ -737,7 +936,8 @@ def make_zero_shot_compos_step(
     core = _make_compos_loss_core(
         clip, unet, sched, skip_weights, prompt_delta_weight,
         feat_align_weight, attn_align_weight, attn_norm_distill_weight,
-        fg_bg_weight, comp_fg_bg_preserve_weight)
+        fg_bg_weight, comp_fg_bg_preserve_weight, xlayer_weight,
+        do_zero_shot=True, bg_placeholders=bg_placeholders)
 
     def _gen_embs(params, batch, fz, arc_id_embs):
         subj = {}
@@ -772,6 +972,13 @@ def make_zero_shot_compos_step(
             # rows carry slot -1 everywhere so their value is never read
             rows = [single] + [live[s]] * (B4 - 1)
             subj[s] = jnp.concatenate(rows, axis=1)  # [L, 4B, K, D]
+        if batch.emb_noise_std is not None and batch.emb_noise_key is not None:
+            from adaface_tpu.ops.grad import add_noise_to_tensor
+
+            subj = {s: add_noise_to_tensor(
+                jax.random.fold_in(batch.emb_noise_key, i), e,
+                batch.emb_noise_std, noise_std_is_relative=True)
+                for i, (s, e) in enumerate(sorted(subj.items()))}
 
         embedded = clip.apply({"params": fz["clip"]}, batch.token_ids,
                               method=CLIPTextEncoder.embed_tokens)

@@ -65,11 +65,21 @@ class TrainerConfig:
     accumulate_grad_batches: int = 2
     grad_clip: float = 0.5  # `main.py` grad_clip default
     learning_rate: float = 7e-4
+    # LR scaled by accum x devices x batch unless disabled
+    # (`main.py:1201-1209`, scale_lr default True); applies to the AdamW
+    # path only — Prodigy runs at LR 1 with adapted d (`ddpm.py:5192-5209`)
+    scale_lr: bool = True
+    num_devices: int = 1  # dp mesh size for LR scaling (the `ngpu` analog)
     use_prodigy: bool = True  # zero-shot default (`ddpm.py:5192-5209`)
     d_coef: float = 10.0
     ckpt_every_steps: int = 500
     log_every_steps: int = 10
     bg_recon_weight: float = 0.1
+    # recon-iter complementary-loss battery weights
+    # (`v1-finetune-ada.yaml:46-54`)
+    fg_bg_complementary_loss_weight: float = 2e-4
+    fg_bg_xlayer_consist_loss_weight: float = 5e-5
+    fg_wds_complementary_loss_weight: float = 0.0  # 0 in the shipped config
     # webdataset background compositing for recon iters
     # (`personalized.py:607-824`; wds instances use a discounted bg weight,
     # `ddpm.py:2917-2946`)
@@ -113,7 +123,12 @@ class Trainer:
 
             base = prodigy(learning_rate=1.0, d_coef=cfg.d_coef)
         else:
-            base = optax.adamw(cfg.learning_rate)
+            lr = cfg.learning_rate
+            if cfg.scale_lr:
+                # `main.py:1201-1209`: lr = accum * ndev * bs * base_lr
+                lr *= (cfg.accumulate_grad_batches * cfg.num_devices
+                       * cfg.batch_size)
+            base = optax.adamw(lr)
         opt = optax.chain(optax.clip_by_global_norm(cfg.grad_clip), base)
         self.optimizer = optax.MultiSteps(
             opt, every_k_schedule=cfg.accumulate_grad_batches)
@@ -121,15 +136,17 @@ class Trainer:
 
         # ---- jitted step variants (compiled lazily per iter type / S)
         p = self.pipe
+        self._bg_placeholders = frozenset(
+            s for s, info in self.mgr.placeholders.items()
+            if getattr(info, "is_background", False))
         self._steps = {
-            RECON: jax.jit(make_recon_train_step(
-                p.clip, p.clip_params, p.unet, p.unet_params, p.base_sched,
-                self.optimizer, skip_weights=p.skip_weights,
-                bg_weight=cfg.bg_recon_weight)),
             COMPOS_DISTILL: jax.jit(make_compos_distill_step(
                 p.clip, p.clip_params, p.unet, p.unet_params, p.base_sched,
-                self.optimizer, skip_weights=p.skip_weights)),
+                self.optimizer, skip_weights=p.skip_weights,
+                do_zero_shot=self.plan_cfg.do_zero_shot,
+                bg_placeholders=self._bg_placeholders)),
         }
+        self._recon_steps: Dict[tuple, object] = {}
         self._a2f_steps: Dict[int, object] = {}
         # frozen backbone as explicit jit ARGUMENTS (closed-over params
         # would embed as HLO constants — oversized programs for the
@@ -191,7 +208,10 @@ class Trainer:
         pdb.set_trace()
 
     def _log(self, metrics: Dict, plan: IterPlan):
-        rec = {"step": self.global_step, "iter_type": plan.iter_type}
+        rec = {"step": self.global_step, "iter_type": plan.iter_type,
+               "emb_noise_std": float(plan.emb_noise_std),
+               "comp_init_fg": float(plan.comp_init_fg_from_training_image),
+               "reuse_init": float(plan.reuse_init_conds)}
         rec.update({k: float(v) for k, v in metrics.items()})
         if not all(np.isfinite(v) for v in rec.values()
                    if isinstance(v, float)):
@@ -296,6 +316,36 @@ class Trainer:
         return jnp.asarray(ids), {k: jnp.asarray(v) for k, v in slot_maps.items()}
 
     # ---------------------------------------------------------------- steps
+    def _get_recon_step(self, use_bg_token: bool, use_wds: bool):
+        """Jitted recon-step variant per (bg-token, wds) combination — each
+        changes the static loss battery (`calc_recon_and_complem_losses`
+        dispatch, `ddpm.py:2917-2946,3457-3565`)."""
+        key = (use_bg_token, use_wds)
+        if key not in self._recon_steps:
+            p, cfg = self.pipe, self.cfg
+            self._recon_steps[key] = jax.jit(make_recon_train_step(
+                p.clip, p.clip_params, p.unet, p.unet_params, p.base_sched,
+                self.optimizer, skip_weights=p.skip_weights,
+                bg_weight=(cfg.wds_bg_recon_weight if use_wds
+                           else cfg.bg_recon_weight if use_bg_token
+                           else 0.0),
+                complem_weight=cfg.fg_bg_complementary_loss_weight,
+                xlayer_weight=cfg.fg_bg_xlayer_consist_loss_weight,
+                wds_complem_weight=(cfg.fg_wds_complementary_loss_weight
+                                    if use_wds else 0.0),
+                use_bg_token=use_bg_token,
+                do_zero_shot=self.plan_cfg.do_zero_shot,
+                bg_placeholders=self._bg_placeholders))
+        return self._recon_steps[key]
+
+    def _wds_extra_mask(self, ids: np.ndarray, slots: Dict) -> np.ndarray:
+        """[B, T] comp-extra token mask for wds instances: real tokens that
+        are neither subject nor bg slots (`ddpm.py:3498-3524`)."""
+        real = (np.asarray(ids) > 0).astype(np.float32)
+        for s, m in slots.items():
+            real = real * (np.asarray(m) < 0)
+        return real
+
     def _run_recon(self, plan: IterPlan):
         B = self.cfg.batch_size
         ex = self._draw_examples(B)
@@ -323,6 +373,9 @@ class Trainer:
                 emb_noise_std=jnp.asarray(plan.emb_noise_std, jnp.float32),
                 emb_noise_key=jax.random.PRNGKey(
                     int(self.rng.integers(2 ** 31))))
+        if use_wds and self.cfg.fg_wds_complementary_loss_weight > 0:
+            noise_kw["wds_extra_token_mask"] = jnp.asarray(
+                self._wds_extra_mask(ids, slots))
         batch = ReconBatch(
             latents=latents,
             token_ids=ids, slot_maps=slots,
@@ -330,18 +383,7 @@ class Trainer:
             timesteps=jnp.asarray(t, jnp.int32),
             noise=jnp.asarray(self.rng.standard_normal(latents.shape),
                               jnp.float32), **noise_kw)
-        step = self._steps[RECON]
-        if use_wds:
-            # wds instances: discounted background recon weight
-            if "wds" not in getattr(self, "_wds_steps", {}):
-                p = self.pipe
-                self._wds_steps = getattr(self, "_wds_steps", {})
-                self._wds_steps["wds"] = jax.jit(make_recon_train_step(
-                    p.clip, p.clip_params, p.unet, p.unet_params,
-                    p.base_sched, self.optimizer,
-                    skip_weights=p.skip_weights,
-                    bg_weight=self.cfg.wds_bg_recon_weight))
-            step = self._wds_steps["wds"]
+        step = self._get_recon_step(plan.use_background_token, use_wds)
         self.mgr.embedders, self.opt_state, metrics = step(
             self.mgr.embedders, self.opt_state, batch, self._frozen)
         if use_wds:
@@ -375,6 +417,7 @@ class Trainer:
                            if not info.is_background)
         latents = self._latents(e["image"][None])
         lh, lw = latents.shape[1:3]
+        fg_latent = self._mask_to_latent(e["fg_mask"][None], lh, lw)
         prev_t = None
         if (self.cached_inits is not None
                 and e["subject_name"] in self.cached_inits):
@@ -382,8 +425,31 @@ class Trainer:
             entry = self.cached_inits.pop(e["subject_name"])
             latents = jnp.asarray(entry["x_start"][:1])
             prev_t = entry["t"][:1]
+            if "fg_mask" in entry:
+                fg_latent = entry["fg_mask"]
             plan.reuse_init_conds = True
             plan.do_teacher_filter = False
+            # the previous iter's fg-init mode carries over (`ddpm.py:2609-2612`)
+            plan.comp_init_fg_from_training_image = bool(
+                entry.get("comp_init_fg_from_training_image", False))
+        else:
+            # fresh compos iter: x_start = training-image fg scaled onto
+            # noise, or pure noise (`ddpm.py:2645-2664`)
+            if (plan.comp_init_fg_from_training_image
+                    and float(fg_latent.sum()) > 0):
+                from adaface_tpu.training.x_init import (
+                    init_x_with_fg_from_training_image,
+                )
+
+                x_np, fg_np = init_x_with_fg_from_training_image(
+                    self.rng, np.asarray(latents), fg_latent,
+                    plan.training_percent)
+                latents = jnp.asarray(x_np)
+                fg_latent = fg_np
+            else:
+                plan.comp_init_fg_from_training_image = False
+                latents = jnp.asarray(
+                    self.rng.standard_normal(latents.shape), jnp.float32)
         t = sample_timesteps(self.rng, plan, 1, self.plan_cfg, prev_t=prev_t)
         noise = jnp.asarray(self.rng.standard_normal(latents.shape), jnp.float32)
 
@@ -413,8 +479,14 @@ class Trainer:
             noise = cand_noise[i:i + 1]
             t = np.asarray(cand_t)[i:i + 1]
             if self.cached_inits is not None:
-                self.cached_inits.put(e["subject_name"],
-                                      cand_x[i:i + 1], t)
+                # cache the best candidate's CFG reconstruction under the
+                # SUBJECT context (`x_recon.chunk(2)[0]`, `ddpm.py:3144-3177`)
+                # — the teacher's composition seeds the follow-up iter
+                self.cached_inits.put(
+                    e["subject_name"], verdict.x_recons[i:i + 1], t,
+                    fg_mask=np.asarray(fg_latent),
+                    comp_init_fg_from_training_image=bool(
+                        plan.comp_init_fg_from_training_image))
 
         compel_level, compel_mask = 0.0, None
         if self.cfg.apply_compel_cfg_prob > 0:
@@ -426,20 +498,40 @@ class Trainer:
                 n_instances=4, is_training=True)
             if compel_mask is None:  # keep the jit signature stable
                 compel_mask = jnp.ones((4,), jnp.float32)
+        noise_kw = {}
+        if plan.emb_noise_std > 0:
+            noise_kw = dict(
+                emb_noise_std=jnp.asarray(plan.emb_noise_std, jnp.float32),
+                emb_noise_key=jax.random.PRNGKey(
+                    int(self.rng.integers(2 ** 31))))
         batch = ComposBatch(
             token_ids=jnp.asarray(ids),
             slot_maps={k: jnp.asarray(v) for k, v in slots.items()},
             subj_slot_map=jnp.asarray(slots[subj_string]),
             latents=latents,
-            fg_mask=jnp.asarray(self._mask_to_latent(e["fg_mask"][None], lh, lw)),
+            fg_mask=jnp.asarray(fg_latent),
             timesteps=jnp.asarray(t, jnp.int32),
             noise=noise,
             t_frac=jnp.asarray(t / self.plan_cfg.num_timesteps, jnp.float32),
             training_percent=jnp.asarray(plan.training_percent, jnp.float32),
-            compel_level=compel_level, compel_batch_mask=compel_mask)
+            compel_level=compel_level, compel_batch_mask=compel_mask,
+            cls_mix_ranges=jnp.asarray(self._cls_mix_ranges(plan)), **noise_kw)
         self.mgr.embedders, self.opt_state, metrics = self._steps[COMPOS_DISTILL](
             self.mgr.embedders, self.opt_state, batch, self._frozen)
         return metrics
+
+    def _cls_mix_ranges(self, plan: IterPlan) -> np.ndarray:
+        """[k_lb, k_ub, v_lb, v_ub] class-mix scale ranges for the V/K
+        teacher contexts (`ddpm.py:2577-2597`): zero-shot mixes more
+        subject into V; fg-initialized iters mix slightly less."""
+        fg_init = plan.comp_init_fg_from_training_image
+        if self.plan_cfg.do_zero_shot:
+            k = (1.0, 0.8)
+            v = (1.0, 0.7) if fg_init else (1.0, 0.6)
+        else:
+            k = (1.0, 1.0)
+            v = (1.0, 0.85) if fg_init else (1.0, 0.7)
+        return np.asarray([*k, *v], np.float32)
 
     def _compos_contexts(self, ids, slots, plan, t):
         """(subj_comp, mix_comp, uncond) V/K contexts for the teacher
@@ -486,8 +578,10 @@ class Trainer:
         cc = jnp.concatenate([cls_comp] * n_cand, axis=1)
         st = jnp.concatenate([subj_tok] * n_cand, axis=0)
         t_frac = jnp.asarray(t / self.plan_cfg.num_timesteps, jnp.float32)
+        r = self._cls_mix_ranges(plan)
         s_vk, m_vk = mix_static_vk_embeddings(
-            sc, cc, st, plan.training_percent, t_frac)
+            sc, cc, st, plan.training_percent, t_frac,
+            k_cls_scale_range=(r[0], r[1]), v_cls_scale_range=(r[2], r[3]))
         uncond = self.pipe.encode_negative("", n_cand)
         return {
             "subj_comp": (s_vk[:, :, :T], s_vk[:, :, T:]),

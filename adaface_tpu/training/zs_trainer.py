@@ -64,17 +64,7 @@ class ZeroShotTrainer(Trainer):
         # trainables are the generator params, not static embedders
         self.opt_state = self.optimizer.init(self.gen_params)
         p = self.pipe
-        self._zs_step = jax.jit(make_zero_shot_recon_step(
-            p.clip, p.clip_params, p.unet, p.unet_params, p.base_sched,
-            self.optimizer, generators=self.generators,
-            bg_placeholders=self.bg_placeholders,
-            arc2face_encoder=arc2face_encoder,
-            arc2face_params=arc2face_params,
-            forward_template_ids=self._fwd_ids,
-            inverse_template_ids=self._inv_ids,
-            arcface_token_id=self._arc_tid,
-            skip_weights=p.skip_weights,
-            bg_weight=cfg.bg_recon_weight))
+        self._zs_recon_steps = {}
         # frozen deep-copy of the generators at setup, used to anchor the
         # subj-single block of compos iters
         # (`make_frozen_copy_of_subj_basis_generators`,
@@ -90,6 +80,29 @@ class ZeroShotTrainer(Trainer):
             inverse_template_ids=self._inv_ids,
             arcface_token_id=self._arc_tid,
             skip_weights=p.skip_weights))
+
+    def _get_zs_recon_step(self, use_bg_token: bool):
+        """Jitted zs-recon variant per bg-token usage: the complementary
+        battery dispatch is static (`calc_recon_and_complem_losses`,
+        `ddpm.py:3457-3565`)."""
+        if use_bg_token not in self._zs_recon_steps:
+            p, cfg = self.pipe, self.cfg
+            self._zs_recon_steps[use_bg_token] = jax.jit(
+                make_zero_shot_recon_step(
+                    p.clip, p.clip_params, p.unet, p.unet_params,
+                    p.base_sched, self.optimizer, generators=self.generators,
+                    bg_placeholders=self.bg_placeholders,
+                    arc2face_encoder=self._arc_encoder,
+                    arc2face_params=self._arc_frozen,
+                    forward_template_ids=self._fwd_ids,
+                    inverse_template_ids=self._inv_ids,
+                    arcface_token_id=self._arc_tid,
+                    skip_weights=p.skip_weights,
+                    bg_weight=(cfg.bg_recon_weight if use_bg_token else 0.0),
+                    complem_weight=cfg.fg_bg_complementary_loss_weight,
+                    xlayer_weight=cfg.fg_bg_xlayer_consist_loss_weight,
+                    use_bg_token=use_bg_token))
+        return self._zs_recon_steps[use_bg_token]
 
     def save_checkpoint(self, tag: Optional[str] = None):
         tag = tag or f"gs-{self.global_step}"
@@ -193,6 +206,7 @@ class ZeroShotTrainer(Trainer):
                            if s not in self.bg_placeholders)
         latents = self._latents(e["image"][None])
         lh, lw = latents.shape[1:3]
+        fg_latent = self._mask_to_latent(e["fg_mask"][None], lh, lw)
         feats = self.extractor.encode([e["image_unnorm"]], [e["fg_mask"]],
                                       is_face=True)
         id_embs = feats.id_embs if feats.id_embs is not None else \
@@ -205,8 +219,29 @@ class ZeroShotTrainer(Trainer):
             entry = self.cached_inits.pop(e["subject_name"])
             latents = jnp.asarray(entry["x_start"][:1])
             prev_t = entry["t"][:1]
+            if "fg_mask" in entry:
+                fg_latent = entry["fg_mask"]
             plan.reuse_init_conds = True
             plan.do_teacher_filter = False
+            plan.comp_init_fg_from_training_image = bool(
+                entry.get("comp_init_fg_from_training_image", False))
+        else:
+            # fresh compos iter x_start modes (`ddpm.py:2645-2664`)
+            if (plan.comp_init_fg_from_training_image
+                    and float(fg_latent.sum()) > 0):
+                from adaface_tpu.training.x_init import (
+                    init_x_with_fg_from_training_image,
+                )
+
+                x_np, fg_np = init_x_with_fg_from_training_image(
+                    self.rng, np.asarray(latents), fg_latent,
+                    plan.training_percent)
+                latents = jnp.asarray(x_np)
+                fg_latent = fg_np
+            else:
+                plan.comp_init_fg_from_training_image = False
+                latents = jnp.asarray(
+                    self.rng.standard_normal(latents.shape), jnp.float32)
         t = sample_timesteps(self.rng, plan, 1, self.plan_cfg, prev_t=prev_t)
         noise = jnp.asarray(self.rng.standard_normal(latents.shape),
                             jnp.float32)
@@ -239,21 +274,35 @@ class ZeroShotTrainer(Trainer):
             noise = cand_noise[i:i + 1]
             t = np.asarray(cand_t)[i:i + 1]
             if self.cached_inits is not None:
-                self.cached_inits.put(e["subject_name"], cand_x[i:i + 1], t)
+                # cache the best candidate's CFG reconstruction — the
+                # teacher's composition, not the pre-noise training latent
+                # (`x_recon.chunk(2)[0]`, `ddpm.py:3144-3177`)
+                self.cached_inits.put(
+                    e["subject_name"], verdict.x_recons[i:i + 1], t,
+                    fg_mask=np.asarray(fg_latent),
+                    comp_init_fg_from_training_image=bool(
+                        plan.comp_init_fg_from_training_image))
 
+        noise_kw = {}
+        if plan.emb_noise_std > 0:
+            noise_kw = dict(
+                emb_noise_std=jnp.asarray(plan.emb_noise_std, jnp.float32),
+                emb_noise_key=jax.random.PRNGKey(
+                    int(self.rng.integers(2 ** 31))))
         batch = ZeroShotComposBatch(
             token_ids=jnp.asarray(ids),
             slot_maps={k: jnp.asarray(v) for k, v in slots.items()},
             subj_slot_map=jnp.asarray(slots[subj_string]),
             latents=latents,
-            fg_mask=jnp.asarray(
-                self._mask_to_latent(e["fg_mask"][None], lh, lw)),
+            fg_mask=jnp.asarray(fg_latent),
             timesteps=jnp.asarray(t, jnp.int32),
             noise=noise,  # the filter-selected candidate's noise when teachable
             t_frac=jnp.asarray(t / self.plan_cfg.num_timesteps, jnp.float32),
             training_percent=jnp.asarray(plan.training_percent, jnp.float32),
             clip_fg=feats.clip_fg[:1], clip_bg=feats.clip_bg[:1],
-            id_embs=id_embs[:1])
+            id_embs=id_embs[:1],
+            cls_mix_ranges=jnp.asarray(self._cls_mix_ranges(plan)),
+            **noise_kw)
         self.gen_params, self.opt_state, metrics = self._zs_compos_step(
             self.gen_params, self.opt_state, batch,
             {**self._frozen, "arc": self._arc_frozen, "gen0": self._gen0})
@@ -362,6 +411,13 @@ class ZeroShotTrainer(Trainer):
             id_embs = feats.id_embs if feats.id_embs is not None else \
                 jnp.asarray(self.rng.standard_normal((B, 512)), jnp.float32)
             t = sample_timesteps(self.rng, plan, B, self.plan_cfg)
+            noise_kw = {}
+            if plan.emb_noise_std > 0:
+                noise_kw = dict(
+                    emb_noise_std=jnp.asarray(plan.emb_noise_std,
+                                              jnp.float32),
+                    emb_noise_key=jax.random.PRNGKey(
+                        int(self.rng.integers(2 ** 31))))
             batch = ZeroShotReconBatch(
                 latents=latents, token_ids=ids, slot_maps=slots,
                 fg_mask=jnp.asarray(
@@ -375,8 +431,9 @@ class ZeroShotTrainer(Trainer):
                 clip_bg=feats.clip_bg if feats.clip_bg.shape[0] == B
                 else jnp.broadcast_to(feats.clip_bg,
                                       (B,) + feats.clip_bg.shape[1:]),
-                id_embs=id_embs)
-            self.gen_params, self.opt_state, metrics = self._zs_step(
+                id_embs=id_embs, **noise_kw)
+            step = self._get_zs_recon_step(plan.use_background_token)
+            self.gen_params, self.opt_state, metrics = step(
                 self.gen_params, self.opt_state, batch,
                 {**self._frozen, "arc": self._arc_frozen})
             self._log(metrics, plan)

@@ -31,6 +31,18 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # persistent compilation cache: a degraded tunnel once pushed
+    # compile+first to 699 s (BENCH_r02); a warm cache skips the remote
+    # compile entirely on repeat driver runs
+    cache_dir = os.environ.get("ADAFACE_COMPILE_CACHE",
+                               "/tmp/adaface_jax_cache")
+    if cache_dir:
+        try:
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+        except Exception as e:  # cache is best-effort
+            print(f"# bench: compile cache unavailable: {e}", file=sys.stderr)
+
     jnp.zeros(()).block_until_ready()
     print(f"# bench: device claimed in {_t.time() - t_start:.1f}s; "
           f"building pipeline", file=sys.stderr, flush=True)
@@ -41,10 +53,12 @@ def main():
 
     tok = HashTokenizer()
     kw = {}
-    if os.environ.get("ADAFACE_FUSE_QKV") == "0":  # A/B knob
+    if os.environ.get("ADAFACE_FUSE_QKV") == "1":
+        # A/B arm: fused-QKV ON (default is off — the on-chip A/B measured
+        # the kernel concat losing ~0.7%, `UNetConfig.fuse_qkv`)
         from adaface_tpu.models.unet import UNetConfig
 
-        kw["unet_cfg"] = UNetConfig.sd_v1(fuse_qkv=False)
+        kw["unet_cfg"] = UNetConfig.sd_v1(fuse_qkv=True)
     pipe = StableDiffusionPipeline.from_random(
         jax.random.PRNGKey(0), tok, dtype=jnp.bfloat16, **kw)
     # bf16 weights: halves the weight-side HBM traffic of every matmul/conv
@@ -78,11 +92,53 @@ def main():
         times.append(time.time() - t0)
     best = min(times)
     img_s = N_SAMPLES / best
+
+    # ---- per-stage attribution (text encode / DDIM scan / VAE decode).
+    # Text encode and VAE decode are timed directly (the decode jit is a
+    # small extra compile); the scan time is the remainder — no second
+    # compile of the big sampling program.
+    stages = {}
+    try:
+        from adaface_tpu.models.vae import SD_VAE_SCALE_FACTOR, AutoencoderKL
+
+        prompts_l = list(prompts)
+
+        def time_op(f, reps=3):
+            f()  # warm
+            ts = []
+            for _ in range(reps):
+                t0 = time.time()
+                f()
+                ts.append(time.time() - t0)
+            return min(ts)
+
+        neg = "ugly"
+        t_text = time_op(lambda: (
+            jax.block_until_ready(pipe.encode_prompts(prompts_l)),
+            jax.block_until_ready(pipe.encode_negative(neg, N_SAMPLES))))
+        f = 2 ** (len(pipe.vae.cfg.ch_mult) - 1)
+        z = jnp.zeros((N_SAMPLES, SIZE // f, SIZE // f, 4), jnp.float32)
+        dec = jax.jit(lambda p, z: pipe.vae.apply(
+            {"params": p}, z / SD_VAE_SCALE_FACTOR,
+            method=AutoencoderKL.decode))
+        t_vae = time_op(
+            lambda: jax.block_until_ready(dec(pipe.vae_params, z)))
+        stages = {
+            "text_encode_s": round(t_text, 4),
+            "vae_decode_s": round(t_vae, 4),
+            "ddim_scan_s": round(max(best - t_text - t_vae, 0.0), 4),
+            "unet_ms_per_call": round(
+                max(best - t_text - t_vae, 0.0) / STEPS * 1e3, 2),
+        }
+    except Exception as e:
+        print(f"# stage breakdown failed: {e}", file=sys.stderr)
+
     print(json.dumps({
         "metric": "images/sec/chip @512px DDIM-50 CFG bf16",
         "value": round(img_s, 4),
         "unit": "images/sec",
         "vs_baseline": round(img_s / TORCH_A100_BASELINE_IMG_S, 4),
+        **stages,
     }))
     print(f"# compile+first: {compile_s:.1f}s; runs: {[round(t,2) for t in times]}; "
           f"n_samples={N_SAMPLES} steps={STEPS}", file=sys.stderr)

@@ -32,12 +32,86 @@ def bbox_to_mask(shape, bbox, landmarks=None, grow=(0.35, 0.55)) -> np.ndarray:
     return (m * 255).astype(np.uint8)
 
 
+def make_parser(opt):
+    """--precise: BiSeNet face-parsing masks (the reference's method,
+    `scripts-private/gen_face_masks.py`) with trash/inspect parts-count
+    routing. Returns parse(img_uint8) -> (mask_uint8 [H,W], n_parts)."""
+    import jax
+    import jax.numpy as jnp
+
+    from adaface_tpu.models.bisenet import (
+        BiSeNet,
+        parsing_to_mask,
+        preprocess,
+    )
+
+    if opt.parsing_ckpt and os.path.exists(opt.parsing_ckpt):
+        from adaface_tpu.interop.bisenet import load_bisenet
+
+        model, params = load_bisenet(opt.parsing_ckpt)
+    else:
+        print("NOTE: no --parsing_ckpt; random BiSeNet weights (smoke) — "
+              "masks are architecture-real but untrained")
+        model = BiSeNet()
+        params = model.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, 64, 64, 3)))["params"]
+
+    @jax.jit
+    def forward(x):
+        logits = model.apply({"params": params}, x)
+        parsing = jnp.argmax(logits, axis=-1)
+        return parsing_to_mask(parsing)
+
+    from PIL import Image
+
+    def parse(img: np.ndarray):
+        im = Image.fromarray(img).resize((opt.parsing_size, opt.parsing_size),
+                                         Image.BILINEAR)
+        x = preprocess(jnp.asarray(np.asarray(im)[None]))
+        mask, parts = forward(x)
+        m = np.asarray(
+            Image.fromarray(np.asarray(mask[0])).resize(
+                (img.shape[1], img.shape[0]), Image.NEAREST))
+        return m, int(parts[0])
+
+    return parse
+
+
 def main(opt):
     from PIL import Image
 
-    from filter_faces import default_face_app
-
     from adaface_tpu.evaluation.eval_utils import list_image_files
+
+    if opt.precise:
+        parse = make_parser(opt)
+        for folder in opt.folders:
+            n = n_trash = n_inspect = 0
+            for p in list_image_files(folder):
+                stem = os.path.splitext(p)[0]
+                out = stem + "_mask.png"
+                if os.path.exists(out) and not opt.overwrite:
+                    continue
+                img = np.asarray(Image.open(p).convert("RGB"))
+                mask, parts = parse(img)
+                # parts-count routing (`gen_face_masks.py:148-163`):
+                # too few parts = bad image, too many = needs inspection
+                if opt.route and parts <= 9:
+                    trash = os.path.join(folder + "_trash")
+                    os.makedirs(trash, exist_ok=True)
+                    os.rename(p, os.path.join(trash, os.path.basename(p)))
+                    n_trash += 1
+                    continue
+                if opt.route and parts >= 18:
+                    insp = os.path.join(folder + "_inspect")
+                    os.makedirs(insp, exist_ok=True)
+                    os.rename(p, os.path.join(insp, os.path.basename(p)))
+                    n_inspect += 1
+                    continue
+                Image.fromarray(mask).save(out)
+                n += 1
+            print(f"{folder}: wrote {n} masks "
+                  f"(trash {n_trash}, inspect {n_inspect})")
+        return 0
 
     if opt.use_detector and opt.detector == "scrfd":
         # antelopev2-parity detector (`ddpm.py:904-933`)
@@ -111,4 +185,13 @@ if __name__ == "__main__":
                         "training-time detector)")
     p.add_argument("--score_thresh", type=float, default=0.5)
     p.add_argument("--overwrite", action="store_true")
+    p.add_argument("--precise", action="store_true",
+                   help="BiSeNet face-parsing masks (the reference's "
+                        "method) instead of the detector ellipse")
+    p.add_argument("--parsing_ckpt", type=str, default=None,
+                   help="face-parsing .pth (e.g. 79999_iter.pth)")
+    p.add_argument("--parsing_size", type=int, default=512)
+    p.add_argument("--route", action="store_true",
+                   help="move <=9-part images to *_trash and >=18-part "
+                        "to *_inspect like the reference")
     sys.exit(main(p.parse_args()))

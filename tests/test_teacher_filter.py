@@ -80,6 +80,36 @@ def test_not_teachable_when_student_better(filter_parts):
     assert not v.is_teachable
 
 
+def test_filter_returns_cfg_reconstruction(filter_parts):
+    """Reuse-init must cache the filter's CFG reconstruction — NOT the
+    pre-noise input (`x_recon.chunk(2)[0]`, `ddpm.py:3144-3177`)."""
+    unet, uparams, vae, vparams, sched = filter_parts
+    tf = TeacherFilter(FakeScorer([0.20, 0.22, 0.24, 0.30]),
+                       unet, uparams, vae, vparams, sched)
+    rng = np.random.default_rng(0)
+    N, Lc, T, D = 2, 1, 8, 16
+    x = jnp.asarray(rng.standard_normal((N, 8, 8, 4)), jnp.float32)
+    n = jnp.asarray(rng.standard_normal((N, 8, 8, 4)), jnp.float32)
+    t = jnp.asarray([900, 950], jnp.int32)
+    mk = lambda: (jnp.asarray(rng.standard_normal((Lc, N, T, D)), jnp.float32),
+                  jnp.asarray(rng.standard_normal((Lc, N, T, D)), jnp.float32))
+    sc, mc = mk(), mk()
+    un = jnp.asarray(rng.standard_normal((Lc, N, T, D)), jnp.float32)
+    v = tf.filter(x, n, t, sc, mc, un, "a person in the snow")
+    assert v.x_recons is not None and v.x_recons.shape == (2 * N, 8, 8, 4)
+    # the reconstruction is the denoised estimate, not the input
+    assert np.abs(v.x_recons[:N] - np.asarray(x)).max() > 1e-3
+    # cross-check row 0 against a hand-computed CFG x0
+    x_noisy = sched.q_sample(x, t, n)
+    eps_c = unet.apply({"params": uparams}, x_noisy, t, sc[0],
+                       context_k=sc[1])
+    eps_u = unet.apply({"params": uparams}, x_noisy, t, un)
+    eps = eps_u + 5.0 * (eps_c - eps_u)  # student rows take cfg 5
+    x0 = sched.predict_x0_from_eps(x_noisy, t, eps)
+    np.testing.assert_allclose(v.x_recons[:N], np.asarray(x0),
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_cached_inits():
     c = CachedInits()
     assert "alice" not in c
