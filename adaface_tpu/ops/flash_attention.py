@@ -84,6 +84,34 @@ def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, block_k: int,
     o_ref[0] = (acc / l).astype(o_ref.dtype)
 
 
+def _flash_row_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float,
+                      have_bias: bool):
+    # Single-pass whole-row attention: at SD lengths (Lk <= 4096, D padded
+    # to 128) the ENTIRE K/V panel fits VMEM (1 MB each in bf16), so the
+    # online-softmax recurrence — built for Lk that does NOT fit — pays
+    # loop-carried acc/m/l corrections for nothing. One q·Kᵀ MXU pass, one
+    # row softmax on the VPU, one p·V MXU pass with a deep (Lk) contraction.
+    q = q_ref[0]                      # [bq, d]
+    k = k_ref[0]                      # [lk, d]
+    v = v_ref[0]
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * (scale * _LOG2E)
+    if have_bias:
+        s = s + bias_ref[0, 0][None, :] * _LOG2E
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp2(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    o_ref[0] = (o / l).astype(o_ref.dtype)
+
+
+# row kernel applies when the [block_q, Lk] fp32 score panel + K/V fit the
+# ~16 MB scoped-vmem budget; at D=128/bf16 that is Lk <= 4096 with bq 256
+_ROW_MAX_LK = 4096
+_ROW_BLOCK_Q = 256
+
+
 def _flash_forward(q, k, v, bias, block_q: int, block_k: int, scale: float):
     b, h, lq, d = q.shape
     lk = k.shape[2]
@@ -97,9 +125,22 @@ def _flash_forward(q, k, v, bias, block_q: int, block_k: int, scale: float):
     else:
         bias2 = jnp.zeros((bh, 1, 1), q.dtype)  # dummy
 
+    import os
+
+    # default pending the on-chip A/B (scripts/perf_r3_flash.py); the
+    # online kernel is the measured round-2 configuration
+    mode = os.environ.get("ADAFACE_FLASH_MODE", "online")
+    use_row = (mode == "row" and lk <= _ROW_MAX_LK
+               and lq % min(_ROW_BLOCK_Q, lq) == 0)
+    if use_row:
+        block_q = min(_ROW_BLOCK_Q, lq)
+        kernel = functools.partial(_flash_row_kernel, scale=scale,
+                                   have_bias=have_bias)
+    else:
+        kernel = functools.partial(_flash_kernel, block_k=block_k,
+                                   scale=scale, have_bias=have_bias)
+
     grid = (bh, lq // block_q)
-    kernel = functools.partial(_flash_kernel, block_k=block_k, scale=scale,
-                               have_bias=have_bias)
     # Pallas TPU kernels run interpreted on non-TPU backends (CPU tests).
     interpret = jax.devices()[0].platform != "tpu"
     import os
@@ -142,20 +183,203 @@ def _reference_attention(q, k, v, bias, scale):
     return jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v)
 
 
+# --------------------------------------------------------------- backward
+# Real flash backward (round-3; replaces the einsum-recompute fallback).
+# At SD lengths the full K/V (and even full Q) panels fit VMEM, so the
+# backward is two single-pass kernels with NO inner recurrence:
+#   pass A (parallel over q-blocks): dq = (p*(do·Vᵀ - Δ))·K · scale
+#   pass B (parallel over k-blocks): dv = pᵀ·do, dk = (p*(dp-Δ))ᵀ·q · scale
+# p is recomputed from the forward's saved row log2-sum-exp (lse2);
+# Δ = rowsum(do*o) is precomputed in XLA.
+
+
+def _row_lse_kernel(q_ref, k_ref, bias_ref, lse_ref, *, scale, have_bias):
+    """Row log2-sum-exp of the scaled scores: lse2[q] = m + log2(Σ 2^(s-m))."""
+    q = q_ref[0]
+    k = k_ref[0]
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * (scale * _LOG2E)
+    if have_bias:
+        s = s + bias_ref[0, 0][None, :] * _LOG2E
+    m = jnp.max(s, axis=-1)
+    l = jnp.sum(jnp.exp2(s - m[:, None]), axis=-1)
+    lse_ref[0] = m + jnp.log2(l)
+
+
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, bias_ref,
+                   dq_ref, *, scale, have_bias):
+    q = q_ref[0]                    # [bq, d]
+    k = k_ref[0]                    # [lk, d]
+    v = v_ref[0]
+    do = do_ref[0]                  # [bq, d]
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * (scale * _LOG2E)
+    if have_bias:
+        s = s + bias_ref[0, 0][None, :] * _LOG2E
+    p = jnp.exp2(s - lse_ref[0][:, None])          # [bq, lk]
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = p * (dp - delta_ref[0][:, None])          # [bq, lk] fp32
+    dq = jax.lax.dot_general(ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dq_ref[0] = (dq * scale).astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(k_ref, v_ref, q_ref, do_ref, lse_ref, delta_ref, bias_ref,
+                    dk_ref, dv_ref, dbias_ref, *, scale, have_bias):
+    kb = k_ref[0]                   # [bk, d]
+    vb = v_ref[0]
+    q = q_ref[0]                    # [lq, d]
+    do = do_ref[0]                  # [lq, d]
+    s = jax.lax.dot_general(kb, q, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * (scale * _LOG2E)
+    if have_bias:
+        s = s + bias_ref[0, 0][:, None] * _LOG2E   # bias indexed by k
+    p = jnp.exp2(s - lse_ref[0][None, :])          # [bk, lq]
+    dv = jax.lax.dot_general(p.astype(do.dtype), do, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dp = jax.lax.dot_general(vb, do, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = p * (dp - delta_ref[0][None, :])          # [bk, lq] fp32
+    dk = jax.lax.dot_general(ds.astype(q.dtype), q, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dk_ref[0] = (dk * scale).astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+    dbias_ref[0] = jnp.sum(ds, axis=-1).astype(dbias_ref.dtype)
+
+
+def _flash_backward(q, k, v, bias, o, do, scale,
+                    block_q: int = 256, block_k: int = 256):
+    """(dq, dk, dv, dbias_per_bh) for the padded [B, H, L, D] tensors."""
+    b, h, lq, d = q.shape
+    lk = k.shape[2]
+    bh = b * h
+    q2, k2, v2 = (t.reshape(bh, t.shape[2], d) for t in (q, k, v))
+    do2 = do.reshape(bh, lq, d)
+    o2 = o.reshape(bh, lq, d)
+    have_bias = bias is not None
+    if have_bias:
+        bias2 = jnp.repeat(bias, h, axis=0).reshape(bh, 1, lk)
+    else:
+        bias2 = jnp.zeros((bh, 1, 1), jnp.float32)
+
+    interpret = jax.devices()[0].platform != "tpu"
+    par = pltpu.GridDimensionSemantics.PARALLEL
+    bq = min(block_q, lq)
+    while lq % bq:
+        bq //= 2
+    bk = min(block_k, lk)
+    while lk % bk:
+        bk //= 2
+
+    bias_spec = pl.BlockSpec((1, 1, lk if have_bias else 1),
+                             lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM)
+    kv_full = pl.BlockSpec((1, lk, d), lambda i, j: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    q_full = pl.BlockSpec((1, lq, d), lambda i, j: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+
+    # row statistics (lse2) recomputed in one parallel pass
+    lse = pl.pallas_call(
+        functools.partial(_row_lse_kernel, scale=scale, have_bias=have_bias),
+        interpret=interpret, grid=(bh, lq // bq),
+        compiler_params=pltpu.CompilerParams(dimension_semantics=(par, par)),
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            kv_full, bias_spec,
+        ],
+        out_specs=pl.BlockSpec((1, bq), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, lq), jnp.float32),
+    )(q2, k2, bias2)
+
+    delta = jnp.sum(do2.astype(jnp.float32) * o2.astype(jnp.float32), axis=-1)
+
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, scale=scale, have_bias=have_bias),
+        interpret=interpret, grid=(bh, lq // bq),
+        compiler_params=pltpu.CompilerParams(dimension_semantics=(par, par)),
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            kv_full, kv_full,
+            pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            bias_spec,
+        ],
+        out_specs=pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, lq, d), q.dtype),
+    )(q2, k2, v2, do2, lse, delta, bias2)
+
+    lse_full = pl.BlockSpec((1, lq), lambda i, j: (i, 0),
+                            memory_space=pltpu.VMEM)
+    dk, dv, dbias = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, scale=scale, have_bias=have_bias),
+        interpret=interpret, grid=(bh, lk // bk),
+        compiler_params=pltpu.CompilerParams(dimension_semantics=(par, par)),
+        in_specs=[
+            pl.BlockSpec((1, bk, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            q_full, q_full, lse_full, lse_full,
+            pl.BlockSpec((1, 1, bk if have_bias else 1),
+                         lambda i, j: (i, 0, j if have_bias else 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bk, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, lk, d), k.dtype),
+            jax.ShapeDtypeStruct((bh, lk, d), v.dtype),
+            jax.ShapeDtypeStruct((bh, lk), jnp.float32),
+        ],
+    )(k2, v2, q2, do2, lse, delta, bias2)
+
+    dq = dq.reshape(b, h, lq, d)
+    dk = dk.reshape(b, h, lk, d)
+    dv = dv.reshape(b, h, lk, d)
+    dbias = dbias.reshape(b, h, lk)
+    return dq, dk, dv, dbias
+
+
+def _use_einsum_bwd() -> bool:
+    import os
+
+    return os.environ.get("ADAFACE_FLASH_BWD") == "einsum"
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def _flash_core(q, k, v, block_q, block_k, scale):
     return _flash_forward(q, k, v, None, block_q, block_k, scale)
 
 
 def _flash_core_fwd(q, k, v, block_q, block_k, scale):
-    return _flash_forward(q, k, v, None, block_q, block_k, scale), (q, k, v)
+    o = _flash_forward(q, k, v, None, block_q, block_k, scale)
+    return o, (q, k, v, o)
 
 
 def _flash_core_bwd(block_q, block_k, scale, res, g):
-    q, k, v = res
-    _, vjp = jax.vjp(lambda q, k, v: _reference_attention(q, k, v, None, scale),
-                     q, k, v)
-    return vjp(g)
+    q, k, v, o = res
+    if _use_einsum_bwd():  # A/B fallback: full einsum recomputation
+        _, vjp = jax.vjp(
+            lambda q, k, v: _reference_attention(q, k, v, None, scale),
+            q, k, v)
+        return vjp(g)
+    dq, dk, dv, _ = _flash_backward(q, k, v, None, o, g, scale)
+    return dq, dk, dv
 
 
 _flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
@@ -167,15 +391,20 @@ def _flash_core_bias(q, k, v, bias, block_q, block_k, scale):
 
 
 def _flash_core_bias_fwd(q, k, v, bias, block_q, block_k, scale):
-    return _flash_forward(q, k, v, bias, block_q, block_k, scale), (q, k, v, bias)
+    o = _flash_forward(q, k, v, bias, block_q, block_k, scale)
+    return o, (q, k, v, bias, o)
 
 
 def _flash_core_bias_bwd(block_q, block_k, scale, res, g):
-    q, k, v, bias = res
-    _, vjp = jax.vjp(
-        lambda q, k, v, bias: _reference_attention(q, k, v, bias, scale),
-        q, k, v, bias)
-    return vjp(g)
+    q, k, v, bias, o = res
+    if _use_einsum_bwd():
+        _, vjp = jax.vjp(
+            lambda q, k, v, bias: _reference_attention(q, k, v, bias, scale),
+            q, k, v, bias)
+        return vjp(g)
+    dq, dk, dv, dbias_bh = _flash_backward(q, k, v, bias, o, g, scale)
+    dbias = dbias_bh.sum(axis=1)  # bias is [B, Lk], broadcast over heads
+    return dq, dk, dv, dbias
 
 
 _flash_core_bias.defvjp(_flash_core_bias_fwd, _flash_core_bias_bwd)

@@ -147,12 +147,20 @@ def row_attention_heads(q, k, v, scale, block_q, heads_per=2):
 
 
 def main():
-    from adaface_tpu.ops.flash_attention import flash_attention
+    """Round-3 results (v5e, 2026-08-17): the ONLINE kernel wins — row
+    variants are 11-19% slower (B8 L4096: online 3.70 ms vs row 4.10-4.42,
+    row-heads hp2 3.82; hp4/bq512 exceed scoped vmem). The serial
+    dot->softmax->dot of the row kernel cannot overlap MXU/VPU work the
+    way the unrolled online k-loop does. Remaining sweep: finer online
+    (block_q, block_k, unroll) tuning at the bench shapes."""
+    import os
+
+    from adaface_tpu.ops import flash_attention as fa
 
     key = jax.random.PRNGKey(0)
     print(f"devices: {jax.devices()}", flush=True)
     for (B, H, L, D) in [(8, 8, 4096, 128), (16, 8, 4096, 128),
-                         (8, 8, 1024, 128), (16, 8, 1024, 128)]:
+                         (8, 8, 1024, 128)]:
         ks = jax.random.split(key, 3)
         q = jax.random.normal(ks[0], (B, H, L, D), jnp.bfloat16)
         k = jax.random.normal(ks[1], (B, H, L, D), jnp.bfloat16)
@@ -169,27 +177,45 @@ def main():
                 print(f"  B{B} L{L}: {name:28s} FAIL "
                       f"{type(e).__name__}: {str(e)[:120]}", flush=True)
 
-        run("online bq512 bk512 u4 (cur)",
-            lambda x, kk, vv: flash_attention(x, kk, vv, scale=scale))
-        for bq in (128, 256, 512):
-            if L % bq:
-                continue
-            run(f"row bq{bq}",
-                functools.partial(row_attention, scale=scale, block_q=bq))
-        for bq in (256, 512):
-            if L % bq:
-                continue
-            for hp in (2, 4):
-                run(f"row-heads bq{bq} hp{hp}",
-                    functools.partial(row_attention_heads, scale=scale,
-                                      block_q=bq, heads_per=hp))
-        # numerics check of the best row variant vs reference einsum
-        from adaface_tpu.ops.flash_attention import _reference_attention
+        def online(bq, bk, unroll):
+            def f(x, kk, vv):
+                b, h, lq, d = x.shape
+                bh = b * h
+                kern = functools.partial(
+                    fa._flash_kernel, block_k=bk, scale=scale,
+                    have_bias=False, unroll=unroll)
+                out = pl.pallas_call(
+                    kern, grid=(bh, lq // bq),
+                    compiler_params=pltpu.CompilerParams(
+                        dimension_semantics=(
+                            pltpu.GridDimensionSemantics.PARALLEL,
+                            pltpu.GridDimensionSemantics.PARALLEL)),
+                    in_specs=[
+                        pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0),
+                                     memory_space=pltpu.VMEM),
+                        pl.BlockSpec((1, lq, d), lambda i, j: (i, 0, 0),
+                                     memory_space=pltpu.VMEM),
+                        pl.BlockSpec((1, lq, d), lambda i, j: (i, 0, 0),
+                                     memory_space=pltpu.VMEM),
+                        pl.BlockSpec((1, 1, 1), lambda i, j: (i, 0, 0),
+                                     memory_space=pltpu.VMEM),
+                    ],
+                    out_specs=pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0),
+                                           memory_space=pltpu.VMEM),
+                    out_shape=jax.ShapeDtypeStruct((bh, lq, d), x.dtype),
+                )(x.reshape(bh, lq, d), kk.reshape(bh, lq, d),
+                  vv.reshape(bh, lq, d), jnp.zeros((bh, 1, 1), x.dtype))
+                return out.reshape(b, h, lq, d)
+            return f
 
-        ref = _reference_attention(q, k, v, None, scale)
-        got = row_attention(q, k, v, scale, 256)
-        err = jnp.abs(ref.astype(jnp.float32) - got.astype(jnp.float32)).max()
-        print(f"  B{B} L{L}: row-vs-einsum max err {float(err):.4f}", flush=True)
+        run("online 512/512/u4 (cur)",
+            lambda x, kk, vv: fa.flash_attention(x, kk, vv, scale=scale))
+        for bq, bk, u in [(256, 512, 4), (512, 512, 8), (512, 1024, 2),
+                          (512, 1024, 4), (1024, 512, 4), (512, 256, 8),
+                          (256, 256, 8), (512, 2048, 2), (2048, 512, 4)]:
+            if L % bq or L % bk or (L // bk) % max(u, 1):
+                continue
+            run(f"online {bq}/{bk}/u{u}", online(bq, bk, u))
 
 
 if __name__ == "__main__":

@@ -73,10 +73,16 @@ def test_full_width_unet_parity():
     ctx = rng.standard_normal((16, 1, 77, 768)).astype(np.float32)
     eps = UNetModel(cfg).apply({"params": params}, jnp.asarray(x),
                                jnp.asarray(t), jnp.asarray(ctx))
+    extra = dict(use_layerwise_context=True, iter_type="normal_recon",
+                 is_training=False, capture_distill_attn=False,
+                 use_conv_attn_kernel_size=-1, placeholder2indices=None,
+                 img_mask=None, compel_cfg_weight_level_range=None,
+                 apply_compel_cfg_prob=0, empty_context=None,
+                 debug_attn=False)
     with torch.no_grad():
         ctx_t = torch.tensor(ctx.transpose(1, 0, 2, 3).reshape(16, 77, 768))
         eps_t = t_unet(torch.tensor(x.transpose(0, 3, 1, 2)),
-                       timesteps=torch.tensor(t), context=ctx_t)
+                       torch.tensor(t), context=ctx_t, extra_info=extra)
     np.testing.assert_allclose(np.asarray(eps),
                                eps_t.numpy().transpose(0, 2, 3, 1),
                                rtol=2e-3, atol=2e-4)
@@ -160,11 +166,12 @@ def test_full_width_subj_basis_roundtrip(monkeypatch):
     monkeypatch.setattr(tsi, "INTER", 3072)
     monkeypatch.setattr(tsi, "VOCAB", 49408)
     flat = tsi.synth_fg_flat(num_layers=12, hidden=768)
-    params, meta = map_subj_basis_generator(flat, {}, is_background=False)
+    params, meta = map_subj_basis_generator(flat)
     assert meta.num_proj_layers == 12
-    exported = export_subj_basis_generator(params, meta)
-    params2, meta2 = map_subj_basis_generator(exported, {},
-                                              is_background=False)
+    assert not meta.placeholder_is_bg
+    exported = export_subj_basis_generator(params, placeholder_is_bg=False)
+    assert set(exported) == set(flat)
+    params2, meta2 = map_subj_basis_generator(exported)
     l1 = jax.tree_util.tree_leaves(params)
     l2 = jax.tree_util.tree_leaves(params2)
     assert len(l1) == len(l2)
