@@ -41,19 +41,39 @@ def group_norm(
     (`ldm/modules/diffusionmodules/model.py:32-34`) and eps 1e-5 in the UNet
     (torch default, `openaimodel.py` normalization()); pass eps accordingly.
     Statistics in fp32; output cast back to x.dtype.
+
+    Stats-first formulation: channel-wise Σx / Σx² reduced over the
+    spatial axes in the tensor's NATIVE [.., C] layout, grouped only on the
+    tiny [B, C] result. The naive 5-D (.., G, C/G) reshape forces XLA to
+    materialize fp32 whole-tensor copies with a transposed layout (the
+    round-3 xprof showed ~0.2 ms of copies/reshapes per GN call at SD
+    slabs); here the big tensor is touched by exactly one fused reduction
+    pass and one fused elementwise-affine pass.
     """
     orig_dtype = x.dtype
-    xf = x.astype(jnp.float32)
     c = x.shape[-1]
     g = num_groups
-    grouped = xf.reshape(*x.shape[:-1], g, c // g)
-    # reduce over all spatial axes + the intra-group channel axis
-    red_axes = tuple(range(1, grouped.ndim - 2)) + (grouped.ndim - 1,)
-    mean = grouped.mean(axis=red_axes, keepdims=True)
-    var = grouped.var(axis=red_axes, keepdims=True)
-    normed = (grouped - mean) * jax.lax.rsqrt(var + eps)
-    normed = normed.reshape(x.shape)
-    out = normed * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    b = x.shape[0]
+    red = tuple(range(1, x.ndim - 1))  # spatial axes
+    n_spatial = 1
+    for dd in x.shape[1:-1]:
+        n_spatial *= dd
+    n_per_group = n_spatial * (c // g)
+    xf = x.astype(jnp.float32)
+    s1 = jnp.sum(xf, axis=red)          # [B, C]
+    s2 = jnp.sum(xf * xf, axis=red)     # [B, C]
+    gs1 = s1.reshape(b, g, c // g).sum(-1)
+    gs2 = s2.reshape(b, g, c // g).sum(-1)
+    mean = gs1 / n_per_group            # [B, G]
+    var = jnp.maximum(gs2 / n_per_group - mean * mean, 0.0)
+    rstd = jax.lax.rsqrt(var + eps)
+    # fold the group stats + gamma/beta into ONE per-(b, c) affine
+    mean_c = jnp.repeat(mean, c // g, axis=1)
+    rstd_c = jnp.repeat(rstd, c // g, axis=1)
+    sc = rstd_c * scale.astype(jnp.float32)[None]
+    bi = bias.astype(jnp.float32)[None] - mean_c * sc
+    shape = (b,) + (1,) * (x.ndim - 2) + (c,)
+    out = xf * sc.reshape(shape) + bi.reshape(shape)
     return out.astype(orig_dtype)
 
 

@@ -430,10 +430,17 @@ def flash_attention(
         return _reference_attention(
             q, k, v, None if key_bias is None else key_bias, scale)
 
-    dp = max(128, ((d + 127) // 128) * 128)
-    if dp != d:
-        pad = [(0, 0), (0, 0), (0, 0), (0, dp - d)]
-        q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+    import os
+
+    if os.environ.get("ADAFACE_FLASH_HOST_PAD") == "1":
+        # legacy arm: materialize lane-padded q/k/v in HBM. The xprof
+        # batch-8 diagnosis showed these pads+copies scaling 3-4x with
+        # batch (347 ms/run at CFG batch 16); the default now ships the
+        # un-padded [.., 40] tensors and lets Mosaic pad tiles in VMEM.
+        dp = max(128, ((d + 127) // 128) * 128)
+        if dp != d:
+            pad = [(0, 0), (0, 0), (0, 0), (0, dp - d)]
+            q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
     bq = min(block_q, lq)
     while lq % bq:
         bq //= 2
