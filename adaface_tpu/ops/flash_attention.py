@@ -33,7 +33,9 @@ _LOG2E = 1.4426950408889634
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, block_k: int,
-                  scale: float, have_bias: bool, unroll: int = 4):
+                  scale: float, have_bias: bool, unroll: int = 8):
+    # unroll=8 measured best on-chip (512/512/u8: 3.19 ms vs 3.73 at u4,
+    # B8 H8 L4096; same ordering at B16 — scripts/perf_r3_flash.py r3)
     # q_ref: [1, block_q, D]; k_ref/v_ref: [1, Lk, D]; bias_ref: [1, 1, Lk];
     # o_ref: [1, block_q, D]
     #

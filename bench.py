@@ -15,7 +15,9 @@ import os
 import sys
 import time
 
-N_SAMPLES = int(os.environ.get("ADAFACE_BENCH_BATCH", "4"))
+# operating point: batch 8 beats batch 4 since the round-3 GN/no-pad
+# fixes removed the superlinear pad+copy terms (1.268 vs 1.214 img/s)
+N_SAMPLES = int(os.environ.get("ADAFACE_BENCH_BATCH", "8"))
 STEPS = 50
 SIZE = 512
 TORCH_A100_BASELINE_IMG_S = 2.0
