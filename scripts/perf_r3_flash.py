@@ -210,9 +210,9 @@ def main():
 
         run("online 512/512/u4 (cur)",
             lambda x, kk, vv: fa.flash_attention(x, kk, vv, scale=scale))
-        for bq, bk, u in [(256, 512, 4), (512, 512, 8), (512, 1024, 2),
-                          (512, 1024, 4), (1024, 512, 4), (512, 256, 8),
-                          (256, 256, 8), (512, 2048, 2), (2048, 512, 4)]:
+        for bq, bk, u in [(512, 512, 8), (512, 512, 16), (512, 1024, 4),
+                          (1024, 512, 8), (1024, 1024, 4), (512, 256, 16),
+                          (256, 512, 8)]:
             if L % bq or L % bk or (L // bk) % max(u, 1):
                 continue
             run(f"online {bq}/{bk}/u{u}", online(bq, bk, u))
