@@ -8,14 +8,17 @@ traffic per layer. This kernel computes attention with the online-softmax
 (flash) recurrence entirely in VMEM: one pass over K/V blocks per Q tile,
 fp32 accumulators, bf16 matmul inputs on the MXU.
 
-Shapes: q,k,v [B, H, L, D]; D is zero-padded to the 128-lane width on the
-host side (padding contributes 0 to q·kᵀ and is sliced off the output).
+Shapes: q,k,v [B, H, L, D]; the sub-128 head dim ships UN-padded — Mosaic
+pads the VMEM tiles. (Round-3 xprof: host-side jnp.pad materialized three
+padded HBM arrays whose pad+copy ops scaled ~4x from CFG batch 8 to 16 —
+the "batch-8 anomaly"; `ADAFACE_FLASH_HOST_PAD=1` restores that arm.)
 Optional additive key bias [B, L] implements the self-attn img_mask
 (`attention.py:223-232`).
 
-Backward: jax.custom_vjp with an einsum-attention recomputation backward —
-training batches run at 64×64 latents where the quadratic term is small;
-the flash path is primarily a sampling-throughput win.
+Backward: real two-pass Pallas backward (parallel dq pass; parallel
+dk/dv/dbias pass) recomputing probabilities from a row log2-sum-exp pass —
+no [L, L] HBM materialization in training either. `ADAFACE_FLASH_BWD=
+einsum` restores the einsum-recomputation arm for A/B.
 """
 
 from __future__ import annotations
@@ -196,7 +199,9 @@ def _reference_attention(q, k, v, bias, scale):
 
 
 def _row_lse_kernel(q_ref, k_ref, bias_ref, lse_ref, *, scale, have_bias):
-    """Row log2-sum-exp of the scaled scores: lse2[q] = m + log2(Σ 2^(s-m))."""
+    """Row log2-sum-exp of the scaled scores: lse2[q] = m + log2(Σ 2^(s-m)).
+    Stats ride a [bh, 1, L] layout — Mosaic requires the last two block
+    dims to be (8k, 128k) or full, which a [bh, L] block (1, bq) is not."""
     q = q_ref[0]
     k = k_ref[0]
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
@@ -205,7 +210,7 @@ def _row_lse_kernel(q_ref, k_ref, bias_ref, lse_ref, *, scale, have_bias):
         s = s + bias_ref[0, 0][None, :] * _LOG2E
     m = jnp.max(s, axis=-1)
     l = jnp.sum(jnp.exp2(s - m[:, None]), axis=-1)
-    lse_ref[0] = m + jnp.log2(l)
+    lse_ref[0, 0] = m + jnp.log2(l)
 
 
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, bias_ref,
@@ -218,10 +223,10 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, bias_ref,
                             preferred_element_type=jnp.float32) * (scale * _LOG2E)
     if have_bias:
         s = s + bias_ref[0, 0][None, :] * _LOG2E
-    p = jnp.exp2(s - lse_ref[0][:, None])          # [bq, lk]
+    p = jnp.exp2(s - lse_ref[0, 0][:, None])       # [bq, lk]
     dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
-    ds = p * (dp - delta_ref[0][:, None])          # [bq, lk] fp32
+    ds = p * (dp - delta_ref[0, 0][:, None])       # [bq, lk] fp32
     dq = jax.lax.dot_general(ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)
     dq_ref[0] = (dq * scale).astype(dq_ref.dtype)
@@ -237,17 +242,17 @@ def _bwd_dkv_kernel(k_ref, v_ref, q_ref, do_ref, lse_ref, delta_ref, bias_ref,
                             preferred_element_type=jnp.float32) * (scale * _LOG2E)
     if have_bias:
         s = s + bias_ref[0, 0][:, None] * _LOG2E   # bias indexed by k
-    p = jnp.exp2(s - lse_ref[0][None, :])          # [bk, lq]
+    p = jnp.exp2(s - lse_ref[0, 0][None, :])       # [bk, lq]
     dv = jax.lax.dot_general(p.astype(do.dtype), do, (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)
     dp = jax.lax.dot_general(vb, do, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
-    ds = p * (dp - delta_ref[0][None, :])          # [bk, lq] fp32
+    ds = p * (dp - delta_ref[0, 0][None, :])       # [bk, lq] fp32
     dk = jax.lax.dot_general(ds.astype(q.dtype), q, (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)
     dk_ref[0] = (dk * scale).astype(dk_ref.dtype)
     dv_ref[0] = dv.astype(dv_ref.dtype)
-    dbias_ref[0] = jnp.sum(ds, axis=-1).astype(dbias_ref.dtype)
+    dbias_ref[0, 0] = jnp.sum(ds, axis=-1).astype(dbias_ref.dtype)
 
 
 def _flash_backward(q, k, v, bias, o, do, scale,
@@ -281,7 +286,8 @@ def _flash_backward(q, k, v, bias, o, do, scale,
     q_full = pl.BlockSpec((1, lq, d), lambda i, j: (i, 0, 0),
                           memory_space=pltpu.VMEM)
 
-    # row statistics (lse2) recomputed in one parallel pass
+    # row statistics (lse2) recomputed in one parallel pass; [bh, 1, L]
+    # layout keeps the block shapes Mosaic-legal
     lse = pl.pallas_call(
         functools.partial(_row_lse_kernel, scale=scale, have_bias=have_bias),
         interpret=interpret, grid=(bh, lq // bq),
@@ -291,12 +297,13 @@ def _flash_backward(q, k, v, bias, o, do, scale,
                          memory_space=pltpu.VMEM),
             kv_full, bias_spec,
         ],
-        out_specs=pl.BlockSpec((1, bq), lambda i, j: (i, j),
+        out_specs=pl.BlockSpec((1, 1, bq), lambda i, j: (i, 0, j),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bh, lq), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((bh, 1, lq), jnp.float32),
     )(q2, k2, bias2)
 
-    delta = jnp.sum(do2.astype(jnp.float32) * o2.astype(jnp.float32), axis=-1)
+    delta = jnp.sum(do2.astype(jnp.float32) * o2.astype(jnp.float32),
+                    axis=-1)[:, None, :]
 
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, scale=scale, have_bias=have_bias),
@@ -308,9 +315,9 @@ def _flash_backward(q, k, v, bias, o, do, scale,
             kv_full, kv_full,
             pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bq), lambda i, j: (i, j),
+            pl.BlockSpec((1, 1, bq), lambda i, j: (i, 0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bq), lambda i, j: (i, j),
+            pl.BlockSpec((1, 1, bq), lambda i, j: (i, 0, j),
                          memory_space=pltpu.VMEM),
             bias_spec,
         ],
@@ -319,7 +326,7 @@ def _flash_backward(q, k, v, bias, o, do, scale,
         out_shape=jax.ShapeDtypeStruct((bh, lq, d), q.dtype),
     )(q2, k2, v2, do2, lse, delta, bias2)
 
-    lse_full = pl.BlockSpec((1, lq), lambda i, j: (i, 0),
+    lse_full = pl.BlockSpec((1, 1, lq), lambda i, j: (i, 0, 0),
                             memory_space=pltpu.VMEM)
     dk, dv, dbias = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, scale=scale, have_bias=have_bias),
@@ -340,13 +347,13 @@ def _flash_backward(q, k, v, bias, o, do, scale,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bk, d), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bk), lambda i, j: (i, j),
+            pl.BlockSpec((1, 1, bk), lambda i, j: (i, 0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bh, lk, d), k.dtype),
             jax.ShapeDtypeStruct((bh, lk, d), v.dtype),
-            jax.ShapeDtypeStruct((bh, lk), jnp.float32),
+            jax.ShapeDtypeStruct((bh, 1, lk), jnp.float32),
         ],
     )(k2, v2, q2, do2, lse, delta, bias2)
 
