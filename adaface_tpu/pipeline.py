@@ -312,6 +312,54 @@ class StableDiffusionPipeline:
         self._sample_cache[sig] = run
         return run
 
+    def _get_fused_fn(self, batch: int, latent_hw: Tuple[int, int],
+                      steps: int, guidance, sampler: str, has_slots: bool):
+        """Single-dispatch generate: prompt/negative encode + DDIM scan +
+        VAE decode in ONE jitted program. Through the remote-TPU tunnel
+        each dispatch costs ~35 ms RTT; the split encode/sample path pays
+        3-4 of them per batch (~2% of the batch-8 operating point)."""
+        sig = ("fused", batch, latent_hw, steps,
+               tuple(guidance) if isinstance(guidance, (tuple, list)) else guidance,
+               sampler, has_slots)
+        if sig in self._sample_cache:
+            return self._sample_cache[sig]
+        sched = make_ddim_schedule(self.base_sched, steps, guidance_scale=guidance)
+
+        @jax.jit
+        def run_full(clip_params, unet_params, vae_params, embedders,
+                     ids, neg_ids, slot_maps, x_T, slot_map):
+            if has_slots:
+                ctx_c = self._encode_device(clip_params, ids, slot_maps,
+                                            embedders)
+            else:
+                ctx_c = self._encode_plain_device(clip_params, ids)
+            ctx_u = self._encode_plain_device(clip_params, neg_ids)
+
+            def unet_apply(x, t, ctx, ctx_k):
+                return self.unet.apply({"params": unet_params}, x, t, ctx,
+                                       context_k=ctx_k,
+                                       subj_slot_map=slot_map)
+
+            eps_fn = make_cfg_eps_fn(unet_apply, ctx_c, ctx_u)
+            if sampler == "plms":
+                g = guidance if not isinstance(guidance, (tuple, list)) \
+                    else guidance[0]
+                z = plms_sample(eps_fn, sched, x_T, guide_scale=g)
+            else:
+                z = ddim_sample(eps_fn, sched, x_T)
+            imgs = self.vae.apply({"params": vae_params},
+                                  z / SD_VAE_SCALE_FACTOR,
+                                  method=AutoencoderKL.decode)
+            return jnp.clip((imgs + 1.0) / 2.0, 0.0, 1.0)
+
+        def run(ids, neg_ids, slot_maps, x_T, slot_map):
+            return run_full(self.clip_params, self.unet_params,
+                            self.vae_params, self.embedding_manager.embedders,
+                            ids, neg_ids, slot_maps, x_T, slot_map)
+
+        self._sample_cache[sig] = run
+        return run
+
     def img2img(
         self,
         init_image: np.ndarray,  # [H, W, 3] uint8
@@ -387,21 +435,12 @@ class StableDiffusionPipeline:
         b = len(prompts)
         f = 2 ** (len(self.vae.cfg.ch_mult) - 1)  # VAE spatial factor (8 for SD)
         lh, lw = height // f, width // f
-        ctx_c = self.encode_prompts(prompts)
-        ctx_u = self.encode_negative(negative_prompt, b)
-        if compel_cfg_weight_level:
-            from adaface_tpu.ops.compel import apply_compel_cfg
-
-            empty = self.encode_negative("", 1)[0]
-            ctx_c = apply_compel_cfg(ctx_c, empty.astype(ctx_c.dtype),
-                                     compel_cfg_weight_level)
         if x_T is None:
             x_T = jax.random.normal(jax.random.PRNGKey(seed),
                                     (b, lh, lw, self.unet.cfg.in_channels),
                                     jnp.float32)
         else:
             x_T = jnp.asarray(x_T, jnp.float32)
-        run = self._get_sampler_fn(b, (lh, lw), num_steps, guidance_scale, sampler)
         # CFG doubles the batch inside make_cfg_eps_fn (cond; uncond): the
         # uncond half carries no subject tokens -> slot -1
         ids = self.tokenizer(list(prompts))
@@ -414,5 +453,26 @@ class StableDiffusionPipeline:
                 np.concatenate([cond_map, np.full_like(cond_map, -1)]))
         else:
             slot_map = jnp.full((2 * b, ids.shape[1]), -1, jnp.int32)
+
+        # common case (no compel, no zero-shot features): everything in one
+        # dispatch — encode + scan + decode
+        if compel_cfg_weight_level == 0 and getattr(self, "_zs", None) is None:
+            neg_ids = self.tokenizer([negative_prompt] * b)
+            run = self._get_fused_fn(b, (lh, lw), num_steps, guidance_scale,
+                                     sampler, has_slots=bool(sm))
+            imgs = run(jnp.asarray(ids), jnp.asarray(neg_ids),
+                       {k: jnp.asarray(v) for k, v in sm.items()},
+                       x_T, slot_map)
+            return np.asarray((imgs * 255).astype(jnp.uint8))
+
+        ctx_c = self.encode_prompts(prompts)
+        ctx_u = self.encode_negative(negative_prompt, b)
+        if compel_cfg_weight_level:
+            from adaface_tpu.ops.compel import apply_compel_cfg
+
+            empty = self.encode_negative("", 1)[0]
+            ctx_c = apply_compel_cfg(ctx_c, empty.astype(ctx_c.dtype),
+                                     compel_cfg_weight_level)
+        run = self._get_sampler_fn(b, (lh, lw), num_steps, guidance_scale, sampler)
         imgs = run(ctx_c, ctx_u, x_T, slot_map)
         return np.asarray((imgs * 255).astype(jnp.uint8))
