@@ -173,8 +173,6 @@ class UNetCrossAttention(nn.Module):
             v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(ctx_v)
         b, lq, _ = q.shape
         lk = k.shape[1]
-        split = lambda t, l: t.reshape(b, l, h, d).transpose(0, 2, 1, 3)
-        qh, kh, vh = split(q, lq), split(k, lk), split(v, lk)
         scale = d ** -0.5
 
         use_conv = (self.conv_attn_ks > 1 and subj_slot_map is not None
@@ -183,14 +181,35 @@ class UNetCrossAttention(nn.Module):
         min_lk = int(_os.environ.get("ADAFACE_FLASH_MIN_LK", "0"))
         if (self.use_flash and not capture and not use_conv
                 and ctx_k.shape[1] >= min_lk):
-            from adaface_tpu.ops.flash_attention import flash_attention
-
             key_bias = None
             if key_mask is not None:
                 key_bias = jnp.where(key_mask, 0.0, -1e30).astype(jnp.float32)
+            if (not is_cross and lq >= 256
+                    and _os.environ.get("ADAFACE_FLASH_PACKED") != "0"):
+                # packed [B, L, H*D] path: the kernel's BlockSpecs lane-slice
+                # heads straight out of the projection GEMM output — no
+                # [B, H, L, D] relayout copies in HBM (round-3 xprof: those
+                # "data formatting" copies were 3.2 ms of a 56 ms B8 forward)
+                from adaface_tpu.ops.flash_attention import (
+                    flash_attention_blc, flash_attention_qkv)
+
+                if not is_cross and self.fuse_qkv:
+                    out = flash_attention_qkv(qkv, h, key_bias=key_bias,
+                                              scale=scale)
+                else:
+                    out = flash_attention_blc(q, k, v, h, key_bias=key_bias,
+                                              scale=scale)
+                return nn.Dense(x.shape[-1], dtype=self.dtype,
+                                name="to_out")(out), None
+            from adaface_tpu.ops.flash_attention import flash_attention
+
+            split = lambda t, l: t.reshape(b, l, h, d).transpose(0, 2, 1, 3)
+            qh, kh, vh = split(q, lq), split(k, lk), split(v, lk)
             oh = flash_attention(qh, kh, vh, key_bias=key_bias, scale=scale)
             out = oh.transpose(0, 2, 1, 3).reshape(b, lq, inner)
             return nn.Dense(x.shape[-1], dtype=self.dtype, name="to_out")(out), None
+        split = lambda t, l: t.reshape(b, l, h, d).transpose(0, 2, 1, 3)
+        qh, kh, vh = split(q, lq), split(k, lk), split(v, lk)
 
         sim = jnp.einsum("bhqd,bhkd->bhqk", qh, kh,
                          preferred_element_type=jnp.float32) * scale

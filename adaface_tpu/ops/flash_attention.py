@@ -419,6 +419,217 @@ def _flash_core_bias_bwd(block_q, block_k, scale, res, g):
 _flash_core_bias.defvjp(_flash_core_bias_fwd, _flash_core_bias_bwd)
 
 
+# ------------------------------------------------- packed [B, L, H*D] layout
+# Round-3 xprof: feeding the kernel [B, H, L, D] forces XLA to materialize
+# layout copies between the qkv GEMM (which writes [B, L, H*D]) and the
+# custom-call ("data formatting" was 3.2 ms of a 56 ms UNet forward at B8).
+# These specs lane-slice each head's [*, D] panel straight out of the packed
+# GEMM output — the head split/merge never touches HBM.
+
+
+def _flash_kernel_heads(q_ref, k_ref, v_ref, bias_ref, o_ref, kh_s, vh_s, *,
+                        heads: int, d: int, block_k: int, scale: float,
+                        have_bias: bool, unroll: int = 8):
+    # q_ref: [1, bq, H*D]; k_ref/v_ref: [1, Lk, H*D]; o_ref: [1, bq, H*D]
+    # where head h's panel sits at lanes h*d. Mosaic TPU rejects lane-dim
+    # BLOCKS of d=40, so the head split happens in VMEM: once per batch row
+    # (TPU grids are sequential, scratch persists across programs) the K/V
+    # panels are restriped into clean per-head [Lk, d] scratch panels; the
+    # per-q-block lane slices of q are cheap. The relayout VPU work mostly
+    # hides under the MXU matmuls.
+    j = pl.program_id(1)
+    lk = k_ref.shape[1]
+    bq = q_ref.shape[1]
+    num_kb = lk // block_k
+    sc = scale * _LOG2E
+
+    @pl.when(j == 0)
+    def _():
+        for hh in range(heads):
+            kh_s[hh] = k_ref[0, :, hh * d:(hh + 1) * d]
+            vh_s[hh] = v_ref[0, :, hh * d:(hh + 1) * d]
+
+    for hh in range(heads):
+        q = q_ref[0, :, hh * d:(hh + 1) * d]
+
+        def one_block(i, acc, m, l):
+            ks = kh_s[hh, pl.ds(i * block_k, block_k), :]
+            vs = vh_s[hh, pl.ds(i * block_k, block_k), :]
+            s = jax.lax.dot_general(q, ks, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32) * sc
+            if have_bias:
+                s = s + bias_ref[0, 0, pl.ds(i * block_k, block_k)][None, :] \
+                    * _LOG2E
+            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+            p = jnp.exp2(s - m_new)
+            corr = jnp.exp2(m - m_new)
+            l_new = l * corr + jnp.sum(p, axis=-1, keepdims=True)
+            acc_new = acc * corr + jax.lax.dot_general(
+                p.astype(vs.dtype), vs, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            return acc_new, m_new, l_new
+
+        def body(i, carry):
+            acc, m, l = carry
+            for u in range(unroll):
+                acc, m, l = one_block(i * unroll + u, acc, m, l)
+            return acc, m, l
+
+        acc0 = jnp.zeros((bq, d), jnp.float32)
+        m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
+        l0 = jnp.zeros((bq, 1), jnp.float32)
+        acc, m, l = jax.lax.fori_loop(0, num_kb // unroll, body,
+                                      (acc0, m0, l0))
+        acc, m, l = jax.lax.fori_loop(
+            (num_kb // unroll) * unroll, num_kb,
+            lambda i, c: one_block(i, *c), (acc, m, l))
+        o_ref[0, :, hh * d:(hh + 1) * d] = (acc / l).astype(o_ref.dtype)
+
+
+def _flash_forward_blc(q, k, v, heads, d, bias, block_q, block_k, scale):
+    """q/k/v: [B, L, H*D] packed arrays. Returns [B, Lq, H*D]."""
+    b, lq = q.shape[0], q.shape[1]
+    lk = k.shape[1]
+    have_bias = bias is not None
+    bias2 = (bias.reshape(b, 1, lk) if have_bias
+             else jnp.zeros((b, 1, 1), jnp.float32))
+    import os
+
+    unroll = int(os.environ.get("ADAFACE_FLASH_PACKED_UNROLL", "8"))
+    kernel = functools.partial(
+        _flash_kernel_heads, heads=heads, d=d, block_k=block_k, scale=scale,
+        have_bias=have_bias, unroll=unroll)
+    interpret = jax.devices()[0].platform != "tpu"
+    par = pltpu.GridDimensionSemantics.PARALLEL
+    arb = pltpu.GridDimensionSemantics.ARBITRARY
+    grid = (b, lq // block_q)
+    w = q.shape[2]
+    out = pl.pallas_call(
+        kernel,
+        interpret=interpret,
+        grid=grid,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=(par, arb),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        in_specs=[
+            pl.BlockSpec((1, block_q, w), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lk, w), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lk, w), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, lk if have_bias else 1), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, heads * d), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, lq, heads * d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((heads, lk, d), q.dtype),
+                        pltpu.VMEM((heads, lk, d), v.dtype)],
+    )(q, k, v, bias2)
+    return out
+
+
+def _blh_to_bhld(t, heads, d):
+    b, l, _ = t.shape
+    return t.reshape(b, l, heads, d).transpose(0, 2, 1, 3)
+
+
+def _bhld_to_blh(t):
+    b, h, l, d = t.shape
+    return t.transpose(0, 2, 1, 3).reshape(b, l, h * d)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def _flash_core_blc3(q, k, v, bias, heads, d, block_q, block_k, scale):
+    return _flash_forward_blc(q, k, v, heads, d, bias, block_q, block_k, scale)
+
+
+def _flash_core_blc3_fwd(q, k, v, bias, heads, d, block_q, block_k, scale):
+    o = _flash_core_blc3(q, k, v, bias, heads, d, block_q, block_k, scale)
+    return o, (q, k, v, bias, o)
+
+
+def _flash_core_blc3_bwd(heads, d, block_q, block_k, scale, res, g):
+    q3, k3, v3, bias, o = res
+    q = _blh_to_bhld(q3, heads, d)
+    k = _blh_to_bhld(k3, heads, d)
+    v = _blh_to_bhld(v3, heads, d)
+    o4 = _blh_to_bhld(o, heads, d)
+    g4 = _blh_to_bhld(g, heads, d)
+    if _use_einsum_bwd():
+        _, vjp = jax.vjp(
+            lambda q, k, v: _reference_attention(q, k, v, bias, scale), q, k, v)
+        dq, dk, dv = vjp(g4)
+        dbias = None if bias is None else jnp.zeros_like(bias)
+    else:
+        dq, dk, dv, dbias_bh = _flash_backward(q, k, v, bias, o4, g4, scale)
+        dbias = None if bias is None else dbias_bh.sum(axis=1)
+    return (_bhld_to_blh(dq), _bhld_to_blh(dk), _bhld_to_blh(dv), dbias)
+
+
+_flash_core_blc3.defvjp(_flash_core_blc3_fwd, _flash_core_blc3_bwd)
+
+
+def _pick_block(block, length):
+    b = min(block, length)
+    while length % b:
+        b //= 2
+    return b
+
+
+def flash_attention_qkv(
+    qkv: jnp.ndarray,  # [B, L, 3*H*D]: q | k | v lane-concatenated
+    num_heads: int,
+    key_bias: Optional[jnp.ndarray] = None,  # [B, L] additive
+    scale: Optional[float] = None,
+    block_q: int = 512,
+    block_k: int = 512,
+    min_pallas_len: int = 256,
+) -> jnp.ndarray:
+    """Self-attention on the fused-QKV GEMM output, packed layout in and out
+    ([B, L, H*D]). The q/k/v thirds are host-sliced (cheap contiguous lane
+    slices) and fed to the head-looping packed kernel."""
+    b, l, w3 = qkv.shape
+    inner = w3 // 3
+    return flash_attention_blc(
+        qkv[..., :inner], qkv[..., inner:2 * inner], qkv[..., 2 * inner:],
+        num_heads, key_bias=key_bias, scale=scale, block_q=block_q,
+        block_k=block_k, min_pallas_len=min_pallas_len)
+
+
+def flash_attention_blc(
+    q: jnp.ndarray,  # [B, Lq, H*D]
+    k: jnp.ndarray,  # [B, Lk, H*D]
+    v: jnp.ndarray,  # [B, Lk, H*D]
+    num_heads: int,
+    key_bias: Optional[jnp.ndarray] = None,  # [B, Lk] additive
+    scale: Optional[float] = None,
+    block_q: int = 512,
+    block_k: int = 512,
+    min_pallas_len: int = 256,
+) -> jnp.ndarray:
+    """Flash attention on packed [B, L, H*D] tensors (no head transpose)."""
+    import os
+
+    b, lq, inner = q.shape
+    lk = k.shape[1]
+    d = inner // num_heads
+    if scale is None:
+        scale = d ** -0.5
+    if lq < min_pallas_len or lk < min_pallas_len:
+        out = _reference_attention(
+            _blh_to_bhld(q, num_heads, d), _blh_to_bhld(k, num_heads, d),
+            _blh_to_bhld(v, num_heads, d), key_bias, scale)
+        return _bhld_to_blh(out)
+    # the head loop is unrolled in the kernel, so its VMEM stack scales with
+    # block_q x block_k; 256/512/u4 fits the 16 MB scoped budget at H8 D40
+    bq = _pick_block(int(os.environ.get("ADAFACE_FLASH_PACKED_BQ", "256")), lq)
+    bk = _pick_block(int(os.environ.get("ADAFACE_FLASH_PACKED_BK", str(block_k))), lk)
+    bias = None if key_bias is None else key_bias.astype(jnp.float32)
+    return _flash_core_blc3(q, k, v, bias, num_heads, d, bq, bk, scale)
+
+
 def flash_attention(
     q: jnp.ndarray,  # [B, H, Lq, D]
     k: jnp.ndarray,  # [B, H, Lk, D]
