@@ -131,6 +131,30 @@ class _ProjKernel(nn.Module):
                           (in_dim, self.features))
 
 
+class _DenseParams(nn.Module):
+    """Dense-compatible kernel+bias params without the matmul (for the fused
+    FF kernel; checkpoint paths identical to nn.Dense)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_dim: int):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (in_dim, self.features))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return k, b
+
+
+class _LayerNormParams(nn.Module):
+    """LayerNorm-compatible scale+bias params (paths match nn.LayerNorm)."""
+
+    @nn.compact
+    def __call__(self, dim: int):
+        s = self.param("scale", nn.initializers.ones, (dim,))
+        b = self.param("bias", nn.initializers.zeros, (dim,))
+        return s, b
+
+
 class UNetCrossAttention(nn.Module):
     """8-head attention; self-attn when ctx_v is None. Mask semantics and
     capture payload match `attention.py:172-257`. Long self-attention runs
@@ -261,6 +285,22 @@ class TransformerBlock(nn.Module):
                                                    subj_slot_map=subj_slot_map,
                                                    infeat_hw=infeat_hw)
         x = x + a2
+        c = x.shape[-1]
+        import os as _os
+
+        if (self.use_flash and not capture
+                and _os.environ.get("ADAFACE_FUSED_FF") == "1"):
+            # one-kernel LN + GEGLU FF + residual (ops/fused_ff.py); params
+            # keep the nn.LayerNorm / nn.Dense checkpoint paths
+            from adaface_tpu.ops.fused_ff import ln_geglu_ff
+
+            ln_s, ln_b = _LayerNormParams(name="norm3")(c)
+            w1, b1 = _DenseParams(c * 8, name="ff_in")(c)       # GEGLU: 2*4x
+            w2, b2 = _DenseParams(c, name="ff_out")(c * 4)
+            y = ln_geglu_ff(x, ln_s, ln_b,
+                            w1.astype(self.dtype), b1.astype(self.dtype),
+                            w2.astype(self.dtype), b2.astype(self.dtype))
+            return y, aux
         y = ln("norm3")(x)
         y = nn.Dense(x.shape[-1] * 8, dtype=self.dtype, name="ff_in")(y)  # GEGLU: 2*4x
         y = geglu(y)
