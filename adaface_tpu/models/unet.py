@@ -208,7 +208,9 @@ class UNetCrossAttention(nn.Module):
             key_bias = None
             if key_mask is not None:
                 key_bias = jnp.where(key_mask, 0.0, -1e30).astype(jnp.float32)
-            if (not is_cross and lq >= 256
+            packed_min_l = int(_os.environ.get("ADAFACE_FLASH_PACKED_MIN_L",
+                                               "256"))
+            if (not is_cross and lq >= packed_min_l
                     and _os.environ.get("ADAFACE_FLASH_PACKED") != "0"):
                 # packed [B, L, H*D] path: the kernel's BlockSpecs lane-slice
                 # heads straight out of the projection GEMM output — no

@@ -59,7 +59,16 @@ def group_norm(
     for dd in x.shape[1:-1]:
         n_spatial *= dd
     n_per_group = n_spatial * (c // g)
-    xf = x.astype(jnp.float32)
+    import os as _os
+
+    if _os.environ.get("ADAFACE_GN_BARRIER") == "1":
+        # A/B knob: keep the stats reduction OUT of the producer conv's
+        # fusion (xprof r3: convs with fused stats epilogues run at 62-85%
+        # of roofline) at the cost of one extra HBM read of the slab
+        xs = jax.lax.optimization_barrier(x)
+    else:
+        xs = x
+    xf = xs.astype(jnp.float32)
     s1 = jnp.sum(xf, axis=red)          # [B, C]
     s2 = jnp.sum(xf * xf, axis=red)     # [B, C]
     gs1 = s1.reshape(b, g, c // g).sum(-1)
