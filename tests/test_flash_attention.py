@@ -95,3 +95,117 @@ def test_flash_backward_no_bias_matches_einsum_arm(rng, monkeypatch):
     for a, b_, name in zip(g_pallas, g_einsum, "q k v".split()):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    atol=3e-4, rtol=1e-3, err_msg=name)
+
+
+# ---------------------------------------------------------- packed layout
+def _split_heads(t, h):
+    b, l, w = t.shape
+    d = w // h
+    return t.reshape(b, l, h, d).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(t):
+    b, h, l, d = t.shape
+    return t.transpose(0, 2, 1, 3).reshape(b, l, h * d)
+
+
+@pytest.mark.parametrize("l,heads,d", [(256, 8, 40), (512, 8, 80), (512, 4, 160)])
+def test_packed_blc_matches_reference(rng, l, heads, d):
+    from adaface_tpu.ops.flash_attention import flash_attention_blc
+
+    b = 2
+    q = jnp.asarray(rng.standard_normal((b, l, heads * d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, l, heads * d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, l, heads * d)).astype(np.float32))
+    out = flash_attention_blc(q, k, v, heads)
+    ref = _merge_heads(_reference_attention(
+        _split_heads(q, heads), _split_heads(k, heads), _split_heads(v, heads),
+        None, d ** -0.5))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_packed_qkv_fused_input(rng):
+    from adaface_tpu.ops.flash_attention import flash_attention_qkv
+
+    b, l, heads, d = 2, 256, 8, 40
+    inner = heads * d
+    qkv = jnp.asarray(rng.standard_normal((b, l, 3 * inner)).astype(np.float32))
+    out = flash_attention_qkv(qkv, heads)
+    q, k, v = (qkv[..., :inner], qkv[..., inner:2 * inner], qkv[..., 2 * inner:])
+    ref = _merge_heads(_reference_attention(
+        _split_heads(q, heads), _split_heads(k, heads), _split_heads(v, heads),
+        None, d ** -0.5))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_packed_key_bias(rng):
+    from adaface_tpu.ops.flash_attention import flash_attention_blc
+
+    b, l, heads, d = 2, 256, 8, 40
+    q = jnp.asarray(rng.standard_normal((b, l, heads * d)).astype(np.float32))
+    keep = rng.random((b, l)) > 0.3
+    bias = jnp.where(jnp.asarray(keep), 0.0, -1e30).astype(jnp.float32)
+    out = flash_attention_blc(q, q, q, heads, key_bias=bias)
+    qh = _split_heads(q, heads)
+    ref = _merge_heads(_reference_attention(qh, qh, qh, bias, d ** -0.5))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_packed_grad_matches_reference(rng):
+    from adaface_tpu.ops.flash_attention import flash_attention_blc
+
+    b, l, heads, d = 1, 256, 4, 40
+    q = jnp.asarray(rng.standard_normal((b, l, heads * d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, l, heads * d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, l, heads * d)).astype(np.float32))
+
+    def f_pack(q, k, v):
+        return (flash_attention_blc(q, k, v, heads) ** 2).sum()
+
+    def f_ref(q, k, v):
+        o = _merge_heads(_reference_attention(
+            _split_heads(q, heads), _split_heads(k, heads),
+            _split_heads(v, heads), None, d ** -0.5))
+        return (o ** 2).sum()
+
+    g1 = jax.grad(f_pack, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=3e-4)
+
+
+def test_maxfree_guarded_parity(rng, monkeypatch):
+    """ADAFACE_FLASH_MAXFREE=0 (guarded online recurrence) must agree with
+    the max-free default on LN-scale inputs."""
+    from adaface_tpu.ops.flash_attention import flash_attention_blc
+
+    b, l, heads, d = 1, 256, 4, 40
+    q = jnp.asarray(rng.standard_normal((b, l, heads * d)).astype(np.float32))
+    out_free = flash_attention_blc(q, q, q, heads)
+    monkeypatch.setenv("ADAFACE_FLASH_MAXFREE", "0")
+    out_guard = flash_attention_blc(q, q, q, heads)
+    np.testing.assert_allclose(np.asarray(out_free), np.asarray(out_guard),
+                               atol=2e-5)
+
+
+def test_fused_ff_parity(rng, monkeypatch):
+    from adaface_tpu.ops.fused_ff import ln_geglu_ff, _reference_ln_geglu_ff
+
+    b, l, c = 2, 256, 64
+    x = jnp.asarray(rng.standard_normal((b, l, c)).astype(np.float32))
+    g = jnp.asarray(1 + 0.1 * rng.standard_normal(c).astype(np.float32))
+    be = jnp.asarray(0.1 * rng.standard_normal(c).astype(np.float32))
+    w1 = jnp.asarray(0.05 * rng.standard_normal((c, 8 * c)).astype(np.float32))
+    b1 = jnp.asarray(0.01 * rng.standard_normal(8 * c).astype(np.float32))
+    w2 = jnp.asarray(0.05 * rng.standard_normal((4 * c, c)).astype(np.float32))
+    b2 = jnp.asarray(0.01 * rng.standard_normal(c).astype(np.float32))
+    ref = _reference_ln_geglu_ff(x, g, be, w1, b1, w2, b2, 1e-5)
+    monkeypatch.setenv("ADAFACE_FUSED_FF", "1")
+    out = ln_geglu_ff(x, g, be, w1, b1, w2, b2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+    grads = jax.grad(lambda *a: (ln_geglu_ff(*a) ** 2).sum(),
+                     argnums=(0, 3, 5))(x, g, be, w1, b1, w2, b2)
+    grads_ref = jax.grad(lambda *a: (_reference_ln_geglu_ff(*a, 1e-5) ** 2).sum(),
+                         argnums=(0, 3, 5))(x, g, be, w1, b1, w2, b2)
+    for a, b_ in zip(grads, grads_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=3e-4)
