@@ -655,10 +655,12 @@ def flash_attention_blc(
             _blh_to_bhld(q, num_heads, d), _blh_to_bhld(k, num_heads, d),
             _blh_to_bhld(v, num_heads, d), key_bias, scale)
         return _bhld_to_blh(out)
-    # the head loop is unrolled in the kernel, so its VMEM stack scales with
-    # block_q x block_k; 256/512/u4 fits the 16 MB scoped budget at H8 D40
+    # bq 256 / bk full-panel measured best with the max-free softmax (no
+    # recurrence work, so one k-block per head wins: 2.97 vs 3.03 ms at
+    # B8 H8 L4096 D40; the kernel raises the scoped-vmem limit to fit the
+    # [bq, Lk] fp32 score panel)
     bq = _pick_block(int(os.environ.get("ADAFACE_FLASH_PACKED_BQ", "256")), lq)
-    bk = _pick_block(int(os.environ.get("ADAFACE_FLASH_PACKED_BK", str(block_k))), lk)
+    bk = _pick_block(int(os.environ.get("ADAFACE_FLASH_PACKED_BK", "4096")), lk)
     bias = None if key_bias is None else key_bias.astype(jnp.float32)
     return _flash_core_blc3(q, k, v, bias, num_heads, d, bq, bk, scale)
 
