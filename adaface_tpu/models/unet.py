@@ -320,12 +320,30 @@ class SpatialTransformer(nn.Module):
     @nn.compact
     def __call__(self, x, ctx_v, ctx_k, img_mask=None, capture=False,
                  subj_slot_map=None):
+        import os as _os
+
         b, hh, ww, c = x.shape
         head_dim = c // self.num_heads
+        # on-chip A/B: dead even (48.52 vs 48.48 ms B8) — XLA's layout
+        # assignment was not the bottleneck here; kept as an A/B arm
+        proj_dense = _os.environ.get("ADAFACE_PROJ_DENSE") == "1"
         h = group_norm(x, self.param("norm_scale", nn.initializers.ones, (c,)),
                        self.param("norm_bias", nn.initializers.zeros, (c,)), 32, 1e-6)
-        h = _conv(c, kernel=1, padding=0, name="proj_in", dtype=self.dtype)(h)
-        h = h.reshape(b, hh * ww, c)
+        if proj_dense:
+            # apply the 1x1 proj convs as matmuls on the flattened [B, L, C]
+            # stream: identical math, but keeps the transformer interior a
+            # pure dot-chain so XLA's layout assignment doesn't thread the
+            # NHWC conv layouts ({1,2,0} token-minor copies) through it
+            from adaface_tpu.ops.subpixel import make_conv_params_module
+
+            k_in, b_in = make_conv_params_module()(c, kernel_size=1,
+                                                   name="proj_in")(c)
+            h = h.reshape(b, hh * ww, c)
+            h = (h @ k_in.reshape(c, c).astype(self.dtype)
+                 + b_in.astype(self.dtype))
+        else:
+            h = _conv(c, kernel=1, padding=0, name="proj_in", dtype=self.dtype)(h)
+            h = h.reshape(b, hh * ww, c)
         key_mask = None
         if img_mask is not None:
             key_mask = _nearest_resize_mask(img_mask, hh, ww).reshape(b, hh * ww) > 0
@@ -336,6 +354,14 @@ class SpatialTransformer(nn.Module):
                                                   capture,
                                                   subj_slot_map=subj_slot_map,
                                                   infeat_hw=(hh, ww))
+        if proj_dense:
+            from adaface_tpu.ops.subpixel import make_conv_params_module
+
+            k_out, b_out = make_conv_params_module()(
+                c, kernel_size=1, zero_init=True, name="proj_out")(c)
+            h = (h @ k_out.reshape(c, c).astype(self.dtype)
+                 + b_out.astype(self.dtype))
+            return x + h.reshape(b, hh, ww, c), aux
         h = h.reshape(b, hh, ww, c)
         h = _conv(c, kernel=1, padding=0, name="proj_out", dtype=self.dtype,
                   zero_init=True)(h)

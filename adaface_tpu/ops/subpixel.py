@@ -71,10 +71,13 @@ def make_conv_params_module():
     class _ConvParams(nn.Module):
         features: int
         kernel_size: int = 3
+        zero_init: bool = False
 
         @nn.compact
         def __call__(self, in_ch: int):
-            k = self.param("kernel", nn.initializers.lecun_normal(),
+            kinit = (nn.initializers.zeros if self.zero_init
+                     else nn.initializers.lecun_normal())
+            k = self.param("kernel", kinit,
                            (self.kernel_size, self.kernel_size, in_ch,
                             self.features))
             b = self.param("bias", nn.initializers.zeros, (self.features,))
