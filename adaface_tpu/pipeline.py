@@ -325,9 +325,18 @@ class StableDiffusionPipeline:
             return self._sample_cache[sig]
         sched = make_ddim_schedule(self.base_sched, steps, guidance_scale=guidance)
 
+        lh, lw = latent_hw
+        in_ch = self.unet.cfg.in_channels
+
         @jax.jit
         def run_full(clip_params, unet_params, vae_params, embedders,
-                     ids, neg_ids, slot_maps, x_T, slot_map):
+                     ids, neg_ids, slot_maps, seed, slot_map):
+            # x_T from the seed ON DEVICE (identical stream to the host-side
+            # jax.random.normal it replaces) and uint8 conversion in the same
+            # program: one dispatch in, one 4x-smaller uint8 readback out —
+            # each host<->device leg costs ~35 ms RTT through the tunnel.
+            x_T = jax.random.normal(jax.random.PRNGKey(seed),
+                                    (batch, lh, lw, in_ch), jnp.float32)
             if has_slots:
                 ctx_c = self._encode_device(clip_params, ids, slot_maps,
                                             embedders)
@@ -350,12 +359,13 @@ class StableDiffusionPipeline:
             imgs = self.vae.apply({"params": vae_params},
                                   z / SD_VAE_SCALE_FACTOR,
                                   method=AutoencoderKL.decode)
-            return jnp.clip((imgs + 1.0) / 2.0, 0.0, 1.0)
+            imgs = jnp.clip((imgs + 1.0) / 2.0, 0.0, 1.0)
+            return (imgs * 255).astype(jnp.uint8)
 
-        def run(ids, neg_ids, slot_maps, x_T, slot_map):
+        def run(ids, neg_ids, slot_maps, seed, slot_map):
             return run_full(self.clip_params, self.unet_params,
                             self.vae_params, self.embedding_manager.embedders,
-                            ids, neg_ids, slot_maps, x_T, slot_map)
+                            ids, neg_ids, slot_maps, seed, slot_map)
 
         self._sample_cache[sig] = run
         return run
@@ -435,11 +445,8 @@ class StableDiffusionPipeline:
         b = len(prompts)
         f = 2 ** (len(self.vae.cfg.ch_mult) - 1)  # VAE spatial factor (8 for SD)
         lh, lw = height // f, width // f
-        if x_T is None:
-            x_T = jax.random.normal(jax.random.PRNGKey(seed),
-                                    (b, lh, lw, self.unet.cfg.in_channels),
-                                    jnp.float32)
-        else:
+        x_T_given = x_T is not None
+        if x_T_given:
             x_T = jnp.asarray(x_T, jnp.float32)
         # CFG doubles the batch inside make_cfg_eps_fn (cond; uncond): the
         # uncond half carries no subject tokens -> slot -1
@@ -454,17 +461,23 @@ class StableDiffusionPipeline:
         else:
             slot_map = jnp.full((2 * b, ids.shape[1]), -1, jnp.int32)
 
-        # common case (no compel, no zero-shot features): everything in one
-        # dispatch — encode + scan + decode
-        if compel_cfg_weight_level == 0 and getattr(self, "_zs", None) is None:
+        # common case (no compel, no zero-shot features, seed-generated
+        # noise): everything in one dispatch — noise + encode + scan +
+        # decode + uint8, one compact readback
+        if (compel_cfg_weight_level == 0 and getattr(self, "_zs", None) is None
+                and not x_T_given):
             neg_ids = self.tokenizer([negative_prompt] * b)
             run = self._get_fused_fn(b, (lh, lw), num_steps, guidance_scale,
                                      sampler, has_slots=bool(sm))
             imgs = run(jnp.asarray(ids), jnp.asarray(neg_ids),
                        {k: jnp.asarray(v) for k, v in sm.items()},
-                       x_T, slot_map)
-            return np.asarray((imgs * 255).astype(jnp.uint8))
+                       jnp.asarray(seed, jnp.uint32), slot_map)
+            return np.asarray(imgs)
 
+        if not x_T_given:
+            x_T = jax.random.normal(jax.random.PRNGKey(seed),
+                                    (b, lh, lw, self.unet.cfg.in_channels),
+                                    jnp.float32)
         ctx_c = self.encode_prompts(prompts)
         ctx_u = self.encode_negative(negative_prompt, b)
         if compel_cfg_weight_level:
