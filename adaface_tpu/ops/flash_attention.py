@@ -519,6 +519,40 @@ def _flash_kernel_heads(q_ref, k_ref, v_ref, bias_ref, o_ref, kh_s, vh_s, *,
         o_ref[0, :, hh * d:(hh + 1) * d] = (acc / l).astype(o_ref.dtype)
 
 
+def _flash_kernel_heads_pvt(q_ref, k_ref, v_ref, bias_ref, o_ref, kh_s, vt_s,
+                            *, heads: int, d: int, scale: float,
+                            have_bias: bool):
+    # Transposed-PV variant (max-free only). The straight PV matmul
+    # p[bq, lk] @ v[lk, d] pads its d=40 OUTPUT lanes to the 128-lane MXU
+    # (3.2x waste); computing o^T = v^T[d, lk] @ p^T[lk, bq] instead puts
+    # the large dims on the padded axes (K=lk contraction, N=bq lanes) and
+    # streams d on the 8-sublane-granular M axis — NO padding. Kernel MXU
+    # ideal drops from 2.79 to 1.83 ms (B8 H8 L4096 D40); measured 3.05 ->
+    # 2.18 ms. Scores are computed transposed ([lk, bq]) from the start, so
+    # softmax reduces over sublanes and the division rides the [1, bq] row.
+    j = pl.program_id(1)
+    sc = scale * _LOG2E
+
+    @pl.when(j == 0)
+    def _():
+        for hh in range(heads):
+            kh_s[hh] = k_ref[0, :, hh * d:(hh + 1) * d]
+            vt_s[hh] = v_ref[0, :, hh * d:(hh + 1) * d].T
+
+    for hh in range(heads):
+        qT = q_ref[0, :, hh * d:(hh + 1) * d].T           # [d, bq]
+        s = jax.lax.dot_general(kh_s[hh], qT, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32) * sc
+        if have_bias:
+            s = s + bias_ref[0, 0][:, None] * _LOG2E      # bias over k rows
+        p = jnp.exp2(s)                                   # [lk, bq]
+        l = jnp.sum(p, axis=0, keepdims=True)             # [1, bq]
+        oT = jax.lax.dot_general(vt_s[hh], p.astype(q_ref.dtype),
+                                 (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        o_ref[0, :, hh * d:(hh + 1) * d] = ((oT / l).T).astype(o_ref.dtype)
+
+
 def _flash_forward_blc(q, k, v, heads, d, bias, block_q, block_k, scale):
     """q/k/v: [B, L, H*D] packed arrays. Returns [B, Lq, H*D]."""
     b, lq = q.shape[0], q.shape[1]
@@ -528,10 +562,17 @@ def _flash_forward_blc(q, k, v, heads, d, bias, block_q, block_k, scale):
              else jnp.zeros((b, 1, 1), jnp.float32))
     import os
 
+    maxfree = os.environ.get("ADAFACE_FLASH_MAXFREE") != "0"
+    use_pvt = maxfree and os.environ.get("ADAFACE_FLASH_PVT") != "0"
     unroll = int(os.environ.get("ADAFACE_FLASH_PACKED_UNROLL", "8"))
-    kernel = functools.partial(
-        _flash_kernel_heads, heads=heads, d=d, block_k=block_k, scale=scale,
-        have_bias=have_bias, unroll=unroll)
+    if use_pvt:
+        kernel = functools.partial(
+            _flash_kernel_heads_pvt, heads=heads, d=d, scale=scale,
+            have_bias=have_bias)
+    else:
+        kernel = functools.partial(
+            _flash_kernel_heads, heads=heads, d=d, block_k=block_k,
+            scale=scale, have_bias=have_bias, unroll=unroll)
     interpret = jax.devices()[0].platform != "tpu"
     par = pltpu.GridDimensionSemantics.PARALLEL
     arb = pltpu.GridDimensionSemantics.ARBITRARY
@@ -558,7 +599,8 @@ def _flash_forward_blc(q, k, v, heads, d, bias, block_q, block_k, scale):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, lq, heads * d), q.dtype),
         scratch_shapes=[pltpu.VMEM((heads, lk, d), q.dtype),
-                        pltpu.VMEM((heads, lk, d), v.dtype)],
+                        pltpu.VMEM((heads, d, lk) if use_pvt
+                                   else (heads, lk, d), v.dtype)],
     )(q, k, v, bias2)
     return out
 
@@ -655,11 +697,14 @@ def flash_attention_blc(
             _blh_to_bhld(q, num_heads, d), _blh_to_bhld(k, num_heads, d),
             _blh_to_bhld(v, num_heads, d), key_bias, scale)
         return _bhld_to_blh(out)
-    # bq 256 / bk full-panel measured best with the max-free softmax (no
-    # recurrence work, so one k-block per head wins: 2.97 vs 3.03 ms at
-    # B8 H8 L4096 D40; the kernel raises the scoped-vmem limit to fit the
-    # [bq, Lk] fp32 score panel)
-    bq = _pick_block(int(os.environ.get("ADAFACE_FLASH_PACKED_BQ", "256")), lq)
+    # Full-panel k blocks with the max-free softmax (no recurrence work, so
+    # one k-block per head wins); the kernel raises the scoped-vmem limit
+    # to fit the [Lk, bq] fp32 score panel. bq 512 measured best for the
+    # transposed-PV kernel (2.18 ms vs 3.59 at bq 256), 256 for the others.
+    pvt = (os.environ.get("ADAFACE_FLASH_MAXFREE") != "0"
+           and os.environ.get("ADAFACE_FLASH_PVT") != "0")
+    bq_default = "512" if pvt else "256"
+    bq = _pick_block(int(os.environ.get("ADAFACE_FLASH_PACKED_BQ", bq_default)), lq)
     bk = _pick_block(int(os.environ.get("ADAFACE_FLASH_PACKED_BK", "4096")), lk)
     bias = None if key_bias is None else key_bias.astype(jnp.float32)
     return _flash_core_blc3(q, k, v, bias, num_heads, d, bq, bk, scale)
