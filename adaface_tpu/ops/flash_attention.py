@@ -700,10 +700,12 @@ def flash_attention_blc(
     # Full-panel k blocks with the max-free softmax (no recurrence work, so
     # one k-block per head wins); the kernel raises the scoped-vmem limit
     # to fit the [Lk, bq] fp32 score panel. bq 512 measured best for the
-    # transposed-PV kernel (2.18 ms vs 3.59 at bq 256), 256 for the others.
+    # transposed-PV kernel at L4096 (4.39 ms vs 5.23 at bq 1024, B16 D40),
+    # 256 for the others; at Lq <= 1024 the full-panel q block wins too
+    # (0.395 vs 0.444 ms at L1024 D80 — scripts/perf_r3_pvt_sweep.py).
     pvt = (os.environ.get("ADAFACE_FLASH_MAXFREE") != "0"
            and os.environ.get("ADAFACE_FLASH_PVT") != "0")
-    bq_default = "512" if pvt else "256"
+    bq_default = ("1024" if lq <= 1024 else "512") if pvt else "256"
     bq = _pick_block(int(os.environ.get("ADAFACE_FLASH_PACKED_BQ", bq_default)), lq)
     bk = _pick_block(int(os.environ.get("ADAFACE_FLASH_PACKED_BK", "4096")), lk)
     bias = None if key_bias is None else key_bias.astype(jnp.float32)

@@ -71,9 +71,15 @@ def analyze(outdir, n):
              for p in events if p.get("ph") == "M" and p.get("name") == "process_name"}
     best, best_dur = None, 0
     for key, evs in by_track.items():
-        d = sum(e.get("dur", 0) for e in evs)
         label = names.get(key[0], "")
-        if "TPU" in label or "Tensor" in label or d > best_dur:
+        if "TPU" not in label and "Tensor" not in label:
+            continue  # host/python tracks are denser but not what we want
+        d = sum(e.get("dur", 0) for e in evs)
+        if d > best_dur:
+            best, best_dur = key, d
+    if best is None:  # fall back to densest track
+        for key, evs in by_track.items():
+            d = sum(e.get("dur", 0) for e in evs)
             if d > best_dur:
                 best, best_dur = key, d
     evs = by_track[best]
