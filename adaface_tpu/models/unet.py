@@ -271,6 +271,12 @@ class TransformerBlock(nn.Module):
     use_flash: bool = True
     conv_attn_ks: int = -1
     fuse_qkv: bool = True
+    # CFG stem dedup: the (cond, uncond) halves of a CFG batch share the
+    # same latents and timestep, so everything BEFORE the first
+    # cross-attention computes the same values twice. With cfg_tile the
+    # block runs self-attention at batch B and tiles the residual stream
+    # to 2B right before attn2 (whose context is already [2B, T, D]).
+    cfg_tile: bool = False
 
     @nn.compact
     def __call__(self, x, ctx_v, ctx_k, key_mask, capture=False,
@@ -280,6 +286,8 @@ class TransformerBlock(nn.Module):
                                    self.use_flash, fuse_qkv=self.fuse_qkv,
                                    name="attn1")(ln("norm1")(x), key_mask=key_mask)
         x = x + a1
+        if self.cfg_tile:
+            x = jnp.concatenate([x, x], axis=0)
         a2, aux = UNetCrossAttention(self.num_heads, self.head_dim, self.dtype,
                                      self.use_flash, self.conv_attn_ks,
                                      name="attn2")(ln("norm2")(x), ctx_v, ctx_k,
@@ -316,6 +324,7 @@ class SpatialTransformer(nn.Module):
     use_flash: bool = True
     conv_attn_ks: int = -1
     fuse_qkv: bool = True
+    cfg_tile: bool = False  # see TransformerBlock.cfg_tile
 
     @nn.compact
     def __call__(self, x, ctx_v, ctx_k, img_mask=None, capture=False,
@@ -350,10 +359,14 @@ class SpatialTransformer(nn.Module):
         h, aux = TransformerBlock(self.num_heads, head_dim, self.dtype,
                                   self.use_flash, self.conv_attn_ks,
                                   fuse_qkv=self.fuse_qkv,
+                                  cfg_tile=self.cfg_tile,
                                   name="block_0")(h, ctx_v, ctx_k, key_mask,
                                                   capture,
                                                   subj_slot_map=subj_slot_map,
                                                   infeat_hw=(hh, ww))
+        if self.cfg_tile:  # block returned 2B; tile the residual to match
+            x = jnp.concatenate([x, x], axis=0)
+            b = x.shape[0]
         if proj_dense:
             from adaface_tpu.ops.subpixel import make_conv_params_module
 
@@ -412,11 +425,27 @@ class UNetModel(nn.Module):
         img_mask: Optional[jnp.ndarray] = None,  # [B, H0, W0, 1]
         capture: bool = False,
         subj_slot_map: Optional[jnp.ndarray] = None,  # [B, T] for conv attn
+        cfg_dedup: bool = False,
     ):
         """Returns eps prediction [B, H, W, out_channels]; with capture=True
-        also a dict layer_idx -> {q, attn, attnscore, outfeat}."""
+        also a dict layer_idx -> {q, attn, attnscore, outfeat}.
+
+        cfg_dedup (inference-only): x/timesteps arrive at batch B while
+        context is [L, 2B, T, D] — the (cond, uncond) CFG halves share
+        latents and timestep, so the stem (conv_in, first ResBlock, first
+        self-attention) runs once at B and the stream is tiled to 2B right
+        before the first cross-attention. Bit-identical to calling with the
+        doubled batch (every stem op is batch-elementwise); saves ~the
+        stem's cost per CFG step."""
         c = self.cfg
         ch0 = c.model_channels
+        if cfg_dedup:
+            if capture or img_mask is not None:
+                raise ValueError("cfg_dedup is inference-only (no capture/"
+                                 "img_mask support)")
+            if 0 not in c.attention_levels:
+                raise ValueError("cfg_dedup needs an attention block at "
+                                 "level 0 to tile at")
 
         t_emb = timestep_embedding(timesteps, ch0).astype(self.dtype)
         emb = nn.Dense(ch0 * 4, dtype=self.dtype, name="time_embed_0")(t_emb)
@@ -453,6 +482,7 @@ class UNetModel(nn.Module):
                 cls = nn.remat(SpatialTransformer, static_argnums=(5,))
             st = cls(c.num_heads, self.dtype,
                      c.use_flash_attention, ks, fuse_qkv=c.fuse_qkv,
+                     cfg_tile=cfg_dedup and layer_idx == 1,
                      name=name)
             h, aux = st(h, cv, ck, img_mask, do_cap,
                         subj_slot_map=subj_slot_map)
@@ -472,6 +502,11 @@ class UNetModel(nn.Module):
                 h = ResBlock(out_ch, self.dtype, name=f"down_{level}_res_{blk}")(h, emb)
                 if level in c.attention_levels:
                     h = spatial(layer_idx, h, f"down_{level}_attn_{blk}")
+                if cfg_dedup and layer_idx == 1:
+                    # the first spatial tiled the stream to 2B; everything
+                    # computed at B so far follows it
+                    emb = jnp.concatenate([emb, emb], axis=0)
+                    hs = [jnp.concatenate([e, e], axis=0) for e in hs]
                 hs.append(h)
                 layer_idx += 1
             if level != len(c.channel_mult) - 1:

@@ -30,6 +30,16 @@ from adaface_tpu.ops.schedule import (
 from adaface_tpu.personalization.embedding_manager import EmbeddingManager
 from adaface_tpu.samplers import ddim_sample, plms_sample, make_cfg_eps_fn
 
+
+def _cfg_dedup_on() -> bool:
+    """CFG stem dedup (UNetModel cfg_dedup): run the UNet stem once for the
+    identical (cond, uncond) latents and tile before the first cross-attn.
+    Bit-identical outputs; ADAFACE_CFG_DEDUP=0 reverts to the doubled-batch
+    stem for A/B."""
+    import os
+
+    return os.environ.get("ADAFACE_CFG_DEDUP") != "0"
+
 # The predefined negative prompt of `stable_txt2img.py:349-352`.
 DEFAULT_NEGATIVE_PROMPT = (
     "duplicate faces, deformed, distorted, disfigured, poorly drawn, bad anatomy, "
@@ -287,14 +297,17 @@ class StableDiffusionPipeline:
             return self._sample_cache[sig]
         sched = make_ddim_schedule(self.base_sched, steps, guidance_scale=guidance)
 
+        dedup = _cfg_dedup_on()
+
         @jax.jit
         def run_impl(unet_params, vae_params, ctx_c, ctx_u, x_T, slot_map):
             def unet_apply(x, t, ctx, ctx_k):
                 return self.unet.apply({"params": unet_params}, x, t, ctx,
                                        context_k=ctx_k,
-                                       subj_slot_map=slot_map)
+                                       subj_slot_map=slot_map,
+                                       cfg_dedup=dedup)
 
-            eps_fn = make_cfg_eps_fn(unet_apply, ctx_c, ctx_u)
+            eps_fn = make_cfg_eps_fn(unet_apply, ctx_c, ctx_u, dedup=dedup)
             if sampler == "plms":
                 g = guidance if not isinstance(guidance, (tuple, list)) else guidance[0]
                 z = plms_sample(eps_fn, sched, x_T, guide_scale=g)
@@ -327,6 +340,7 @@ class StableDiffusionPipeline:
 
         lh, lw = latent_hw
         in_ch = self.unet.cfg.in_channels
+        dedup = _cfg_dedup_on()
 
         @jax.jit
         def run_full(clip_params, unet_params, vae_params, embedders,
@@ -347,9 +361,10 @@ class StableDiffusionPipeline:
             def unet_apply(x, t, ctx, ctx_k):
                 return self.unet.apply({"params": unet_params}, x, t, ctx,
                                        context_k=ctx_k,
-                                       subj_slot_map=slot_map)
+                                       subj_slot_map=slot_map,
+                                       cfg_dedup=dedup)
 
-            eps_fn = make_cfg_eps_fn(unet_apply, ctx_c, ctx_u)
+            eps_fn = make_cfg_eps_fn(unet_apply, ctx_c, ctx_u, dedup=dedup)
             if sampler == "plms":
                 g = guidance if not isinstance(guidance, (tuple, list)) \
                     else guidance[0]
@@ -406,11 +421,13 @@ class StableDiffusionPipeline:
             z_t = stochastic_encode(self.base_sched, z0, t,
                                     jax.random.normal(key, z0.shape))
 
+            dedup = _cfg_dedup_on()
+
             def unet_apply(x, tt, c, ck):
                 return self.unet.apply({"params": unet_params}, x, tt, c,
-                                       context_k=ck)
+                                       context_k=ck, cfg_dedup=dedup)
 
-            eps_fn = make_cfg_eps_fn(unet_apply, ctx_c, ctx_u)
+            eps_fn = make_cfg_eps_fn(unet_apply, ctx_c, ctx_u, dedup=dedup)
             z = ddim_decode(eps_fn, sched, z_t, start_idx, guide_scale=g)
             out = self.vae.apply({"params": vae_params},
                                  z / SD_VAE_SCALE_FACTOR,

@@ -32,10 +32,15 @@ def make_cfg_eps_fn(
     context_uncond: jnp.ndarray,
     context_k_cond: Optional[jnp.ndarray] = None,
     context_k_uncond: Optional[jnp.ndarray] = None,
+    dedup: bool = False,
 ) -> EpsFn:
     """Wrap a UNet apply into a CFG eps function. `apply_fn(x, t, ctx_v,
     ctx_k)` -> eps. Batches (cond, uncond) into one call like the reference
-    (`ddim.py:228-253`): e = e_u + g * (e_c - e_u)."""
+    (`ddim.py:228-253`): e = e_u + g * (e_c - e_u).
+
+    dedup: apply_fn runs the UNet with `cfg_dedup=True` — x/t are passed at
+    batch B (the model tiles to 2B after its shared stem) while the
+    contexts are still concatenated to 2B here."""
     cc = context_cond if context_cond.ndim == 4 else context_cond[None]
     cu = context_uncond if context_uncond.ndim == 4 else context_uncond[None]
     ctx = jnp.concatenate([cc, jnp.broadcast_to(cu, cc.shape)], axis=1)
@@ -47,9 +52,12 @@ def make_cfg_eps_fn(
         ctx_k = jnp.concatenate([kc, jnp.broadcast_to(ku, kc.shape)], axis=1)
 
     def eps_fn(x, t, guide_scale):
-        x2 = jnp.concatenate([x, x], axis=0)
-        t2 = jnp.concatenate([t, t], axis=0)
-        eps2 = apply_fn(x2, t2, ctx, ctx_k)
+        if dedup:
+            eps2 = apply_fn(x, t, ctx, ctx_k)
+        else:
+            x2 = jnp.concatenate([x, x], axis=0)
+            t2 = jnp.concatenate([t, t], axis=0)
+            eps2 = apply_fn(x2, t2, ctx, ctx_k)
         e_c, e_u = jnp.split(eps2, 2, axis=0)
         return e_u + guide_scale * (e_c - e_u)
 
