@@ -227,6 +227,18 @@ class UNetCrossAttention(nn.Module):
                                               scale=scale)
                 return nn.Dense(x.shape[-1], dtype=self.dtype,
                                 name="to_out")(out), None
+            if (is_cross and lq >= packed_min_l
+                    and _os.environ.get("ADAFACE_FLASH_PACKED") != "0"):
+                # cross-attention: q/k/v are already packed [B, L, H*D] GEMM
+                # outputs; the short-Lk panel path inside flash_attention_blc
+                # keeps the [B, H, Lq, 77] score slab out of HBM (xprof: the
+                # einsum path's softmax+PV cost ~0.5 ms/layer at 64x64).
+                from adaface_tpu.ops.flash_attention import flash_attention_blc
+
+                out = flash_attention_blc(q, k, v, h, key_bias=key_bias,
+                                          scale=scale)
+                return nn.Dense(x.shape[-1], dtype=self.dtype,
+                                name="to_out")(out), None
             from adaface_tpu.ops.flash_attention import flash_attention
 
             split = lambda t, l: t.reshape(b, l, h, d).transpose(0, 2, 1, 3)

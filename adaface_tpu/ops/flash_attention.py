@@ -519,6 +519,39 @@ def _flash_kernel_heads(q_ref, k_ref, v_ref, bias_ref, o_ref, kh_s, vh_s, *,
         o_ref[0, :, hh * d:(hh + 1) * d] = (acc / l).astype(o_ref.dtype)
 
 
+def _flash_kernel_heads_short(q_ref, k_ref, v_ref, bias_ref, o_ref, kt_s, vh_s,
+                              *, heads: int, d: int, scale: float,
+                              have_bias: bool):
+    # Short-Lk (cross-attention) variant: the whole K/V panel is one block
+    # (Lk <= 256, padded to 128 lanes), so there is no online-softmax
+    # recurrence and — unlike the PVT kernel — no reason to transpose q:
+    # with lk on the LANE axis both GEMMs have clean outputs
+    # (s[bq, lk], o[bq, d]) and only the d=40 contraction pays MXU K-pad.
+    # The PVT kernel's per-head [bq, d] -> [d, bq] q transposes dominate at
+    # tiny Lk (731 us vs ~300 us at B16 L4096 Lk128 D40, xprof r3).
+    j = pl.program_id(1)
+    sc = scale * _LOG2E
+
+    @pl.when(j == 0)
+    def _():
+        for hh in range(heads):
+            kt_s[hh] = k_ref[0, :, hh * d:(hh + 1) * d].T   # [d, lk]
+            vh_s[hh] = v_ref[0, :, hh * d:(hh + 1) * d]     # [lk, d]
+
+    for hh in range(heads):
+        qh = q_ref[0, :, hh * d:(hh + 1) * d]               # [bq, d]
+        s = jax.lax.dot_general(qh, kt_s[hh], (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32) * sc
+        if have_bias:
+            s = s + bias_ref[0, 0][None, :] * _LOG2E        # bias over lanes
+        p = jnp.exp2(s)                                     # [bq, lk]
+        l = jnp.sum(p, axis=1, keepdims=True)               # [bq, 1]
+        o = jax.lax.dot_general(p.astype(q_ref.dtype), vh_s[hh],
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        o_ref[0, :, hh * d:(hh + 1) * d] = (o / l).astype(o_ref.dtype)
+
+
 def _flash_kernel_heads_pvt(q_ref, k_ref, v_ref, bias_ref, o_ref, kh_s, vt_s,
                             *, heads: int, d: int, scale: float,
                             have_bias: bool):
@@ -564,8 +597,14 @@ def _flash_forward_blc(q, k, v, heads, d, bias, block_q, block_k, scale):
 
     maxfree = os.environ.get("ADAFACE_FLASH_MAXFREE") != "0"
     use_pvt = maxfree and os.environ.get("ADAFACE_FLASH_PVT") != "0"
+    use_short = (maxfree and lk <= 256
+                 and os.environ.get("ADAFACE_FLASH_SHORT") != "0")
     unroll = int(os.environ.get("ADAFACE_FLASH_PACKED_UNROLL", "8"))
-    if use_pvt:
+    if use_short:
+        kernel = functools.partial(
+            _flash_kernel_heads_short, heads=heads, d=d, scale=scale,
+            have_bias=have_bias)
+    elif use_pvt:
         kernel = functools.partial(
             _flash_kernel_heads_pvt, heads=heads, d=d, scale=scale,
             have_bias=have_bias)
@@ -598,8 +637,9 @@ def _flash_forward_blc(q, k, v, heads, d, bias, block_q, block_k, scale):
         out_specs=pl.BlockSpec((1, block_q, heads * d), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, lq, heads * d), q.dtype),
-        scratch_shapes=[pltpu.VMEM((heads, lk, d), q.dtype),
-                        pltpu.VMEM((heads, d, lk) if use_pvt
+        scratch_shapes=[pltpu.VMEM((heads, d, lk) if use_short
+                                   else (heads, lk, d), q.dtype),
+                        pltpu.VMEM((heads, d, lk) if use_pvt and not use_short
                                    else (heads, lk, d), v.dtype)],
     )(q, k, v, bias2)
     return out
@@ -692,11 +732,27 @@ def flash_attention_blc(
     d = inner // num_heads
     if scale is None:
         scale = d ** -0.5
-    if lq < min_pallas_len or lk < min_pallas_len:
+    # Short-Lk (cross-attention, Lk=77): the whole K/V panel is ONE kernel
+    # block, so the online-softmax recurrence degenerates away and the
+    # kernel is a single q@kT / softmax / pV pass per q block that never
+    # round-trips the [B, H, Lq, Lk] score slab through HBM (the einsum
+    # path's softmax alone is memory-bound on that slab). Keys are padded
+    # to the 128-lane panel; pad rows are killed with a -1e30 key bias.
+    short_lk = lk < min_pallas_len
+    if lq < min_pallas_len or (
+            short_lk and os.environ.get("ADAFACE_FLASH_CROSS") == "0"):
         out = _reference_attention(
             _blh_to_bhld(q, num_heads, d), _blh_to_bhld(k, num_heads, d),
             _blh_to_bhld(v, num_heads, d), key_bias, scale)
         return _bhld_to_blh(out)
+    if short_lk:
+        lkp = ((lk + 127) // 128) * 128
+        kb = (key_bias.astype(jnp.float32) if key_bias is not None
+              else jnp.zeros((b, lk), jnp.float32))
+        key_bias = jnp.pad(kb, [(0, 0), (0, lkp - lk)],
+                           constant_values=-1e30)
+        pz = [(0, 0), (0, lkp - lk), (0, 0)]
+        k, v, lk = jnp.pad(k, pz), jnp.pad(v, pz), lkp
     # Full-panel k blocks with the max-free softmax (no recurrence work, so
     # one k-block per head wins); the kernel raises the scoped-vmem limit
     # to fit the [Lk, bq] fp32 score panel. bq 512 measured best for the
@@ -706,6 +762,11 @@ def flash_attention_blc(
     pvt = (os.environ.get("ADAFACE_FLASH_MAXFREE") != "0"
            and os.environ.get("ADAFACE_FLASH_PVT") != "0")
     bq_default = ("1024" if lq <= 1024 else "512") if pvt else "256"
+    if lk <= 256:
+        # single-K-panel (short-Lk) kernel: no recurrence, and per-program
+        # overhead dominates — the full q panel wins (0.550 vs 0.767 ms at
+        # bq 512, B16 Lq4096 Lk77 D40)
+        bq_default = str(lq)
     bq = _pick_block(int(os.environ.get("ADAFACE_FLASH_PACKED_BQ", bq_default)), lq)
     bk = _pick_block(int(os.environ.get("ADAFACE_FLASH_PACKED_BK", "4096")), lk)
     bias = None if key_bias is None else key_bias.astype(jnp.float32)

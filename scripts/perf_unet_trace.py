@@ -20,22 +20,28 @@ sys.path.insert(0, ".")
 from scripts.perf_micro import _zeros_params  # noqa: E402
 
 
-def run(batch=8, outdir="/tmp/unet_trace", n=10):
+def run(batch=8, outdir="/tmp/unet_trace", n=10, dedup=False):
     from adaface_tpu.models.unet import NUM_CA_LAYERS, UNetConfig, UNetModel
 
     cfg = UNetConfig.sd_v1(use_flash_attention=True)
     model = UNetModel(cfg, jnp.bfloat16)
     x = jax.random.normal(jax.random.PRNGKey(1), (batch, 64, 64, 4), jnp.bfloat16)
     t = jnp.full((batch,), 500, jnp.int32)
+    cb = 2 * batch if dedup else batch  # dedup: ctx carries the CFG pair
     ctx = jax.random.normal(jax.random.PRNGKey(2),
-                            (NUM_CA_LAYERS, batch, 77, 768), jnp.bfloat16)
-    shapes = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0), x, t, ctx))
+                            (NUM_CA_LAYERS, cb, 77, 768), jnp.bfloat16)
+    shapes = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0), x, t, ctx,
+                                               cfg_dedup=dedup))
     params = _zeros_params(shapes, jnp.bfloat16)["params"]
 
     @jax.jit
     def chained(x, params, t, ctx):
         def body(h, _):
-            return model.apply({"params": params}, h, t, ctx).astype(h.dtype), None
+            out = model.apply({"params": params}, h, t, ctx, cfg_dedup=dedup)
+            if dedup:  # fold the 2B eps back to B like the CFG combine
+                e_c, e_u = jnp.split(out, 2, axis=0)
+                out = e_u + 5.0 * (e_c - e_u)
+            return out.astype(h.dtype), None
         h, _ = jax.lax.scan(body, x, None, length=n)
         return h.astype(jnp.float32).sum()
 
@@ -100,7 +106,9 @@ def analyze(outdir, n):
 
 
 if __name__ == "__main__":
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/unet_trace"
+    argv = [a for a in sys.argv[1:] if a != "--dedup"]
+    dedup = "--dedup" in sys.argv[1:]
+    batch = int(argv[0]) if len(argv) > 0 else 8
+    outdir = argv[1] if len(argv) > 1 else "/tmp/unet_trace"
     print(f"devices: {jax.devices()}", flush=True)
-    run(batch, outdir)
+    run(batch, outdir, dedup=dedup)

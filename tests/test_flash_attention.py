@@ -209,3 +209,46 @@ def test_fused_ff_parity(rng, monkeypatch):
                          argnums=(0, 3, 5))(x, g, be, w1, b1, w2, b2)
     for a, b_ in zip(grads, grads_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=3e-4)
+
+
+@pytest.mark.parametrize("lk", [77, 100, 128])
+def test_packed_short_lk_cross(rng, lk):
+    # cross-attention shape: Lk=77 keys padded to the 128-lane panel inside
+    # flash_attention_blc (pad rows killed by a -1e30 key bias)
+    from adaface_tpu.ops.flash_attention import flash_attention_blc
+
+    b, lq, heads, d = 2, 512, 8, 40
+    q = jnp.asarray(rng.standard_normal((b, lq, heads * d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, lk, heads * d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, lk, heads * d)).astype(np.float32))
+    out = flash_attention_blc(q, k, v, heads)
+    ref = _merge_heads(_reference_attention(
+        _split_heads(q, heads), _split_heads(k, heads), _split_heads(v, heads),
+        None, d ** -0.5))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_packed_short_lk_cross_bias_and_grad(rng):
+    from adaface_tpu.ops.flash_attention import flash_attention_blc
+
+    b, lq, lk, heads, d = 1, 256, 77, 4, 40
+    q = jnp.asarray(rng.standard_normal((b, lq, heads * d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, lk, heads * d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, lk, heads * d)).astype(np.float32))
+    keep = rng.random((b, lk)) > 0.3
+    bias = jnp.where(jnp.asarray(keep), 0.0, -1e30).astype(jnp.float32)
+    out = flash_attention_blc(q, k, v, heads, key_bias=bias)
+    qh, kh, vh = (_split_heads(t, heads) for t in (q, k, v))
+    ref = _merge_heads(_reference_attention(qh, kh, vh, bias, d ** -0.5))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    loss = lambda q, k, v: flash_attention_blc(q, k, v, heads).sum()
+    ref_loss = lambda q, k, v: _merge_heads(_reference_attention(
+        _split_heads(q, heads), _split_heads(k, heads), _split_heads(v, heads),
+        None, d ** -0.5)).sum()
+    gq, gk, gv = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    rq, rk, rv = jax.grad(ref_loss, argnums=(0, 1, 2))(q, k, v)
+    assert gk.shape == k.shape and gv.shape == v.shape  # pad sliced back
+    np.testing.assert_allclose(np.asarray(gq), np.asarray(rq), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(rk), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(gv), np.asarray(rv), atol=3e-5)
