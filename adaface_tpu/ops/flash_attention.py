@@ -735,12 +735,16 @@ def flash_attention_blc(
     # Short-Lk (cross-attention, Lk=77): the whole K/V panel is ONE kernel
     # block, so the online-softmax recurrence degenerates away and the
     # kernel is a single q@kT / softmax / pV pass per q block that never
-    # round-trips the [B, H, Lq, Lk] score slab through HBM (the einsum
-    # path's softmax alone is memory-bound on that slab). Keys are padded
-    # to the 128-lane panel; pad rows are killed with a -1e30 key bias.
+    # round-trips the [B, H, Lq, Lk] score slab through HBM. Default OFF:
+    # it wins standalone (attn2 5.3 -> 3.5 ms in the chained-UNet trace)
+    # but LOSES end-to-end (bench A/B: 1.579 vs 1.673 img/s, UNet 96.8 vs
+    # 91.2 ms/call) — inside the full DDIM program XLA fuses the einsum
+    # path's softmax/PV into the surrounding projections, and the opaque
+    # custom-call forces layout copies it can't. ADAFACE_FLASH_CROSS=1
+    # opts in for A/B.
     short_lk = lk < min_pallas_len
     if lq < min_pallas_len or (
-            short_lk and os.environ.get("ADAFACE_FLASH_CROSS") == "0"):
+            short_lk and os.environ.get("ADAFACE_FLASH_CROSS") != "1"):
         out = _reference_attention(
             _blh_to_bhld(q, num_heads, d), _blh_to_bhld(k, num_heads, d),
             _blh_to_bhld(v, num_heads, d), key_bias, scale)

@@ -212,9 +212,11 @@ def test_fused_ff_parity(rng, monkeypatch):
 
 
 @pytest.mark.parametrize("lk", [77, 100, 128])
-def test_packed_short_lk_cross(rng, lk):
+def test_packed_short_lk_cross(rng, lk, monkeypatch):
     # cross-attention shape: Lk=77 keys padded to the 128-lane panel inside
-    # flash_attention_blc (pad rows killed by a -1e30 key bias)
+    # flash_attention_blc (pad rows killed by a -1e30 key bias). The kernel
+    # defaults OFF (end-to-end bench regression); opt in to test it.
+    monkeypatch.setenv("ADAFACE_FLASH_CROSS", "1")
     from adaface_tpu.ops.flash_attention import flash_attention_blc
 
     b, lq, heads, d = 2, 512, 8, 40
@@ -228,7 +230,8 @@ def test_packed_short_lk_cross(rng, lk):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
-def test_packed_short_lk_cross_bias_and_grad(rng):
+def test_packed_short_lk_cross_bias_and_grad(rng, monkeypatch):
+    monkeypatch.setenv("ADAFACE_FLASH_CROSS", "1")
     from adaface_tpu.ops.flash_attention import flash_attention_blc
 
     b, lq, lk, heads, d = 1, 256, 77, 4, 40
