@@ -40,6 +40,15 @@ def _cfg_dedup_on() -> bool:
 
     return os.environ.get("ADAFACE_CFG_DEDUP") != "0"
 
+
+def _cross_kv_on() -> bool:
+    """Hoist the loop-invariant cross-attention K/V projections out of the
+    sampling scan (`models.unet.precompute_cross_kv`). Numerically identical
+    (same bf16 GEMMs, computed once); ADAFACE_CROSS_KV=0 reverts for A/B."""
+    import os
+
+    return os.environ.get("ADAFACE_CROSS_KV") != "0"
+
 # The predefined negative prompt of `stable_txt2img.py:349-352`.
 DEFAULT_NEGATIVE_PROMPT = (
     "duplicate faces, deformed, distorted, disfigured, poorly drawn, bad anatomy, "
@@ -287,6 +296,16 @@ class StableDiffusionPipeline:
         ids = self.tokenizer([prompt] * batch)
         return self._encode_plain_jit(self.clip_params, jnp.asarray(ids))
 
+    def _make_kv_fn(self, unet_params):
+        """kv_fn for make_cfg_eps_fn: precompute the loop-invariant
+        cross-attention K/V projections once, outside the sampling scan."""
+        if not _cross_kv_on():
+            return None
+        from adaface_tpu.models.unet import precompute_cross_kv
+
+        return lambda ctx, ctx_k: precompute_cross_kv(
+            unet_params, self.unet.cfg, ctx, ctx_k, dtype=self.unet.dtype)
+
     # ------------------------------------------------------------- sampling
     def _get_sampler_fn(self, batch: int, latent_hw: Tuple[int, int], steps: int,
                         guidance, sampler: str):
@@ -301,13 +320,14 @@ class StableDiffusionPipeline:
 
         @jax.jit
         def run_impl(unet_params, vae_params, ctx_c, ctx_u, x_T, slot_map):
-            def unet_apply(x, t, ctx, ctx_k):
+            def unet_apply(x, t, ctx, ctx_k, cross_kv=None):
                 return self.unet.apply({"params": unet_params}, x, t, ctx,
                                        context_k=ctx_k,
                                        subj_slot_map=slot_map,
-                                       cfg_dedup=dedup)
+                                       cfg_dedup=dedup, cross_kv=cross_kv)
 
-            eps_fn = make_cfg_eps_fn(unet_apply, ctx_c, ctx_u, dedup=dedup)
+            eps_fn = make_cfg_eps_fn(unet_apply, ctx_c, ctx_u, dedup=dedup,
+                                     kv_fn=self._make_kv_fn(unet_params))
             if sampler == "plms":
                 g = guidance if not isinstance(guidance, (tuple, list)) else guidance[0]
                 z = plms_sample(eps_fn, sched, x_T, guide_scale=g)
@@ -325,13 +345,17 @@ class StableDiffusionPipeline:
         self._sample_cache[sig] = run
         return run
 
-    def _get_fused_fn(self, batch: int, latent_hw: Tuple[int, int],
+    def _get_fused_fn(self, batch: int, n_uniq: int, latent_hw: Tuple[int, int],
                       steps: int, guidance, sampler: str, has_slots: bool):
         """Single-dispatch generate: prompt/negative encode + DDIM scan +
         VAE decode in ONE jitted program. Through the remote-TPU tunnel
         each dispatch costs ~35 ms RTT; the split encode/sample path pays
-        3-4 of them per batch (~2% of the batch-8 operating point)."""
-        sig = ("fused", batch, latent_hw, steps,
+        3-4 of them per batch (~2% of the batch-8 operating point).
+
+        The encode runs on `n_uniq` deduplicated prompt rows (gathered back
+        to `batch` by `gather`); the negative prompt encodes ONCE and
+        broadcasts."""
+        sig = ("fused", batch, n_uniq, latent_hw, steps,
                tuple(guidance) if isinstance(guidance, (tuple, list)) else guidance,
                sampler, has_slots)
         if sig in self._sample_cache:
@@ -344,7 +368,7 @@ class StableDiffusionPipeline:
 
         @jax.jit
         def run_full(clip_params, unet_params, vae_params, embedders,
-                     ids, neg_ids, slot_maps, seed, slot_map):
+                     ids, neg_ids, slot_maps, gather, seed, slot_map):
             # x_T from the seed ON DEVICE (identical stream to the host-side
             # jax.random.normal it replaces) and uint8 conversion in the same
             # program: one dispatch in, one 4x-smaller uint8 readback out —
@@ -356,15 +380,20 @@ class StableDiffusionPipeline:
                                             embedders)
             else:
                 ctx_c = self._encode_plain_device(clip_params, ids)
+            if n_uniq != batch:
+                ctx_c = ctx_c[:, gather]
             ctx_u = self._encode_plain_device(clip_params, neg_ids)
+            ctx_u = jnp.broadcast_to(ctx_u, ctx_u.shape[:1] + (batch,)
+                                     + ctx_u.shape[2:])
 
-            def unet_apply(x, t, ctx, ctx_k):
+            def unet_apply(x, t, ctx, ctx_k, cross_kv=None):
                 return self.unet.apply({"params": unet_params}, x, t, ctx,
                                        context_k=ctx_k,
                                        subj_slot_map=slot_map,
-                                       cfg_dedup=dedup)
+                                       cfg_dedup=dedup, cross_kv=cross_kv)
 
-            eps_fn = make_cfg_eps_fn(unet_apply, ctx_c, ctx_u, dedup=dedup)
+            eps_fn = make_cfg_eps_fn(unet_apply, ctx_c, ctx_u, dedup=dedup,
+                                     kv_fn=self._make_kv_fn(unet_params))
             if sampler == "plms":
                 g = guidance if not isinstance(guidance, (tuple, list)) \
                     else guidance[0]
@@ -377,10 +406,10 @@ class StableDiffusionPipeline:
             imgs = jnp.clip((imgs + 1.0) / 2.0, 0.0, 1.0)
             return (imgs * 255).astype(jnp.uint8)
 
-        def run(ids, neg_ids, slot_maps, seed, slot_map):
+        def run(ids, neg_ids, slot_maps, gather, seed, slot_map):
             return run_full(self.clip_params, self.unet_params,
                             self.vae_params, self.embedding_manager.embedders,
-                            ids, neg_ids, slot_maps, seed, slot_map)
+                            ids, neg_ids, slot_maps, gather, seed, slot_map)
 
         self._sample_cache[sig] = run
         return run
@@ -423,11 +452,13 @@ class StableDiffusionPipeline:
 
             dedup = _cfg_dedup_on()
 
-            def unet_apply(x, tt, c, ck):
+            def unet_apply(x, tt, c, ck, cross_kv=None):
                 return self.unet.apply({"params": unet_params}, x, tt, c,
-                                       context_k=ck, cfg_dedup=dedup)
+                                       context_k=ck, cfg_dedup=dedup,
+                                       cross_kv=cross_kv)
 
-            eps_fn = make_cfg_eps_fn(unet_apply, ctx_c, ctx_u, dedup=dedup)
+            eps_fn = make_cfg_eps_fn(unet_apply, ctx_c, ctx_u, dedup=dedup,
+                                     kv_fn=self._make_kv_fn(unet_params))
             z = ddim_decode(eps_fn, sched, z_t, start_idx, guide_scale=g)
             out = self.vae.apply({"params": vae_params},
                                  z / SD_VAE_SCALE_FACTOR,
@@ -483,11 +514,30 @@ class StableDiffusionPipeline:
         # decode + uint8, one compact readback
         if (compel_cfg_weight_level == 0 and getattr(self, "_zs", None) is None
                 and not x_T_given):
-            neg_ids = self.tokenizer([negative_prompt] * b)
-            run = self._get_fused_fn(b, (lh, lw), num_steps, guidance_scale,
-                                     sampler, has_slots=bool(sm))
-            imgs = run(jnp.asarray(ids), jnp.asarray(neg_ids),
-                       {k: jnp.asarray(v) for k, v in sm.items()},
+            # Dedup identical prompt rows before the CLIP encode: the
+            # layerwise context batch is L*B CLIP rows (128 at batch 8), so
+            # repeated prompts — the common serving batch — pay L*U instead.
+            # Unique key = token row + every slot-map row (a placeholder at
+            # a different position must encode separately).
+            ids_np = np.asarray(ids)
+            sm_np = {k: np.asarray(v) for k, v in sm.items()}
+            row_key = {}
+            first_idx, gather = [], []
+            for i in range(b):
+                kr = (ids_np[i].tobytes(),
+                      tuple(m[i].tobytes() for m in sm_np.values()))
+                if kr not in row_key:
+                    row_key[kr] = len(first_idx)
+                    first_idx.append(i)
+                gather.append(row_key[kr])
+            uniq_ids = ids_np[first_idx]
+            uniq_sm = {k: jnp.asarray(v[first_idx]) for k, v in sm_np.items()}
+            neg_ids = self.tokenizer([negative_prompt])  # 1 row, broadcast
+            run = self._get_fused_fn(b, len(first_idx), (lh, lw), num_steps,
+                                     guidance_scale, sampler,
+                                     has_slots=bool(sm))
+            imgs = run(jnp.asarray(uniq_ids), jnp.asarray(neg_ids), uniq_sm,
+                       jnp.asarray(np.asarray(gather, np.int32)),
                        jnp.asarray(seed, jnp.uint32), slot_map)
             return np.asarray(imgs)
 

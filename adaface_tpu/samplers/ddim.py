@@ -33,6 +33,7 @@ def make_cfg_eps_fn(
     context_k_cond: Optional[jnp.ndarray] = None,
     context_k_uncond: Optional[jnp.ndarray] = None,
     dedup: bool = False,
+    kv_fn: Optional[Callable] = None,
 ) -> EpsFn:
     """Wrap a UNet apply into a CFG eps function. `apply_fn(x, t, ctx_v,
     ctx_k)` -> eps. Batches (cond, uncond) into one call like the reference
@@ -40,7 +41,11 @@ def make_cfg_eps_fn(
 
     dedup: apply_fn runs the UNet with `cfg_dedup=True` — x/t are passed at
     batch B (the model tiles to 2B after its shared stem) while the
-    contexts are still concatenated to 2B here."""
+    contexts are still concatenated to 2B here.
+
+    kv_fn(ctx, ctx_k): optional hoist of the loop-invariant cross-attention
+    K/V projections (see `models.unet.precompute_cross_kv`); its result is
+    passed to apply_fn as a 5th argument, computed once outside the scan."""
     cc = context_cond if context_cond.ndim == 4 else context_cond[None]
     cu = context_uncond if context_uncond.ndim == 4 else context_uncond[None]
     ctx = jnp.concatenate([cc, jnp.broadcast_to(cu, cc.shape)], axis=1)
@@ -51,13 +56,15 @@ def make_cfg_eps_fn(
         ku = ku if ku.ndim == 4 else ku[None]
         ctx_k = jnp.concatenate([kc, jnp.broadcast_to(ku, kc.shape)], axis=1)
 
+    extra = (kv_fn(ctx, ctx_k),) if kv_fn is not None else ()
+
     def eps_fn(x, t, guide_scale):
         if dedup:
-            eps2 = apply_fn(x, t, ctx, ctx_k)
+            eps2 = apply_fn(x, t, ctx, ctx_k, *extra)
         else:
             x2 = jnp.concatenate([x, x], axis=0)
             t2 = jnp.concatenate([t, t], axis=0)
-            eps2 = apply_fn(x2, t2, ctx, ctx_k)
+            eps2 = apply_fn(x2, t2, ctx, ctx_k, *extra)
         e_c, e_u = jnp.split(eps2, 2, axis=0)
         return e_u + guide_scale * (e_c - e_u)
 

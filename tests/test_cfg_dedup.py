@@ -92,3 +92,15 @@ def test_sampler_dedup_eps_matches():
     e_dedup = make_cfg_eps_fn(apply_dedup, cc, cu, dedup=True)(x, t, 5.0)
     np.testing.assert_allclose(np.asarray(e_dedup), np.asarray(e_naive),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_cross_kv_cache_with_dedup(unet_and_params):
+    """Hoisted cross-attn K/V (precompute_cross_kv) is identical to in-loop
+    projection, composed with cfg_dedup (the sampling fast path)."""
+    from adaface_tpu.models.unet import precompute_cross_kv
+
+    model, params, x, t, ctx = unet_and_params
+    kvs = precompute_cross_kv(params["params"], CFG, ctx, dtype=jnp.float32)
+    base = model.apply(params, x, t, ctx, cfg_dedup=True)
+    cached = model.apply(params, x, t, ctx, cfg_dedup=True, cross_kv=kvs)
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(cached))

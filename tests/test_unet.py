@@ -213,3 +213,35 @@ def test_unet_conv_attn_forward():
     # subject rows replaced, non-subject rows identical
     assert np.abs(sc[..., 3] - sp[..., 3]).max() > 1e-7
     np.testing.assert_array_equal(sc[..., 0], sp[..., 0])
+
+
+def test_cross_kv_cache_parity(rng):
+    """precompute_cross_kv + cross_kv= must be numerically IDENTICAL to the
+    in-loop to_k/to_v Dense projections (same GEMMs, hoisted)."""
+    from adaface_tpu.models.unet import ca_layer_module_names, precompute_cross_kv
+
+    model = UNetModel(CFG)
+    x = jnp.asarray(rng.standard_normal((B, HW, HW, 4)), jnp.float32)
+    t = jnp.array([321] * B, jnp.int32)
+    ctx = jnp.asarray(rng.standard_normal((16, B, T, CFG.context_dim)),
+                      jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x, t, ctx)["params"]
+
+    names = ca_layer_module_names(CFG)
+    assert sorted(names) == sorted(
+        [1, 2, 4, 5, 7, 8, 12, 16, 17, 18, 19, 20, 21, 22, 23, 24])
+    assert all(n in params for n in names.values())
+
+    kvs = precompute_cross_kv(params, CFG, ctx, dtype=jnp.float32)
+    assert len(kvs) == 16 and all(kv is not None for kv in kvs)
+    base = model.apply({"params": params}, x, t, ctx)
+    cached = model.apply({"params": params}, x, t, ctx, cross_kv=kvs)
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(cached))
+
+    # separate K-context (mix_hijk compositional path)
+    ctx_k = jnp.asarray(rng.standard_normal(ctx.shape), jnp.float32)
+    kvs2 = precompute_cross_kv(params, CFG, ctx, ctx_k, dtype=jnp.float32)
+    base2 = model.apply({"params": params}, x, t, ctx, context_k=ctx_k)
+    cached2 = model.apply({"params": params}, x, t, ctx, context_k=ctx_k,
+                          cross_kv=kvs2)
+    np.testing.assert_array_equal(np.asarray(base2), np.asarray(cached2))
