@@ -586,6 +586,39 @@ def _flash_kernel_heads_pvt(q_ref, k_ref, v_ref, bias_ref, o_ref, kh_s, vt_s,
         o_ref[0, :, hh * d:(hh + 1) * d] = ((oT / l).T).astype(o_ref.dtype)
 
 
+def _flash_kernel_heads_pvt2(q_ref, k_ref, v_ref, bias_ref, o_ref, kh_s, vt_s,
+                             ot_s, *, heads: int, d: int, scale: float,
+                             have_bias: bool):
+    # PVT with BATCHED head transposes: the per-head q/o transposes of the
+    # base PVT kernel move [bq, 40]-lane slices — each vreg row is 2/3 pad
+    # at d=40 < the 128-lane tile. Transposing the whole packed panel once
+    # ([bq, H*D] -> [H*D, bq]) runs on full 128-lane tiles; per-head work
+    # then slices SUBLANES (d=40 = 5 x 8-row granules, exactly aligned).
+    j = pl.program_id(1)
+    sc = scale * _LOG2E
+
+    @pl.when(j == 0)
+    def _():
+        for hh in range(heads):
+            kh_s[hh] = k_ref[0, :, hh * d:(hh + 1) * d]
+            vt_s[hh] = v_ref[0, :, hh * d:(hh + 1) * d].T
+
+    qT = q_ref[0].T                                       # [H*D, bq], one shot
+    for hh in range(heads):
+        s = jax.lax.dot_general(kh_s[hh], qT[hh * d:(hh + 1) * d],
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32) * sc
+        if have_bias:
+            s = s + bias_ref[0, 0][:, None] * _LOG2E
+        p = jnp.exp2(s)                                   # [lk, bq]
+        l = jnp.sum(p, axis=0, keepdims=True)             # [1, bq]
+        oT = jax.lax.dot_general(vt_s[hh], p.astype(q_ref.dtype),
+                                 (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ot_s[hh * d:(hh + 1) * d] = (oT / l).astype(ot_s.dtype)
+    o_ref[0] = ot_s[...].T                                # one shot back
+
+
 def _flash_forward_blc(q, k, v, heads, d, bias, block_q, block_k, scale):
     """q/k/v: [B, L, H*D] packed arrays. Returns [B, Lq, H*D]."""
     b, lq = q.shape[0], q.shape[1]
@@ -597,12 +630,23 @@ def _flash_forward_blc(q, k, v, heads, d, bias, block_q, block_k, scale):
 
     maxfree = os.environ.get("ADAFACE_FLASH_MAXFREE") != "0"
     use_pvt = maxfree and os.environ.get("ADAFACE_FLASH_PVT") != "0"
+    # pvt2 (batched head transposes) wins only where the per-head transpose
+    # overhead is large relative to the GEMMs: on-chip sweep (bit-exact
+    # parity): L256/D160 0.187 -> 0.117 ms, but L4096/D40 4.458 -> 4.568
+    # and L1024/D80 0.276 -> 0.315 (exp2+GEMM-bound; the extra scratch
+    # write loses). Default: small panels only.
+    pvt2_env = os.environ.get("ADAFACE_FLASH_PVT2")
+    pvt2 = (lq <= 256) if pvt2_env is None else pvt2_env == "1"
     use_short = (maxfree and lk <= 256
                  and os.environ.get("ADAFACE_FLASH_SHORT") != "0")
     unroll = int(os.environ.get("ADAFACE_FLASH_PACKED_UNROLL", "8"))
     if use_short:
         kernel = functools.partial(
             _flash_kernel_heads_short, heads=heads, d=d, scale=scale,
+            have_bias=have_bias)
+    elif use_pvt and pvt2:
+        kernel = functools.partial(
+            _flash_kernel_heads_pvt2, heads=heads, d=d, scale=scale,
             have_bias=have_bias)
     elif use_pvt:
         kernel = functools.partial(
@@ -640,7 +684,9 @@ def _flash_forward_blc(q, k, v, heads, d, bias, block_q, block_k, scale):
         scratch_shapes=[pltpu.VMEM((heads, d, lk) if use_short
                                    else (heads, lk, d), q.dtype),
                         pltpu.VMEM((heads, d, lk) if use_pvt and not use_short
-                                   else (heads, lk, d), v.dtype)],
+                                   else (heads, lk, d), v.dtype)]
+        + ([pltpu.VMEM((heads * d, block_q), q.dtype)]
+           if use_pvt and pvt2 and not use_short else []),
     )(q, k, v, bias2)
     return out
 

@@ -255,3 +255,21 @@ def test_packed_short_lk_cross_bias_and_grad(rng, monkeypatch):
     np.testing.assert_allclose(np.asarray(gq), np.asarray(rq), atol=3e-5)
     np.testing.assert_allclose(np.asarray(gk), np.asarray(rk), atol=3e-5)
     np.testing.assert_allclose(np.asarray(gv), np.asarray(rv), atol=3e-5)
+
+
+@pytest.mark.parametrize("pvt2", ["0", "1"])
+def test_packed_pvt2_parity(rng, monkeypatch, pvt2):
+    # batched-head-transpose PVT variant must match the per-head kernel
+    # bit-for-bit (same GEMMs, same softmax; only transpose granularity)
+    from adaface_tpu.ops.flash_attention import flash_attention_blc
+
+    monkeypatch.setenv("ADAFACE_FLASH_PVT2", pvt2)
+    b, l, heads, d = 2, 512, 4, 40
+    q = jnp.asarray(rng.standard_normal((b, l, heads * d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, l, heads * d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, l, heads * d)).astype(np.float32))
+    out = flash_attention_blc(q, k, v, heads)
+    ref = _merge_heads(_reference_attention(
+        _split_heads(q, heads), _split_heads(k, heads), _split_heads(v, heads),
+        None, d ** -0.5))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
