@@ -165,12 +165,19 @@ def main(opt):
         outd = os.path.join(opt.outdir, subdir) if subdir else opt.outdir
         os.makedirs(outd, exist_ok=True)
         idx = 0
-        for rep in range(n_rep):
-            imgs = pipe.generate([prompt] * opt.n_samples, negative_prompt=neg,
+        # dispatch all repeats without blocking (block=False pipelines the
+        # DDIM programs: batch i+1 computes while batch i's readback and
+        # the host-side JPEG encode run — see PERF.md fifth pass), then
+        # convert+save in dispatch order
+        pending = [pipe.generate([prompt] * opt.n_samples, negative_prompt=neg,
                                  num_steps=opt.steps, guidance_scale=guidance,
                                  height=opt.size, width=opt.size,
                                  seed=opt.seed + rep, sampler=opt.sampler,
-                                 compel_cfg_weight_level=opt.compel_cfg_weight_level)
+                                 compel_cfg_weight_level=opt.compel_cfg_weight_level,
+                                 block=False)
+                   for rep in range(n_rep)]
+        for batch in pending:
+            imgs = np.asarray(batch)
             for im in imgs:
                 Image.fromarray(im).save(os.path.join(outd, f"{idx:05}.jpg"))
                 idx += 1
