@@ -46,10 +46,14 @@ def upsample2x_conv(x: jnp.ndarray, kernel: jnp.ndarray,
             k2 = _phase_rows(jnp.swapaxes(wr, 0, 1), dj)  # cols -> [2, 2, C, C']
             k2 = jnp.swapaxes(k2, 0, 1)
             pc = (1, 0) if dj == 0 else (0, 1)
+            # NOTE: no preferred_element_type here — jax's conv VJP feeds
+            # the fp32 cotangent into a bf16-kernel conv and trips the
+            # dtype check, which broke every bf16 training path through an
+            # Upsample. The MXU accumulates bf16 convs in fp32 regardless,
+            # and the output is cast to x.dtype either way.
             y = jax.lax.conv_general_dilated(
                 x, k2, window_strides=(1, 1), padding=(pr, pc),
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                preferred_element_type=jnp.float32).astype(x.dtype)
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
             outs.append(y)
     # interleave phases: outs order (di, dj) = (0,0),(0,1),(1,0),(1,1)
     y = jnp.stack(outs, axis=0).reshape(2, 2, b, h, w, -1)
@@ -92,8 +96,7 @@ def nearest_upsample2x_conv_reference(x, kernel, bias=None):
     up = jax.image.resize(x, (b, 2 * h, 2 * w, c), method="nearest")
     y = jax.lax.conv_general_dilated(
         up, kernel, window_strides=(1, 1), padding=((1, 1), (1, 1)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32).astype(x.dtype)
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
     if bias is not None:
         y = y + bias.astype(y.dtype)
     return y
