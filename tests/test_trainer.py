@@ -85,3 +85,38 @@ def test_trainer_fit_and_resume(subject_dir, tmp_path):
     assert tr2.global_step == 4
     tr2.fit()
     assert tr2.global_step == 6
+
+
+def test_trainer_fit_bf16(subject_dir, tmp_path):
+    """The shipped finetune configs run dtype: bfloat16 — a few steps must
+    train end-to-end with a bf16 backbone (regression: the subpixel
+    upsample's conv VJP rejected bf16, breaking every bf16 backward)."""
+    tok = HashTokenizer()
+    pipe = StableDiffusionPipeline.from_random(
+        jax.random.PRNGKey(0), tok,
+        clip_cfg=CLIPTextConfig.tiny(vocab_size=tok.vocab_size,
+                                     max_position_embeddings=77,
+                                     num_extra_tokens=8),
+        unet_cfg=UNetConfig(model_channels=32, channel_mult=(1, 2),
+                            num_res_blocks=1, attention_levels=(0, 1),
+                            num_heads=4, context_dim=64,
+                            use_flash_attention=False),
+        vae_cfg=VAEConfig.tiny(), dtype=jnp.bfloat16)
+    pipe.cast_params(jnp.bfloat16)
+    mgr = pipe.embedding_manager
+    mgr.add_placeholder("z", token_id=tok.add_placeholder("z"),
+                        num_vectors=9, init_key=jax.random.PRNGKey(1),
+                        emb_dim=64)
+    ds = PersonalizedDataset([SubjectSpec("s", subject_dir)], size=32, seed=0)
+    cfg = TrainerConfig(max_steps=3, batch_size=2, use_prodigy=False,
+                        ckpt_every_steps=100, log_every_steps=100, seed=0,
+                        logdir=str(tmp_path / "bf16"))
+    tr = Trainer(pipe, ds, cfg,
+                 IterPlanConfig(composition_regs_iter_gap=2, max_steps=3))
+    tr.fit()
+    import json
+
+    with open(os.path.join(str(tmp_path / "bf16"), "metrics.jsonl")) as f:
+        recs = [json.loads(l) for l in f if l.strip()]
+    losses = [r["loss"] for r in recs if "loss" in r]
+    assert losses and all(np.isfinite(l) for l in losses)
