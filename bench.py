@@ -103,7 +103,10 @@ def main():
     # loop leaves ~0.3 s/batch of host+tunnel gaps on the table).
     import numpy as _np
 
-    R = 4
+    # R=8: at R=4 the un-overlapped ramp/drain edges (~0.3 s: first
+    # dispatch + final readback) still amortize to ~75 ms/batch on top of
+    # the ~4.5 s device program; deeper pipelining halves the edge share.
+    R = int(os.environ.get("ADAFACE_BENCH_PIPELINE_DEPTH", "8"))
     t0 = time.time()
     outs = [pipe.generate(prompts, num_steps=STEPS,
                           guidance_scale=(10.0, 4.0), height=SIZE, width=SIZE,
