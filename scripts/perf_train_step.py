@@ -22,16 +22,21 @@ from adaface_tpu.training.train_step import ReconBatch, make_recon_train_step
 
 
 def main():
+    import sys
+
     print(f"devices: {jax.devices()}", flush=True)
     tok = HashTokenizer()
-    B, T, HW = 3, 77, 64  # 512px latents
+    # argv: [batch] [remat|noremat]  (default: 3 remat)
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    remat = "noremat" not in sys.argv[2:]
+    T, HW = 77, 64  # 512px latents
     clip_cfg = CLIPTextConfig(vocab_size=tok.vocab_size, num_extra_tokens=8)
     clip = CLIPTextEncoder(clip_cfg, jnp.bfloat16)
     clip_params = jax.tree_util.tree_map(
         lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
         clip.init(jax.random.PRNGKey(0),
                   input_ids=jnp.zeros((1, T), jnp.int32))["params"])
-    ucfg = UNetConfig.sd_v1(use_remat=True)
+    ucfg = UNetConfig.sd_v1(use_remat=remat)
     unet = UNetModel(ucfg, jnp.bfloat16)
     uparams = jax.tree_util.tree_map(
         lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
@@ -83,12 +88,12 @@ def main():
 
     plain = jax.jit(make_recon_train_step(clip, clip_params, unet, uparams,
                                           sched, opt))
-    timeit(plain, "recon step (plain)")
+    timeit(plain, f"recon step (plain, B{B}, remat={remat})")
     complem = jax.jit(make_recon_train_step(
         clip, clip_params, unet, uparams, sched, opt,
         complem_weight=2e-4, xlayer_weight=5e-5, use_bg_token=True,
         bg_placeholders=frozenset({"y"})))
-    timeit(complem, "recon step (+complem battery)")
+    timeit(complem, f"recon step (+complem battery, B{B}, remat={remat})")
 
 
 if __name__ == "__main__":

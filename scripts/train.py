@@ -158,6 +158,16 @@ def main(opt):
         pipe = StableDiffusionPipeline.from_random(
             jax.random.PRNGKey(opt.seed), tok, dtype=dtype, **kw)
 
+    # model_options: UNetConfig overrides from the YAML (use_remat etc.) —
+    # rebuild the UNet module around the same params, like
+    # set_conv_attn_kernel_size does
+    mo = cfg.get("model_options", {})
+    if mo:
+        import dataclasses as _dc
+
+        pipe.unet = type(pipe.unet)(_dc.replace(pipe.unet.cfg, **mo),
+                                    pipe.unet.dtype)
+
     # placeholders
     mgr = pipe.embedding_manager
     emb_dim = pipe.clip.cfg.hidden_size

@@ -120,3 +120,23 @@ def test_trainer_fit_bf16(subject_dir, tmp_path):
         recs = [json.loads(l) for l in f if l.strip()]
     losses = [r["loss"] for r in recs if "loss" in r]
     assert losses and all(np.isfinite(l) for l in losses)
+
+
+def test_train_cli_model_options_override(subject_dir, tmp_path):
+    """scripts/train.py consumes model_options.* from the config tree
+    (UNetConfig overrides, e.g. use_remat) — regression for the key being
+    silently dropped."""
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                     "scripts"))
+    import train as train_cli
+
+    logdir = str(tmp_path / "cli")
+    rc = train_cli.main(train_cli.parse_args([
+        "--data_root", subject_dir, "--tiny", "--max_steps", "2",
+        "--batch_size", "1", "--size", "32", "--logdir", logdir,
+        "--ckpt_every_steps", "1000",
+        "model_options.use_remat=true"]))
+    assert rc in (0, None)
+    assert os.path.exists(os.path.join(logdir, "embeddings_last.npz"))
