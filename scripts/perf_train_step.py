@@ -6,7 +6,11 @@ AdamW + clip) — with and without the complementary-loss battery (capture
 forward) — and one zs-style flash-backward probe at L4096 self-attention.
 """
 
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

@@ -42,14 +42,16 @@ def bf16(tree):
 
 def main():
     print(f"devices: {jax.devices()}", flush=True)
-    batches = [int(a) for a in sys.argv[1:]] or [3, 6]
+    args = [a for a in sys.argv[1:]]
+    remat = "noremat" not in args
+    batches = [int(a) for a in args if a.isdigit()] or [3, 6]
     tok = HashTokenizer()
 
     clip_cfg = CLIPTextConfig(vocab_size=tok.vocab_size, num_extra_tokens=8)
     clip = CLIPTextEncoder(clip_cfg, jnp.bfloat16)
     clip_params = bf16(clip.init(
         jax.random.PRNGKey(0), input_ids=jnp.zeros((1, T), jnp.int32))["params"])
-    unet = UNetModel(UNetConfig.sd_v1(use_remat=True), jnp.bfloat16)
+    unet = UNetModel(UNetConfig.sd_v1(use_remat=remat), jnp.bfloat16)
     uparams = bf16(unet.init(
         jax.random.PRNGKey(1), jnp.zeros((1, HW, HW, 4)),
         jnp.zeros((1,), jnp.int32), jnp.zeros((1, 1, T, 768)))["params"])
@@ -116,7 +118,7 @@ def main():
                 jax.block_until_ready(m["loss"])
                 ts.append(time.time() - t0)
             best = min(ts)
-            print(f"zs recon step (B{B}, +complem, Prodigy): {best*1e3:.1f} "
+            print(f"zs recon step (B{B}, remat={remat}, +complem, Prodigy): {best*1e3:.1f} "
                   f"ms/step ({B/best:.1f} imgs/s) compile {compile_s:.0f}s "
                   f"loss={float(m['loss']):.4f}", flush=True)
         except Exception as e:  # OOM at larger batches — report and continue
