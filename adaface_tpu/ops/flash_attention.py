@@ -565,12 +565,29 @@ def _flash_kernel_heads_pvt(q_ref, k_ref, v_ref, bias_ref, o_ref, kh_s, vt_s,
     # softmax reduces over sublanes and the division rides the [1, bq] row.
     j = pl.program_id(1)
     sc = scale * _LOG2E
+    import os
+
+    # A/B arms for the remaining non-MXU time in this kernel (the fp32
+    # exp2 pass + the [lk, bq] VPU row-sum are outside any MXU roofline):
+    #  - ADAFACE_FLASH_EXP_BF16=1: quantize scores to bf16 BEFORE exp2 and
+    #    keep p in bf16 (it is cast to bf16 for the PV dot anyway; the only
+    #    numeric delta is the input quantization, |ds| <= |s|*2^-9).
+    #  - ADAFACE_FLASH_MXU_SUM=1: append a ones row to v^T so the PV dot
+    #    computes [o^T; l] in one MXU pass ([d+1, lk] @ [lk, bq]) and the
+    #    per-panel VPU reduction disappears (d+1 rows pad to the same
+    #    48-sublane granule as d=40+8).
+    exp_bf16 = os.environ.get("ADAFACE_FLASH_EXP_BF16") == "1"
+    mxu_sum = os.environ.get("ADAFACE_FLASH_MXU_SUM") == "1"
 
     @pl.when(j == 0)
     def _():
         for hh in range(heads):
             kh_s[hh] = k_ref[0, :, hh * d:(hh + 1) * d]
-            vt_s[hh] = v_ref[0, :, hh * d:(hh + 1) * d].T
+            if mxu_sum:
+                vt_s[hh, :d] = v_ref[0, :, hh * d:(hh + 1) * d].T
+                vt_s[hh, d:] = jnp.ones_like(vt_s[hh, d:])
+            else:
+                vt_s[hh] = v_ref[0, :, hh * d:(hh + 1) * d].T
 
     for hh in range(heads):
         qT = q_ref[0, :, hh * d:(hh + 1) * d].T           # [d, bq]
@@ -578,11 +595,21 @@ def _flash_kernel_heads_pvt(q_ref, k_ref, v_ref, bias_ref, o_ref, kh_s, vt_s,
                                 preferred_element_type=jnp.float32) * sc
         if have_bias:
             s = s + bias_ref[0, 0][:, None] * _LOG2E      # bias over k rows
-        p = jnp.exp2(s)                                   # [lk, bq]
-        l = jnp.sum(p, axis=0, keepdims=True)             # [1, bq]
-        oT = jax.lax.dot_general(vt_s[hh], p.astype(q_ref.dtype),
-                                 (((1,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
+        if exp_bf16:
+            p = jnp.exp2(s.astype(jnp.bfloat16))          # [lk, bq] bf16
+        else:
+            p = jnp.exp2(s)                               # [lk, bq] fp32
+        if mxu_sum:
+            ol = jax.lax.dot_general(vt_s[hh], p.astype(q_ref.dtype),
+                                     (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            oT, l = ol[:d], ol[d:d + 1]                   # [d, bq], [1, bq]
+        else:
+            l = jnp.sum(p, axis=0, keepdims=True,
+                        dtype=jnp.float32)                # [1, bq]
+            oT = jax.lax.dot_general(vt_s[hh], p.astype(q_ref.dtype),
+                                     (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
         o_ref[0, :, hh * d:(hh + 1) * d] = ((oT / l).T).astype(o_ref.dtype)
 
 
@@ -683,8 +710,13 @@ def _flash_forward_blc(q, k, v, heads, d, bias, block_q, block_k, scale):
         out_shape=jax.ShapeDtypeStruct((b, lq, heads * d), q.dtype),
         scratch_shapes=[pltpu.VMEM((heads, d, lk) if use_short
                                    else (heads, lk, d), q.dtype),
-                        pltpu.VMEM((heads, d, lk) if use_pvt and not use_short
-                                   else (heads, lk, d), v.dtype)]
+                        pltpu.VMEM(
+                            (heads,
+                             d + (1 if use_pvt and not pvt2 and
+                                  os.environ.get("ADAFACE_FLASH_MXU_SUM")
+                                  == "1" else 0),
+                             lk) if use_pvt and not use_short
+                            else (heads, lk, d), v.dtype)]
         + ([pltpu.VMEM((heads * d, block_q), q.dtype)]
            if use_pvt and pvt2 and not use_short else []),
     )(q, k, v, bias2)

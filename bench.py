@@ -34,8 +34,10 @@ def main():
     import jax.numpy as jnp
 
     # persistent compilation cache: a degraded tunnel once pushed
-    # compile+first to 699 s (BENCH_r02); a warm cache skips the remote
-    # compile entirely on repeat driver runs
+    # compile+first to 699 s (BENCH_r02). NOTE (r3 seventh pass): under
+    # the axon tunnel compilation happens on the REMOTE side, so this
+    # local cache does not eliminate the ~370 s compile+first — it is
+    # kept for CPU/TPU-local runs where it does
     cache_dir = os.environ.get("ADAFACE_COMPILE_CACHE",
                                "/tmp/adaface_jax_cache")
     if cache_dir:
@@ -103,10 +105,12 @@ def main():
     # loop leaves ~0.3 s/batch of host+tunnel gaps on the table).
     import numpy as _np
 
-    # R=8: at R=4 the un-overlapped ramp/drain edges (~0.3 s: first
-    # dispatch + final readback) still amortize to ~75 ms/batch on top of
-    # the ~4.5 s device program; deeper pipelining halves the edge share.
-    R = int(os.environ.get("ADAFACE_BENCH_PIPELINE_DEPTH", "8"))
+    # R=16: at R=4 the un-overlapped ramp/drain edges (~0.3 s: first
+    # dispatch + final readback) amortize to ~75 ms/batch on top of the
+    # ~4.5 s device program; each doubling halves the edge share (R8
+    # 1.7685 -> R16 1.7818 img/s same-day). This is the steady-state
+    # serving number the headline claims to be.
+    R = int(os.environ.get("ADAFACE_BENCH_PIPELINE_DEPTH", "16"))
     t0 = time.time()
     outs = [pipe.generate(prompts, num_steps=STEPS,
                           guidance_scale=(10.0, 4.0), height=SIZE, width=SIZE,

@@ -273,3 +273,27 @@ def test_packed_pvt2_parity(rng, monkeypatch, pvt2):
         _split_heads(q, heads), _split_heads(k, heads), _split_heads(v, heads),
         None, d ** -0.5))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+@pytest.mark.parametrize("env,atol", [
+    ({"ADAFACE_FLASH_MXU_SUM": "1"}, 3e-5),
+    ({"ADAFACE_FLASH_EXP_BF16": "1"}, 3e-2),
+    ({"ADAFACE_FLASH_MXU_SUM": "1", "ADAFACE_FLASH_EXP_BF16": "1"}, 3e-2),
+])
+def test_packed_pvt_vpu_arms(rng, monkeypatch, env, atol):
+    # PVT non-MXU A/B arms: ones-row MXU softmax denominator (numerically
+    # the same sum, different reduction order) and bf16-quantized exp2
+    # (input quantization |ds| <= |s| * 2^-9 -> loose tolerance).
+    from adaface_tpu.ops.flash_attention import flash_attention_blc
+
+    for kk, vv in env.items():
+        monkeypatch.setenv(kk, vv)
+    b, l, heads, d = 2, 512, 4, 40
+    q = jnp.asarray(rng.standard_normal((b, l, heads * d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, l, heads * d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, l, heads * d)).astype(np.float32))
+    out = flash_attention_blc(q, k, v, heads)
+    ref = _merge_heads(_reference_attention(
+        _split_heads(q, heads), _split_heads(k, heads), _split_heads(v, heads),
+        None, d ** -0.5))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=atol)
