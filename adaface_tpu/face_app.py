@@ -33,6 +33,7 @@ from adaface_tpu.models.arcface import (
     estimate_norm,
     preprocess_faces,
     warp_affine,
+    warp_affine_jax,
 )
 
 
@@ -83,26 +84,51 @@ class FaceApp:
 
         self._embed = _embed
 
+        @jax.jit
+        def _embed_aligned(params, image, Ms):
+            # fused align+crop+normalize+embed: ONE device program, no
+            # host round-trip between the warp and the IResNet forward
+            # (BASELINE config 4). Recompiles per canvas bucket (get()
+            # zero-pads H/W up to multiples of 256; zero border matches
+            # cv2.warpAffine's borderValue=0).
+            crops = warp_affine_jax(image, Ms, size)
+            return self.recognizer.apply({"params": params},
+                                         (crops - 127.5) / 127.5)
+
+        self._embed_aligned = _embed_aligned
+
     @property
     def crop_size(self) -> int:
         return self.recognizer.cfg.input_size
 
     def get(self, image: np.ndarray) -> List[Face]:
-        """RGB [H, W, 3] uint8 -> faces with embeddings (aligned crops
-        embedded in one device batch)."""
+        """RGB [H, W, 3] uint8 -> faces with embeddings. Alignment, crop,
+        normalization and the IResNet forward are fused into one jitted
+        device program (`_embed_aligned`); only detection stays host-side.
+        The canvas is zero-padded up to a multiple of 256 so repeated
+        calls over a photo folder hit a handful of compile buckets."""
         dets = self.detect_fn(image)
         if not dets:
             return []
         size = self.crop_size
-        crops = []
-        faces = []
-        for bbox, lm, score in dets:
-            M = estimate_norm(lm, size)
-            crops.append(warp_affine(image, M, size))
-            faces.append(Face(np.asarray(bbox, np.float32),
-                              np.asarray(lm, np.float32), float(score)))
-        embs = np.asarray(self._embed(self.params, jnp.asarray(np.stack(crops))))
-        for f, e in zip(faces, embs):
+        faces = [Face(np.asarray(bbox, np.float32),
+                      np.asarray(lm, np.float32), float(score))
+                 for bbox, lm, score in dets]
+        Ms = np.stack([estimate_norm(f.landmarks, size) for f in faces])
+        n = len(faces)
+        npad = 1 << max(0, (n - 1).bit_length())  # next power of two
+        if npad != n:  # pad with identity maps so N doesn't recompile
+            eye = np.tile(np.eye(2, 3, dtype=np.float32), (npad - n, 1, 1))
+            Ms = np.concatenate([Ms, eye])
+        h, w = image.shape[:2]
+        ph, pw = ((h + 255) // 256) * 256, ((w + 255) // 256) * 256
+        canvas = image
+        if (ph, pw) != (h, w):
+            canvas = np.zeros((ph, pw) + image.shape[2:], image.dtype)
+            canvas[:h, :w] = image
+        embs = np.asarray(self._embed_aligned(
+            self.params, jnp.asarray(canvas), jnp.asarray(Ms)))
+        for f, e in zip(faces, embs[:n]):
             f.embedding = e
         return faces
 

@@ -225,14 +225,72 @@ def estimate_norm(landmarks: np.ndarray, size: int = 112) -> np.ndarray:
 
 
 def warp_affine(image: np.ndarray, M: np.ndarray, size: int = 112) -> np.ndarray:
-    """Nearest-neighbor affine crop (host-side, numpy) — the alignment warp
-    insightface does with cv2.warpAffine before embedding."""
+    """Bilinear affine crop with zero border (host-side, numpy) — the
+    alignment warp insightface does with `cv2.warpAffine` (default
+    INTER_LINEAR, borderValue=0) before embedding."""
     A = np.vstack([M, [0, 0, 1]]).astype(np.float32)
     Ainv = np.linalg.inv(A)
     ys, xs = np.meshgrid(np.arange(size), np.arange(size), indexing="ij")
     ones = np.ones_like(xs)
-    pts = np.stack([xs, ys, ones], axis=-1).reshape(-1, 3) @ Ainv.T
-    sx = np.clip(np.round(pts[:, 0]).astype(np.int64), 0, image.shape[1] - 1)
-    sy = np.clip(np.round(pts[:, 1]).astype(np.int64), 0, image.shape[0] - 1)
-    out = image[sy, sx].reshape(size, size, -1)
+    pts = np.stack([xs, ys, ones], axis=-1).reshape(-1, 3).astype(np.float32)
+    pts = pts @ Ainv.T
+    sx, sy = pts[:, 0], pts[:, 1]
+    h, w = image.shape[:2]
+    img = image.astype(np.float32)
+    x0 = np.floor(sx).astype(np.int64)
+    y0 = np.floor(sy).astype(np.int64)
+    fx = (sx - x0)[:, None]
+    fy = (sy - y0)[:, None]
+
+    def tap(yi, xi):
+        valid = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
+        vals = img[np.clip(yi, 0, h - 1), np.clip(xi, 0, w - 1)]
+        return np.where(valid[:, None], vals, 0.0)
+
+    top = tap(y0, x0) * (1 - fx) + tap(y0, x0 + 1) * fx
+    bot = tap(y0 + 1, x0) * (1 - fx) + tap(y0 + 1, x0 + 1) * fx
+    out = (top * (1 - fy) + bot * fy).reshape(size, size, -1)
+    if np.issubdtype(image.dtype, np.integer):
+        out = np.clip(np.rint(out), 0, 255).astype(image.dtype)
     return out
+
+
+def warp_affine_jax(image: jnp.ndarray, Ms: jnp.ndarray,
+                    size: int = 112) -> jnp.ndarray:
+    """Device-side BATCHED bilinear affine crop, zero border — the XLA
+    form of the insightface `face_align.norm_crop` warp so that
+    align+crop+normalize+embed runs as ONE device program with no host
+    round-trips (BASELINE config 4: "fused face-align preprocessing";
+    reference host path: `cv2.warpAffine` in insightface then ONNX
+    forward, `ddpm.py:2343-2365`).
+
+    image: [H, W, C] uint8/float; Ms: [N, 2, 3] forward (src->dst)
+    similarity transforms from `estimate_norm`. Returns [N, size, size, C]
+    float32 crops. Jittable; grid coordinates are traced, so one compile
+    per (H, W) — callers bucket the canvas (see `FaceApp`)."""
+    h, w = image.shape[0], image.shape[1]
+    img = image.astype(jnp.float32)
+    a, b_, tx = Ms[:, 0, 0], Ms[:, 0, 1], Ms[:, 0, 2]
+    c_, d_, ty = Ms[:, 1, 0], Ms[:, 1, 1], Ms[:, 1, 2]
+    det = a * d_ - b_ * c_
+    ys, xs = jnp.meshgrid(jnp.arange(size, dtype=jnp.float32),
+                          jnp.arange(size, dtype=jnp.float32), indexing="ij")
+    dx = xs.reshape(-1)[None, :] - tx[:, None]          # [N, P]
+    dy = ys.reshape(-1)[None, :] - ty[:, None]
+    sx = (d_[:, None] * dx - b_[:, None] * dy) / det[:, None]
+    sy = (-c_[:, None] * dx + a[:, None] * dy) / det[:, None]
+    x0 = jnp.floor(sx)
+    y0 = jnp.floor(sy)
+    fx = (sx - x0)[..., None]
+    fy = (sy - y0)[..., None]
+
+    def tap(yi, xi):
+        valid = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
+        yc = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
+        xc = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
+        return jnp.where(valid[..., None], img[yc, xc], 0.0)
+
+    top = tap(y0, x0) * (1 - fx) + tap(y0, x0 + 1) * fx
+    bot = tap(y0 + 1, x0) * (1 - fx) + tap(y0 + 1, x0 + 1) * fx
+    out = top * (1 - fy) + bot * fy
+    return out.reshape(Ms.shape[0], size, size, -1)

@@ -304,3 +304,55 @@ def test_face_app_with_retinaface():
     img = rng.integers(0, 255, (200, 200, 3)).astype(np.uint8)
     emb = app.embed_image(img)  # may be None (random net) — just no crash
     assert emb is None or emb.shape == (cfg.emb_dim,)
+
+
+def test_warp_affine_jax_matches_host():
+    """Device-side batched warp == host bilinear warp (same cv2
+    INTER_LINEAR + borderValue=0 semantics), including out-of-bounds
+    samples and a rotation+scale transform."""
+    from adaface_tpu.models.arcface import warp_affine_jax
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 255, (37, 29, 3)).astype(np.uint8)
+    th = 0.3
+    Ms = np.stack([
+        np.array([[1, 0, 0], [0, 1, 0]], np.float32),           # identity
+        np.array([[0.5, 0, 3.2], [0, 0.5, -1.7]], np.float32),  # scale+shift
+        np.array([[np.cos(th), -np.sin(th), 4.0],
+                  [np.sin(th), np.cos(th), 2.0]], np.float32),  # rotation
+    ])
+    out = np.asarray(warp_affine_jax(jnp.asarray(img), jnp.asarray(Ms), 16))
+    for i in range(Ms.shape[0]):
+        ref = warp_affine(img.astype(np.float32), Ms[i], 16)
+        np.testing.assert_allclose(out[i], ref, atol=1e-3)
+
+
+def test_face_app_fused_alignment_matches_host_warp():
+    """FaceApp.get's fused align+embed device program == host bilinear
+    warp -> normalize -> IResNet (the pre-fusion path), incl. the padded
+    canvas and the power-of-two M padding."""
+    cfg = IResNetConfig.tiny()
+    model = IResNet(cfg)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, cfg.input_size, cfg.input_size, 3)))["params"]
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 255, (90, 70, 3)).astype(np.uint8)
+    lm = (ARCFACE_DST * np.array([70 / 112.0, 90 / 112.0], np.float32)
+          + np.array([3.0, -2.0], np.float32))
+
+    def det3(image):
+        bbox = np.array([0, 0, 70, 90], np.float32)
+        return [(bbox, lm, 1.0), (bbox, lm * 0.9 + 5.0, 0.9),
+                (bbox, lm * 1.05, 0.8)]  # 3 faces -> padded to 4
+
+    app = FaceApp(model, params, detect_fn=det3)
+    faces = app.get(img)
+    assert len(faces) == 3
+    size = cfg.input_size
+    for f in faces:
+        M = estimate_norm(f.landmarks, size)
+        crop = warp_affine(img.astype(np.float32), M, size)
+        x = (crop[None] - 127.5) / 127.5
+        ref = np.asarray(model.apply({"params": params}, jnp.asarray(x)))[0]
+        np.testing.assert_allclose(f.embedding, ref, atol=2e-4)
