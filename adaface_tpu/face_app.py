@@ -32,7 +32,6 @@ from adaface_tpu.models.arcface import (
     IResNetConfig,
     estimate_norm,
     preprocess_faces,
-    warp_affine,
     warp_affine_jax,
 )
 
@@ -84,18 +83,13 @@ class FaceApp:
 
         self._embed = _embed
 
-        @jax.jit
-        def _embed_aligned(params, image, Ms):
-            # fused align+crop+normalize+embed: ONE device program, no
-            # host round-trip between the warp and the IResNet forward
-            # (BASELINE config 4). Recompiles per canvas bucket (get()
-            # zero-pads H/W up to multiples of 256; zero border matches
-            # cv2.warpAffine's borderValue=0).
-            crops = warp_affine_jax(image, Ms, size)
-            return self.recognizer.apply({"params": params},
-                                         (crops - 127.5) / 127.5)
-
-        self._embed_aligned = _embed_aligned
+        # device-side align+crop (BASELINE config 4: "fused face-align
+        # preprocessing"): a SMALL gather program chained device-to-device
+        # into the fixed-shape `_embed` — the crops never visit the host,
+        # and the IResNet forward compiles exactly once (only this tiny
+        # warp recompiles per canvas bucket / face-count bucket).
+        self._warp = jax.jit(
+            functools.partial(warp_affine_jax, size=size))
 
     @property
     def crop_size(self) -> int:
@@ -103,10 +97,12 @@ class FaceApp:
 
     def get(self, image: np.ndarray) -> List[Face]:
         """RGB [H, W, 3] uint8 -> faces with embeddings. Alignment, crop,
-        normalization and the IResNet forward are fused into one jitted
-        device program (`_embed_aligned`); only detection stays host-side.
-        The canvas is zero-padded up to a multiple of 256 so repeated
-        calls over a photo folder hit a handful of compile buckets."""
+        normalization and the IResNet forward all run on device; the
+        aligned crops flow jit-to-jit without visiting the host. Only
+        detection stays host-side. The canvas zero-pads up to a multiple
+        of 256 and the face count to a power of two, so repeated calls
+        over a photo folder hit a handful of (tiny) warp compiles while
+        the embed program compiles once."""
         dets = self.detect_fn(image)
         if not dets:
             return []
@@ -115,6 +111,12 @@ class FaceApp:
                       np.asarray(lm, np.float32), float(score))
                  for bbox, lm, score in dets]
         Ms = np.stack([estimate_norm(f.landmarks, size) for f in faces])
+        if not np.isfinite(Ms).all():
+            # degenerate landmarks (e.g. coincident points -> zero
+            # variance in the Umeyama fit) — fail loudly like the host
+            # np.linalg path rather than silently embedding NaNs
+            raise ValueError("degenerate face landmarks: non-finite "
+                             "alignment transform")
         n = len(faces)
         npad = 1 << max(0, (n - 1).bit_length())  # next power of two
         if npad != n:  # pad with identity maps so N doesn't recompile
@@ -126,8 +128,8 @@ class FaceApp:
         if (ph, pw) != (h, w):
             canvas = np.zeros((ph, pw) + image.shape[2:], image.dtype)
             canvas[:h, :w] = image
-        embs = np.asarray(self._embed_aligned(
-            self.params, jnp.asarray(canvas), jnp.asarray(Ms)))
+        crops = self._warp(jnp.asarray(canvas), jnp.asarray(Ms))
+        embs = np.asarray(self._embed(self.params, crops))
         for f, e in zip(faces, embs[:n]):
             f.embedding = e
         return faces

@@ -251,7 +251,8 @@ def warp_affine(image: np.ndarray, M: np.ndarray, size: int = 112) -> np.ndarray
     bot = tap(y0 + 1, x0) * (1 - fx) + tap(y0 + 1, x0 + 1) * fx
     out = (top * (1 - fy) + bot * fy).reshape(size, size, -1)
     if np.issubdtype(image.dtype, np.integer):
-        out = np.clip(np.rint(out), 0, 255).astype(image.dtype)
+        info = np.iinfo(image.dtype)
+        out = np.clip(np.rint(out), info.min, info.max).astype(image.dtype)
     return out
 
 
@@ -293,4 +294,10 @@ def warp_affine_jax(image: jnp.ndarray, Ms: jnp.ndarray,
     top = tap(y0, x0) * (1 - fx) + tap(y0, x0 + 1) * fx
     bot = tap(y0 + 1, x0) * (1 - fx) + tap(y0 + 1, x0 + 1) * fx
     out = top * (1 - fy) + bot * fy
+    if jnp.issubdtype(image.dtype, jnp.integer):
+        # cv2.warpAffine on integer images rounds the interpolated crop
+        # back to the integer dtype — match it so the device path embeds
+        # the same pixels as the host/insightface path
+        info = jnp.iinfo(image.dtype)
+        out = jnp.clip(jnp.round(out), info.min, info.max)
     return out.reshape(Ms.shape[0], size, size, -1)

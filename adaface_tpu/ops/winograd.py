@@ -228,11 +228,12 @@ def winograd_eligible(x_shape, cout: int, itemsize: int = 2) -> bool:
     b, h, w, cin = x_shape
     if h % 2 or w % 2:
         return False
+    forced = os.environ.get("ADAFACE_WINOGRAD") == "1"
     min_tiles = int(os.environ.get("ADAFACE_WINOGRAD_MIN_TILES",
                                    str(_DEF_MIN_TILES)))
-    if (h // 2) * (w // 2) < min_tiles:
+    if not forced and (h // 2) * (w // 2) < min_tiles:
         return False
-    if cin < 128 or cout < 128:  # contraction/output lanes too thin
+    if not forced and (cin < 128 or cout < 128):  # lanes too thin
         return False
     budget = int(os.environ.get("ADAFACE_WINOGRAD_VMEM",
                                 str(_DEF_VMEM_BUDGET)))

@@ -323,8 +323,14 @@ def test_warp_affine_jax_matches_host():
     ])
     out = np.asarray(warp_affine_jax(jnp.asarray(img), jnp.asarray(Ms), 16))
     for i in range(Ms.shape[0]):
-        ref = warp_affine(img.astype(np.float32), Ms[i], 16)
-        np.testing.assert_allclose(out[i], ref, atol=1e-3)
+        # integer input: both paths quantize the crop like cv2 does
+        ref = warp_affine(img, Ms[i], 16)
+        np.testing.assert_allclose(out[i], ref.astype(np.float32), atol=1.0)
+        # float input: no quantization on either path
+        reff = warp_affine(img.astype(np.float32), Ms[i], 16)
+        outf = np.asarray(warp_affine_jax(
+            jnp.asarray(img, jnp.float32), jnp.asarray(Ms[i:i + 1]), 16))[0]
+        np.testing.assert_allclose(outf, reff, atol=1e-3)
 
 
 def test_face_app_fused_alignment_matches_host_warp():
@@ -352,7 +358,7 @@ def test_face_app_fused_alignment_matches_host_warp():
     size = cfg.input_size
     for f in faces:
         M = estimate_norm(f.landmarks, size)
-        crop = warp_affine(img.astype(np.float32), M, size)
-        x = (crop[None] - 127.5) / 127.5
+        crop = warp_affine(img, M, size)  # uint8 in -> quantized like cv2
+        x = (crop[None].astype(np.float32) - 127.5) / 127.5
         ref = np.asarray(model.apply({"params": params}, jnp.asarray(x)))[0]
         np.testing.assert_allclose(f.embedding, ref, atol=2e-4)
