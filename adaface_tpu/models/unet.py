@@ -311,6 +311,7 @@ class TransformerBlock(nn.Module):
             x = jnp.concatenate([x, x], axis=0)
         a2, aux = UNetCrossAttention(self.num_heads, self.head_dim, self.dtype,
                                      self.use_flash, self.conv_attn_ks,
+                                     fuse_qkv=self.fuse_qkv,
                                      name="attn2")(ln("norm2")(x), ctx_v, ctx_k,
                                                    capture=capture,
                                                    subj_slot_map=subj_slot_map,
@@ -538,6 +539,10 @@ class UNetModel(nn.Module):
 
         def layer_ctx(layer_idx):
             if layer_idx not in CA_LAYER_INDEX:
+                # SD v1's 16 SpatialTransformers are all mapped; only
+                # non-SD toy configs (tests) reach here, and their
+                # unmapped layers deliberately run attn2 as
+                # self-attention rather than invent a context index
                 return None, None
             i = CA_LAYER_INDEX[layer_idx]
             cv = context[i % context.shape[0]]

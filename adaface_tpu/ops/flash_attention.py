@@ -33,6 +33,17 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 _LOG2E = 1.4426950408889634
+# Floor on the biased log2-domain scores. key_bias masks arrive as -1e30
+# rows; without a floor a FULLY-masked row drives the online kernels' l to
+# exactly 0 and o = acc/l = NaN (max-free sums exp2(-1.44e30) = 0; the
+# guarded recurrence fails too since its m starts at NEG_INF = -1e30 >
+# -1e30*log2e), where the einsum reference — equal logits — yields finite
+# uniform attention. exp2(-100) ~ 7.9e-31 keeps l > 0, reproduces the
+# uniform-row semantics, and leaks <= ~1e-17 relative weight onto masked
+# keys of partially-masked rows (LN-bounded live scores sit above 2^-43).
+# Applied uniformly wherever bias enters a kernel so forward and backward
+# see identical probabilities.
+_SCORE_FLOOR = -100.0
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, block_k: int,
@@ -54,10 +65,11 @@ def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, block_k: int,
     sc = scale * _LOG2E  # exp2((s*scale - m)*log2e) == exp(s*scale - m)
     import os
 
-    # see _flash_kernel_heads for the max-free rationale. This base kernel
-    # also serves the VAE mid-attention (single head, D=512, GN-scaled
-    # activations with a thinner overflow margin than the UNet's LN-bounded
-    # scores), so here the guarded recurrence stays the default;
+    # see _flash_kernel_heads for the max-free rationale. This base
+    # [B, H, L, D] entry point is the generic one (callers outside the
+    # packed UNet path may feed arbitrary-scale activations — the VAE
+    # mid-attention runs its own chunked-einsum path in models/vae.py),
+    # so here the guarded recurrence stays the default;
     # ADAFACE_FLASH_MAXFREE=1 opts in.
     maxfree = os.environ.get("ADAFACE_FLASH_MAXFREE") == "1"
 
@@ -68,6 +80,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, block_k: int,
                                 preferred_element_type=jnp.float32) * sc
         if have_bias:
             s = s + bias_ref[0, 0, pl.ds(i * block_k, block_k)][None, :] * _LOG2E
+            s = jnp.maximum(s, _SCORE_FLOOR)
         if maxfree:
             p = jnp.exp2(s)
             l_new = l + jnp.sum(p, axis=-1, keepdims=True)
@@ -118,6 +131,7 @@ def _flash_row_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float,
                             preferred_element_type=jnp.float32) * (scale * _LOG2E)
     if have_bias:
         s = s + bias_ref[0, 0][None, :] * _LOG2E
+        s = jnp.maximum(s, _SCORE_FLOOR)
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp2(s - m)
     l = jnp.sum(p, axis=-1, keepdims=True)
@@ -163,8 +177,6 @@ def _flash_forward(q, k, v, bias, block_q: int, block_k: int, scale: float):
     grid = (bh, lq // block_q)
     # Pallas TPU kernels run interpreted on non-TPU backends (CPU tests).
     interpret = jax.devices()[0].platform != "tpu"
-    import os
-
     # both grid dims are embarrassingly parallel (no cross-program state);
     # declaring them lets Mosaic pipeline block fetches across programs
     # (ADAFACE_FLASH_SEMANTICS=arbitrary reverts for A/B)
@@ -223,6 +235,7 @@ def _row_lse_kernel(q_ref, k_ref, bias_ref, lse_ref, *, scale, have_bias):
                             preferred_element_type=jnp.float32) * (scale * _LOG2E)
     if have_bias:
         s = s + bias_ref[0, 0][None, :] * _LOG2E
+        s = jnp.maximum(s, _SCORE_FLOOR)
     m = jnp.max(s, axis=-1)
     l = jnp.sum(jnp.exp2(s - m[:, None]), axis=-1)
     lse_ref[0, 0] = m + jnp.log2(l)
@@ -238,6 +251,7 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, bias_ref,
                             preferred_element_type=jnp.float32) * (scale * _LOG2E)
     if have_bias:
         s = s + bias_ref[0, 0][None, :] * _LOG2E
+        s = jnp.maximum(s, _SCORE_FLOOR)
     p = jnp.exp2(s - lse_ref[0, 0][:, None])       # [bq, lk]
     dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
@@ -257,6 +271,7 @@ def _bwd_dkv_kernel(k_ref, v_ref, q_ref, do_ref, lse_ref, delta_ref, bias_ref,
                             preferred_element_type=jnp.float32) * (scale * _LOG2E)
     if have_bias:
         s = s + bias_ref[0, 0][:, None] * _LOG2E   # bias indexed by k
+        s = jnp.maximum(s, _SCORE_FLOOR)
     p = jnp.exp2(s - lse_ref[0, 0][None, :])       # [bk, lq]
     dv = jax.lax.dot_general(p.astype(do.dtype), do, (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)
@@ -486,6 +501,7 @@ def _flash_kernel_heads(q_ref, k_ref, v_ref, bias_ref, o_ref, kh_s, vh_s, *,
             if have_bias:
                 s = s + bias_ref[0, 0, pl.ds(i * block_k, block_k)][None, :] \
                     * _LOG2E
+                s = jnp.maximum(s, _SCORE_FLOOR)
             if maxfree:
                 p = jnp.exp2(s)
                 l_new = l + jnp.sum(p, axis=-1, keepdims=True)
@@ -544,6 +560,7 @@ def _flash_kernel_heads_short(q_ref, k_ref, v_ref, bias_ref, o_ref, kt_s, vh_s,
                                 preferred_element_type=jnp.float32) * sc
         if have_bias:
             s = s + bias_ref[0, 0][None, :] * _LOG2E        # bias over lanes
+            s = jnp.maximum(s, _SCORE_FLOOR)
         p = jnp.exp2(s)                                     # [bq, lk]
         l = jnp.sum(p, axis=1, keepdims=True)               # [bq, 1]
         o = jax.lax.dot_general(p.astype(q_ref.dtype), vh_s[hh],
@@ -595,6 +612,7 @@ def _flash_kernel_heads_pvt(q_ref, k_ref, v_ref, bias_ref, o_ref, kh_s, vt_s,
                                 preferred_element_type=jnp.float32) * sc
         if have_bias:
             s = s + bias_ref[0, 0][:, None] * _LOG2E      # bias over k rows
+            s = jnp.maximum(s, _SCORE_FLOOR)
         if exp_bf16:
             p = jnp.exp2(s.astype(jnp.bfloat16))          # [lk, bq] bf16
         else:
@@ -637,6 +655,7 @@ def _flash_kernel_heads_pvt2(q_ref, k_ref, v_ref, bias_ref, o_ref, kh_s, vt_s,
                                 preferred_element_type=jnp.float32) * sc
         if have_bias:
             s = s + bias_ref[0, 0][:, None] * _LOG2E
+            s = jnp.maximum(s, _SCORE_FLOOR)
         p = jnp.exp2(s)                                   # [lk, bq]
         l = jnp.sum(p, axis=0, keepdims=True)             # [1, bq]
         oT = jax.lax.dot_general(vt_s[hh], p.astype(q_ref.dtype),
@@ -751,10 +770,19 @@ def _flash_core_blc3_bwd(heads, d, block_q, block_k, scale, res, g):
     o4 = _blh_to_bhld(o, heads, d)
     g4 = _blh_to_bhld(g, heads, d)
     if _use_einsum_bwd():
-        _, vjp = jax.vjp(
-            lambda q, k, v: _reference_attention(q, k, v, bias, scale), q, k, v)
-        dq, dk, dv = vjp(g4)
-        dbias = None if bias is None else jnp.zeros_like(bias)
+        if bias is None:
+            _, vjp = jax.vjp(
+                lambda q, k, v: _reference_attention(q, k, v, None, scale),
+                q, k, v)
+            dq, dk, dv = vjp(g4)
+            dbias = None
+        else:
+            # differentiate THROUGH the bias too — the A/B arm must be
+            # gradient-equivalent to the flash backward's dbias
+            _, vjp = jax.vjp(
+                lambda q, k, v, b: _reference_attention(q, k, v, b, scale),
+                q, k, v, bias)
+            dq, dk, dv, dbias = vjp(g4)
     else:
         dq, dk, dv, dbias_bh = _flash_backward(q, k, v, bias, o4, g4, scale)
         dbias = None if bias is None else dbias_bh.sum(axis=1)

@@ -212,13 +212,21 @@ class StableDiffusionPipeline:
     # ------------------------------------------------------------- encoding
     def _encode_device(self, clip_params: dict, ids: jnp.ndarray,
                        slot_maps: Dict[str, jnp.ndarray],
-                       embedders: dict) -> jnp.ndarray:
-        """ids [B,77] + slot maps + embedder param-tree -> [L, B, 77, 768]."""
+                       embedders: dict,
+                       extra_subj: Optional[dict] = None) -> jnp.ndarray:
+        """ids [B,77] + slot maps + embedder param-tree -> [L, B, 77, 768].
+        `extra_subj` carries precomputed placeholder embeddings (the
+        zero-shot generators' output) that take precedence over the static
+        embedders for the same placeholder — one jitted patch+encode
+        program serves both the static and the zero-shot paths."""
         from adaface_tpu.personalization.static_embedding import compute_static_embedding
 
         embedded = self.clip.apply({"params": clip_params}, ids,
                                    method=CLIPTextEncoder.embed_tokens)
-        subj = {s: compute_static_embedding(p) for s, p in embedders.items()}
+        subj = {s: compute_static_embedding(p) for s, p in embedders.items()
+                if extra_subj is None or s not in extra_subj}
+        if extra_subj:
+            subj.update(extra_subj)
         patched = EmbeddingManager.patch_prompt_embeddings(embedded, slot_maps, subj)
         L, B, T, D = patched.shape
         flat = patched.reshape(L * B, T, D)
@@ -259,31 +267,16 @@ class StableDiffusionPipeline:
                 arcface_token_id=zs["arcface_token_id"],
                 out_id_embs_scale=zs["out_id_embs_scale"],
                 is_face=zs["is_face"])
-            # [L, 1, K, D] features broadcast over the prompt batch
+            # [L, 1, K, D] features broadcast over the prompt batch; the
+            # patch+encode body runs through the SAME jitted program as the
+            # static path (one compile, no per-op eager tunnel RTTs)
             subj = {s: jnp.broadcast_to(
                 e[:, :1], (e.shape[0], len(prompts)) + e.shape[2:])
                 for s, e in subj.items()}
-            subj.update({s: None for s in ()})
-            from adaface_tpu.personalization.static_embedding import (
-                compute_static_embedding,
-            )
-
-            static = {s: compute_static_embedding(p)
-                      for s, p in mgr.embedders.items()
-                      if s not in subj}
-            embedded = self.clip.apply({"params": self.clip_params},
-                                       jnp.asarray(ids),
-                                       method=CLIPTextEncoder.embed_tokens)
-            merged = dict(static)
-            merged.update(subj)
-            patched = EmbeddingManager.patch_prompt_embeddings(
-                embedded, {k: jnp.asarray(v) for k, v in slot_maps.items()},
-                merged)
-            L, B, T, D = patched.shape
-            ctx = self.clip.apply({"params": self.clip_params},
-                                  input_embeds=patched.reshape(L * B, T, D),
-                                  skip_weights=jnp.asarray(self.skip_weights))
-            return ctx.reshape(L, B, T, D)
+            return self._encode_jit(
+                self.clip_params, jnp.asarray(ids),
+                {k: jnp.asarray(v) for k, v in slot_maps.items()},
+                mgr.embedders, subj)
         if not slot_maps:
             return jnp.broadcast_to(
                 self._encode_plain_jit(self.clip_params, jnp.asarray(ids)),
@@ -305,6 +298,23 @@ class StableDiffusionPipeline:
 
         return lambda ctx, ctx_k: precompute_cross_kv(
             unet_params, self.unet.cfg, ctx, ctx_k, dtype=self.unet.dtype)
+
+    def _cfg_slot_map(self, ids, sm=None) -> jnp.ndarray:
+        """[2B, T] subject slot map for a CFG (cond; uncond) batch — the
+        uncond half carries no subject tokens (slot -1). Shared by
+        generate() and img2img() so conv attention conditions identically
+        on both paths."""
+        if sm is None:
+            sm = self.embedding_manager.build_slot_maps(ids)
+        if sm and self.unet.cfg.conv_attn_kernel_size > 1:
+            subj = next((s for s, i in
+                         self.embedding_manager.placeholders.items()
+                         if not i.is_background), None)
+            cond_map = (np.asarray(sm[subj]) if subj
+                        else np.full(ids.shape, -1))
+            return jnp.asarray(
+                np.concatenate([cond_map, np.full_like(cond_map, -1)]))
+        return jnp.full((2 * ids.shape[0], ids.shape[1]), -1, jnp.int32)
 
     # ------------------------------------------------------------- sampling
     def _get_sampler_fn(self, batch: int, latent_hw: Tuple[int, int], steps: int,
@@ -431,6 +441,7 @@ class StableDiffusionPipeline:
         b = len(prompts)
         ctx_c = self.encode_prompts(prompts)
         ctx_u = self.encode_negative(negative_prompt, b)
+        slot_map = self._cfg_slot_map(self.tokenizer(list(prompts)))
         sched = make_ddim_schedule(self.base_sched, num_steps,
                                    guidance_scale=guidance_scale)
         t_enc = max(1, min(int(strength * num_steps), num_steps - 1))
@@ -441,7 +452,7 @@ class StableDiffusionPipeline:
              else guidance_scale)
 
         @jax.jit
-        def run(unet_params, vae_params, img, ctx_c, ctx_u, key):
+        def run(unet_params, vae_params, img, ctx_c, ctx_u, key, slot_map):
             x = img.astype(jnp.float32) / 127.5 - 1.0
             mean, _ = self.vae.apply({"params": vae_params}, x,
                                      method=AutoencoderKL.encode)
@@ -455,6 +466,7 @@ class StableDiffusionPipeline:
             def unet_apply(x, tt, c, ck, cross_kv=None):
                 return self.unet.apply({"params": unet_params}, x, tt, c,
                                        context_k=ck, cfg_dedup=dedup,
+                                       subj_slot_map=slot_map,
                                        cross_kv=cross_kv)
 
             eps_fn = make_cfg_eps_fn(unet_apply, ctx_c, ctx_u, dedup=dedup,
@@ -468,7 +480,7 @@ class StableDiffusionPipeline:
         img = jnp.broadcast_to(jnp.asarray(init_image)[None],
                                (b,) + init_image.shape)
         out = run(self.unet_params, self.vae_params, img, ctx_c, ctx_u,
-                  jax.random.PRNGKey(seed))
+                  jax.random.PRNGKey(seed), slot_map)
         return np.asarray((out * 255).astype(jnp.uint8))
 
     def generate(
@@ -507,14 +519,7 @@ class StableDiffusionPipeline:
         # uncond half carries no subject tokens -> slot -1
         ids = self.tokenizer(list(prompts))
         sm = self.embedding_manager.build_slot_maps(ids)
-        if sm and self.unet.cfg.conv_attn_kernel_size > 1:
-            subj = next((s for s, i in self.embedding_manager.placeholders.items()
-                         if not i.is_background), None)
-            cond_map = np.asarray(sm[subj]) if subj else np.full(ids.shape, -1)
-            slot_map = jnp.asarray(
-                np.concatenate([cond_map, np.full_like(cond_map, -1)]))
-        else:
-            slot_map = jnp.full((2 * b, ids.shape[1]), -1, jnp.int32)
+        slot_map = self._cfg_slot_map(ids, sm)
 
         # common case (no compel, no zero-shot features, seed-generated
         # noise): everything in one dispatch — noise + encode + scan +

@@ -297,3 +297,65 @@ def test_packed_pvt_vpu_arms(rng, monkeypatch, env, atol):
         _split_heads(q, heads), _split_heads(k, heads), _split_heads(v, heads),
         None, d ** -0.5))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=atol)
+
+
+def test_fully_masked_row_finite(rng):
+    """A batch row whose key_bias masks EVERY key must yield finite,
+    uniform attention (einsum semantics: equal logits -> uniform), not
+    0/0 = NaN from the online kernels — regression for the _SCORE_FLOOR
+    clamp."""
+    from adaface_tpu.ops.flash_attention import flash_attention_blc
+
+    b, h, l, d = 2, 2, 256, 40
+    q = jnp.asarray(rng.standard_normal((b, h, l, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, h, l, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, h, l, d)).astype(np.float32))
+    bias = jnp.where(jnp.arange(b)[:, None] == 0, -1e30, 0.0
+                     ).astype(jnp.float32) * jnp.ones((b, l))
+    out = flash_attention(q, k, v, key_bias=bias)
+    assert np.isfinite(np.asarray(out)).all()
+    ref = _reference_attention(q, k, v, bias, d ** -0.5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    # packed layout: short kernel (l<=256) and pvt kernel (l=512)
+    for lp in (256, 512):
+        heads = 4
+        qp = jnp.asarray(rng.standard_normal((b, lp, heads * d)).astype(np.float32))
+        bp = jnp.where(jnp.arange(b)[:, None] == 0, -1e30, 0.0
+                       ).astype(jnp.float32) * jnp.ones((b, lp))
+        outp = flash_attention_blc(qp, qp, qp, heads, key_bias=bp)
+        assert np.isfinite(np.asarray(outp)).all()
+        qh = _split_heads(qp, heads)
+        refp = _merge_heads(_reference_attention(qh, qh, qh, bp, d ** -0.5))
+        np.testing.assert_allclose(np.asarray(outp), np.asarray(refp),
+                                   atol=2e-5)
+
+
+def test_einsum_bwd_arm_dbias_nonzero(rng, monkeypatch):
+    """ADAFACE_FLASH_BWD=einsum must differentiate THROUGH key_bias like
+    the default flash backward does (regression: the arm used to return
+    an all-zeros bias cotangent in the packed layout)."""
+    from adaface_tpu.ops.flash_attention import flash_attention_blc
+
+    b, l, heads, d = 1, 256, 2, 40
+    q = jnp.asarray(rng.standard_normal((b, l, heads * d)).astype(np.float32))
+    keep = rng.random((b, l)) > 0.3
+    bias0 = jnp.where(jnp.asarray(keep), 0.0, -30.0).astype(jnp.float32)
+
+    def f(bias):
+        return (flash_attention_blc(q, q, q, heads, key_bias=bias) ** 2).sum()
+
+    def f_ref(bias):
+        qh = _split_heads(q, heads)
+        o = _merge_heads(_reference_attention(qh, qh, qh, bias, d ** -0.5))
+        return (o ** 2).sum()
+
+    g_ref = jax.grad(f_ref)(bias0)
+    g_flash = jax.grad(f)(bias0)
+    np.testing.assert_allclose(np.asarray(g_flash), np.asarray(g_ref),
+                               atol=3e-4)
+    monkeypatch.setenv("ADAFACE_FLASH_BWD", "einsum")
+    g_einsum = jax.grad(f)(bias0)
+    assert np.abs(np.asarray(g_einsum)).max() > 0
+    np.testing.assert_allclose(np.asarray(g_einsum), np.asarray(g_ref),
+                               atol=3e-4)
