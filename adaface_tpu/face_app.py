@@ -85,9 +85,10 @@ class FaceApp:
 
         # device-side align+crop (BASELINE config 4: "fused face-align
         # preprocessing"): a SMALL gather program chained device-to-device
-        # into the fixed-shape `_embed` — the crops never visit the host,
-        # and the IResNet forward compiles exactly once (only this tiny
-        # warp recompiles per canvas bucket / face-count bucket).
+        # into `_embed` — the crops never visit the host. The warp
+        # recompiles per (canvas bucket x face-count bucket); the IResNet
+        # forward recompiles only per face-count bucket (its input is
+        # [npad, S, S, 3]), a handful of compiles over a photo folder.
         self._warp = jax.jit(
             functools.partial(warp_affine_jax, size=size))
 
@@ -100,9 +101,9 @@ class FaceApp:
         normalization and the IResNet forward all run on device; the
         aligned crops flow jit-to-jit without visiting the host. Only
         detection stays host-side. The canvas zero-pads up to a multiple
-        of 256 and the face count to a power of two, so repeated calls
-        over a photo folder hit a handful of (tiny) warp compiles while
-        the embed program compiles once."""
+        of 256 and the face count to a power of two, bounding total
+        compiles to a handful of warp programs (per canvas x count
+        bucket) plus one embed program per count bucket."""
         dets = self.detect_fn(image)
         if not dets:
             return []
@@ -111,12 +112,15 @@ class FaceApp:
                       np.asarray(lm, np.float32), float(score))
                  for bbox, lm, score in dets]
         Ms = np.stack([estimate_norm(f.landmarks, size) for f in faces])
-        if not np.isfinite(Ms).all():
-            # degenerate landmarks (e.g. coincident points -> zero
-            # variance in the Umeyama fit) — fail loudly like the host
-            # np.linalg path rather than silently embedding NaNs
-            raise ValueError("degenerate face landmarks: non-finite "
-                             "alignment transform")
+        dets2 = Ms[:, 0, 0] * Ms[:, 1, 1] - Ms[:, 0, 1] * Ms[:, 1, 0]
+        if not np.isfinite(Ms).all() or (np.abs(dets2) < 1e-12).any():
+            # degenerate landmarks: coincident points -> zero variance in
+            # the Umeyama fit (non-finite M), or mirrored/collapsed
+            # layouts -> scale ~ 0 (finite M but singular — the device
+            # warp divides by det). Fail loudly rather than silently
+            # embedding NaN/zero crops.
+            raise ValueError("degenerate face landmarks: singular or "
+                             "non-finite alignment transform")
         n = len(faces)
         npad = 1 << max(0, (n - 1).bit_length())  # next power of two
         if npad != n:  # pad with identity maps so N doesn't recompile

@@ -43,6 +43,15 @@ _LOG2E = 1.4426950408889634
 # keys of partially-masked rows (LN-bounded live scores sit above 2^-43).
 # Applied uniformly wherever bias enters a kernel so forward and backward
 # see identical probabilities.
+#
+# CONTRACT (bias callers only): live biased log2 scores must stay above
+# -100, i.e. |q.k|*scale <~ 69 nats. The UNet/VAE paths satisfy this by two
+# orders of magnitude (LN/GN-bounded activations); a hypothetical caller
+# feeding a key_bias together with scores below -100 log2 would see its
+# live keys clamped to the same floor as masked ones (uniform leak), where
+# the einsum reference still separates them. No such caller exists; the
+# floor is deliberately absolute because a running-max-relative clamp
+# cannot be applied consistently across streamed k-blocks.
 _SCORE_FLOOR = -100.0
 
 

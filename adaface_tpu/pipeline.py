@@ -252,13 +252,18 @@ class StableDiffusionPipeline:
                         arcface_token_id=arcface_token_id,
                         out_id_embs_scale=out_id_embs_scale, is_face=is_face)
 
-    def encode_prompts(self, prompts: Sequence[str]) -> jnp.ndarray:
+    def encode_prompts(self, prompts: Sequence[str], ids=None,
+                       slot_maps=None) -> jnp.ndarray:
         """Personalized encoding: [L, B, 77, 768] with placeholders patched.
         Static embedders and/or zero-shot generators both feed the same
-        dense slot-map patch."""
-        ids = self.tokenizer(list(prompts))
+        dense slot-map patch. `ids`/`slot_maps` accept precomputed values so
+        callers that also need them (img2img's conv-attn slot map) tokenize
+        once."""
+        if ids is None:
+            ids = self.tokenizer(list(prompts))
         mgr = self.embedding_manager
-        slot_maps = mgr.build_slot_maps(ids)
+        if slot_maps is None:
+            slot_maps = mgr.build_slot_maps(ids)
         zs = getattr(self, "_zs", None)
         if zs is not None and mgr.subj_basis_generators:
             subj, _ = mgr.compute_zero_shot_embeddings(
@@ -439,9 +444,11 @@ class StableDiffusionPipeline:
         from adaface_tpu.samplers.ddim import ddim_decode, stochastic_encode
 
         b = len(prompts)
-        ctx_c = self.encode_prompts(prompts)
+        ids = self.tokenizer(list(prompts))
+        sm = self.embedding_manager.build_slot_maps(ids)
+        ctx_c = self.encode_prompts(prompts, ids=ids, slot_maps=sm)
         ctx_u = self.encode_negative(negative_prompt, b)
-        slot_map = self._cfg_slot_map(self.tokenizer(list(prompts)))
+        slot_map = self._cfg_slot_map(ids, sm)
         sched = make_ddim_schedule(self.base_sched, num_steps,
                                    guidance_scale=guidance_scale)
         t_enc = max(1, min(int(strength * num_steps), num_steps - 1))

@@ -78,18 +78,24 @@ def inpaint(pipe, init_image, mask, prompts, num_steps=50,
 
     from adaface_tpu.models.vae import SD_VAE_SCALE_FACTOR, AutoencoderKL
     from adaface_tpu.ops.schedule import make_ddim_schedule
+    from adaface_tpu.pipeline import _cfg_dedup_on
     from adaface_tpu.samplers.ddim import ddim_step, make_cfg_eps_fn
 
     b = len(prompts)
     ctx_c = pipe.encode_prompts(prompts)
     ctx_u = pipe.encode_negative("", b)
+    # conv attention conditions on the subject slot map; omitting it here
+    # silently disabled conv attn on the inpaint path (generate()/img2img()
+    # thread it)
+    slot_map = pipe._cfg_slot_map(pipe.tokenizer(list(prompts)))
+    dedup = _cfg_dedup_on()
     sched = make_ddim_schedule(pipe.base_sched, num_steps,
                                guidance_scale=guidance_scale)
     f = 2 ** (len(pipe.vae.cfg.ch_mult) - 1)
     lh = init_image.shape[0] // f
 
     @jax.jit
-    def run(unet_params, vae_params, img, m, ctx_c, ctx_u, key):
+    def run(unet_params, vae_params, img, m, ctx_c, ctx_u, key, slot_map):
         x = img.astype(jnp.float32) / 127.5 - 1.0
         mean, _ = pipe.vae.apply({"params": vae_params}, x[None],
                                  method=AutoencoderKL.encode)
@@ -99,11 +105,14 @@ def inpaint(pipe, init_image, mask, prompts, num_steps=50,
         ml = jax.image.resize(m[None, :, :, None], (1, lh, lh, 1), "nearest")
         ml = jnp.broadcast_to(ml, z0.shape[:3] + (1,))
 
-        def unet_apply(x, t, c, ck):
+        def unet_apply(x, t, c, ck, cross_kv=None):
             return pipe.unet.apply({"params": unet_params}, x, t, c,
-                                   context_k=ck)
+                                   context_k=ck, cfg_dedup=dedup,
+                                   subj_slot_map=slot_map,
+                                   cross_kv=cross_kv)
 
-        eps_fn = make_cfg_eps_fn(unet_apply, ctx_c, ctx_u)
+        eps_fn = make_cfg_eps_fn(unet_apply, ctx_c, ctx_u, dedup=dedup,
+                                 kv_fn=pipe._make_kv_fn(unet_params))
         x_t = jax.random.normal(key, z0.shape)
 
         def step(x, per_step):
@@ -129,7 +138,7 @@ def inpaint(pipe, init_image, mask, prompts, num_steps=50,
 
     out = run(pipe.unet_params, pipe.vae_params, jnp.asarray(init_image),
               jnp.asarray(mask, jnp.float32), ctx_c, ctx_u,
-              jax.random.PRNGKey(seed))
+              jax.random.PRNGKey(seed), slot_map)
     return np.asarray((out * 255).astype(jnp.uint8))
 
 

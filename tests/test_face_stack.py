@@ -239,6 +239,38 @@ def test_face_app_full_image():
     np.testing.assert_allclose(emb, emb2, atol=1e-6)
 
 
+def test_face_app_degenerate_landmarks_fail_loudly(monkeypatch):
+    """Degenerate alignment transforms must raise, not silently embed
+    garbage: coincident landmarks yield a non-finite M (zero Umeyama
+    variance); a finite-but-singular M (scale ~ 0, e.g. mirrored
+    layouts) would divide by ~0 in the device warp."""
+    import pytest
+
+    import adaface_tpu.face_app as fa_mod
+
+    cfg = IResNetConfig.tiny()
+    model = IResNet(cfg)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, cfg.input_size, cfg.input_size, 3)))["params"]
+    img = np.zeros((64, 64, 3), np.uint8)
+
+    def coincident_det(image):
+        lm = np.tile(np.array([10.0, 10.0], np.float32), (5, 1))
+        return [(np.array([0, 0, 64, 64], np.float32), lm, 1.0)]
+
+    app = FaceApp(model, params, detect_fn=coincident_det)
+    with pytest.raises(ValueError, match="degenerate"):
+        app.get(img)
+
+    # finite but singular M (the isfinite check alone missed this)
+    singular = np.array([[1e-13, 0, 5], [0, 1e-13, 5]], np.float32)
+    monkeypatch.setattr(fa_mod, "estimate_norm",
+                        lambda lm, size: singular)
+    app2 = FaceApp(model, params)
+    with pytest.raises(ValueError, match="singular"):
+        app2.get(img)
+
+
 # ------------------------------------------------------------- RetinaFace
 
 def test_retinaface_priors_and_forward():
