@@ -507,9 +507,14 @@ class UNetModel(nn.Module):
         subj_slot_map: Optional[jnp.ndarray] = None,  # [B, T] for conv attn
         cfg_dedup: bool = False,
         cross_kv: Optional[tuple] = None,  # precompute_cross_kv() output
+        capture_keys: Optional[tuple] = None,  # e.g. ("attnscore",)
     ):
         """Returns eps prediction [B, H, W, out_channels]; with capture=True
-        also a dict layer_idx -> {q, attn, attnscore, outfeat}.
+        also a dict layer_idx -> {q, attn, attnscore, k, v, outfeat}.
+        `capture_keys` restricts the captured entries — a consumer that only
+        reads `attnscore` (the recon complementary battery) should pass
+        ("attnscore",) so the q/attn/k/v/outfeat slabs are not retained as
+        loss inputs through the backward pass.
 
         cfg_dedup (inference-only): x/timesteps arrive at batch B while
         context is [L, 2B, T, D] — the (cond, uncond) CFG halves share
@@ -577,6 +582,8 @@ class UNetModel(nn.Module):
                         subj_slot_map=subj_slot_map, kv=kv)
             if do_cap:
                 aux["outfeat"] = h
+                if capture_keys is not None:
+                    aux = {k: v for k, v in aux.items() if k in capture_keys}
                 captures[layer_idx] = aux
             return h
 

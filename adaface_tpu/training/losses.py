@@ -247,17 +247,34 @@ def fg_bg_complementary_loss(
     fg_mask: Optional[jnp.ndarray] = None,  # [B, H, W(,1)]
     instance_mask: Optional[jnp.ndarray] = None,
     fg_grad_scale: float = 0.1,
-    K_fg: int = 9, K_bg: int = 4,
+    do_sqrt_norm: bool = False,
 ):
     """Subject vs background token attention complementarity + four
     margin-contrast suppressions (`calc_fg_bg_complementary_loss`,
     `ddpm.py:4039-4253`). Returns (complementary, subj_mb_suppress,
-    bg_mf_suppress, fg_bg_mask_contrast)."""
+    bg_mf_suppress, fg_bg_mask_contrast).
+
+    K_fg/K_bg (embeddings per subject/bg token; 9/4 with the default
+    static embedders) are derived from the masks like the reference
+    derives them from its index tuples (`ddpm.py:4076-4079`) — essential
+    for the wds variant, where the "bg" role is played by a much larger
+    comp-extra token set. `do_sqrt_norm` divides each instance's summed
+    score by sqrt(its token count) (`sel_emb_attns_by_indices`,
+    `ldm/util.py:2209-2212`; the wds call sets it, `ddpm.py:3525-3536`)."""
     weights = _normalize_weights(ATTN_ALIGN_LAYER_WEIGHTS)
     subj_mb_scale, bg_mf_scale, contrast_scale = 0.05, 0.1, 0.05
     mfmb_margin = 0.4
+    subj_m = subj_token_mask.astype(jnp.float32)
+    bg_m = bg_token_mask.astype(jnp.float32)
+    K_fg = jnp.maximum(jnp.mean(jnp.sum(subj_m, axis=-1)), 1.0)
+    K_bg = jnp.maximum(jnp.mean(jnp.sum(bg_m, axis=-1)), 1.0)
     subj_bg_at_mf_margin = 0.4 * K_fg / K_bg
     bg_subj_at_mb_margin = 0.4
+    # per-instance sqrt norms (stop_gradient: pure normalizers)
+    sq_fg = jax.lax.stop_gradient(
+        jnp.sqrt(jnp.maximum(jnp.sum(subj_m, axis=-1), 1.0)))[:, None, None]
+    sq_bg = jax.lax.stop_gradient(
+        jnp.sqrt(jnp.maximum(jnp.sum(bg_m, axis=-1), 1.0)))[:, None, None]
 
     l_comple, l_subj_mb, l_bg_mf, l_contrast = [], [], [], []
     for idx, attn in ca_attnscores.items():
@@ -266,6 +283,9 @@ def fg_bg_complementary_loss(
         w = weights[idx]
         subj_score = _token_score(attn, subj_token_mask)
         bg_score = _token_score(attn, bg_token_mask)
+        if do_sqrt_norm:
+            subj_score = subj_score / sq_fg
+            bg_score = bg_score / sq_bg
         # push bg attention to be orthogonal to subject attention
         l_comple.append(w * ref_cosine_loss(
             bg_score, subj_score, exponent=2.0, do_demean_first=False,

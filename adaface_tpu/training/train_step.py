@@ -118,10 +118,11 @@ def _recon_complem_terms(
     if (wds_complem_weight > 0 and wds_extra_token_mask is not None
             and fg_mask is not None):
         # fg vs wds-extra tokens complementary (`ddpm.py:3498-3552`); the
-        # wds-extra mask plays the bg role
+        # wds-extra mask plays the bg role. do_sqrt_norm: wds comp-extra
+        # prompts are much longer than a bg token set (`ddpm.py:3533-3536`)
         w_comple, w_subj_mb, w_align, w_contrast = fg_bg_complementary_loss(
             scores, subj_mask, wds_extra_token_mask, fg_mask,
-            fg_grad_scale=0.1)
+            fg_grad_scale=0.1, do_sqrt_norm=True)
         loss = loss + (w_comple + w_align + w_subj_mb
                        + w_contrast) * wds_complem_weight
         metrics.update(fg_wds_complem=w_comple, wds_mask_align=w_align)
@@ -179,8 +180,12 @@ def make_recon_train_step(
         ctx = ctx.reshape(L, B, T, D)
         x_noisy = sched.q_sample(batch.latents, batch.timesteps, batch.noise)
         if do_capture:
+            # the recon battery reads ONLY attnscore; capturing q/attn/k/v/
+            # outfeat too would retain ~4x the activation memory through
+            # the backward pass for nothing
             eps, aux = unet.apply({"params": fz["unet"]}, x_noisy,
-                                  batch.timesteps, ctx, capture=True)
+                                  batch.timesteps, ctx, capture=True,
+                                  capture_keys=("attnscore",))
         else:
             eps, aux = unet.apply({"params": fz["unet"]}, x_noisy,
                                   batch.timesteps, ctx), None
@@ -374,7 +379,8 @@ def _make_compos_loss_core(clip, unet, sched, skip_weights,
         n4 = jnp.tile(batch.noise, (4, 1, 1, 1))
         x_noisy = sched.q_sample(x4, t4, n4)
         eps, aux = unet.apply({"params": fz["unet"]}, x_noisy, t4,
-                              ctx_v, context_k=ctx_k, capture=True)
+                              ctx_v, context_k=ctx_k, capture=True,
+                              capture_keys=("outfeat", "attnscore"))
 
         # feat/attn delta alignment (`calc_prompt_mix_loss`, `ddpm.py:3710`)
         loss_feat, loss_attn, loss_attn_norm = 0.0, 0.0, 0.0
@@ -843,8 +849,10 @@ def make_zero_shot_recon_step(
         ctx = ctx.reshape(L, B, T, D)
         x_noisy = sched.q_sample(batch.latents, batch.timesteps, batch.noise)
         if do_capture:
+            # only attnscore feeds the battery (see make_recon_train_step)
             eps, aux = unet.apply({"params": fz["unet"]}, x_noisy,
-                                  batch.timesteps, ctx, capture=True)
+                                  batch.timesteps, ctx, capture=True,
+                                  capture_keys=("attnscore",))
         else:
             eps, aux = unet.apply({"params": fz["unet"]}, x_noisy,
                                   batch.timesteps, ctx), None

@@ -169,7 +169,6 @@ class Trainer:
 
             self.compositor = BackgroundCompositor(
                 list(cfg.wds_shards), size=dataset.size)
-            self._wds_steps = {}
         # optional compositional-iteration plumbing
         self.teacher_filter = None  # set via set_teacher_filter()
         self.cached_inits = None
@@ -339,9 +338,13 @@ class Trainer:
         return self._recon_steps[key]
 
     def _wds_extra_mask(self, ids: np.ndarray, slots: Dict) -> np.ndarray:
-        """[B, T] comp-extra token mask for wds instances: real tokens that
-        are neither subject nor bg slots (`ddpm.py:3498-3524`)."""
-        real = (np.asarray(ids) > 0).astype(np.float32)
+        """[B, T] comp-extra token mask for wds instances: real WORD tokens
+        (not BOS and not EOS/padding — the reference's `prompt_emb_mask`,
+        `embedding_manager.py:1642`) that are neither subject nor bg slots
+        (`ddpm.py:3498-3524`)."""
+        ids = np.asarray(ids)
+        tok = self.pipe.tokenizer
+        real = ((ids != tok.bos_id) & (ids != tok.eos_id)).astype(np.float32)
         for s, m in slots.items():
             real = real * (np.asarray(m) < 0)
         return real
@@ -391,44 +394,32 @@ class Trainer:
             metrics["wds_comp"] = 1.0
         return metrics
 
-    def _run_compos(self, plan: IterPlan):
-        # BLOCK_SIZE=1 (`ddpm.py:1971-2141`): one instance per prompt type
-        ex = self._draw_examples(1)
-        e = ex[0]
-        bg = plan.use_background_token
-        fp = plan.use_fp_trick
-
-        def keys_for(suffix):
-            return [f"subj_prompt_single{suffix}", f"subj_prompt_comp{suffix}",
-                    f"cls_prompt_single{suffix}", f"cls_prompt_comp{suffix}"]
-
-        # pick the richest suffix whose FULL 4-type battery exists, so the
-        # prompt types stay token-aligned (`ddpm.py:1588-1612`)
-        suffix = ""
-        for cand in (["_fp_bg"] if (fp and bg) else []) + \
-                (["_fp"] if fp else []) + (["_bg"] if bg else []) + [""]:
-            if all(k in e for k in keys_for(cand)):
-                suffix = cand
-                break
-        prompts = [e[k].split("|")[0] for k in keys_for(suffix)]
-        ids = self.pipe.tokenizer(prompts)
-        slots = self.mgr.build_slot_maps(ids)
-        subj_string = next(s for s, info in self.mgr.placeholders.items()
-                           if not info.is_background)
-        latents = self._latents(e["image"][None])
-        lh, lw = latents.shape[1:3]
-        fg_latent = self._mask_to_latent(e["fg_mask"][None], lh, lw)
-        prev_t = None
+    def _compos_x_start(self, plan: IterPlan, e: dict, latents, fg_latent,
+                        prompts):
+        """Reuse-init restore or fresh x_start-mode dispatch, shared by the
+        static and zero-shot compos paths. On reuse the cached iteration's
+        FULL conditioning is restored — the 4-type prompt battery and
+        use_background_token (`ddpm.py:1903-1915`) along with x_start/t/
+        fg_mask — because the cached reconstruction was denoised UNDER
+        those prompts ("the 4 types of prompts have to be the same as this
+        iter"); distilling it under freshly-sampled prompts would pair the
+        teacher's composition with the wrong text. Returns
+        (latents, fg_latent, prompts, prev_t, cache_entry-or-None)."""
+        prev_t, entry = None, None
         if (self.cached_inits is not None
                 and e["subject_name"] in self.cached_inits):
             # reuse-init follow-up iteration at mid-range t (`ddpm.py:2604-2635`)
             entry = self.cached_inits.pop(e["subject_name"])
             latents = jnp.asarray(entry["x_start"][:1])
             prev_t = entry["t"][:1]
-            if "fg_mask" in entry:
+            if entry.get("fg_mask") is not None:
                 fg_latent = entry["fg_mask"]
+            if entry.get("prompts") is not None:
+                prompts = list(entry["prompts"])
             plan.reuse_init_conds = True
             plan.do_teacher_filter = False
+            plan.use_background_token = bool(
+                entry.get("use_background_token", plan.use_background_token))
             # the previous iter's fg-init mode carries over (`ddpm.py:2609-2612`)
             plan.comp_init_fg_from_training_image = bool(
                 entry.get("comp_init_fg_from_training_image", False))
@@ -450,6 +441,58 @@ class Trainer:
                 plan.comp_init_fg_from_training_image = False
                 latents = jnp.asarray(
                     self.rng.standard_normal(latents.shape), jnp.float32)
+        return latents, fg_latent, prompts, prev_t, entry
+
+    def _cache_teacher_recon(self, e: dict, verdict, t, fg_latent,
+                             plan: IterPlan, prompts, **zs_extra):
+        """Cache the best candidate's CFG reconstruction (under the SUBJECT
+        context, `x_recon.chunk(2)[0]`, `ddpm.py:3144-3177`) together with
+        the conditioning it was denoised under (prompts +
+        use_background_token; zs features via `zs_extra` on the zero-shot
+        path) — the follow-up reuse-init iteration restores all of it."""
+        if self.cached_inits is None:
+            return
+        i = verdict.best_cand_idx
+        self.cached_inits.put(
+            e["subject_name"], verdict.x_recons[i:i + 1], t,
+            fg_mask=np.asarray(fg_latent),
+            prompts=list(prompts),
+            use_background_token=bool(plan.use_background_token),
+            comp_init_fg_from_training_image=bool(
+                plan.comp_init_fg_from_training_image),
+            **zs_extra)
+
+    def _run_compos(self, plan: IterPlan):
+        # BLOCK_SIZE=1 (`ddpm.py:1971-2141`): one instance per prompt type
+        ex = self._draw_examples(1)
+        e = ex[0]
+        bg = plan.use_background_token
+        fp = plan.use_fp_trick
+
+        def keys_for(suffix):
+            return [f"subj_prompt_single{suffix}", f"subj_prompt_comp{suffix}",
+                    f"cls_prompt_single{suffix}", f"cls_prompt_comp{suffix}"]
+
+        # pick the richest suffix whose FULL 4-type battery exists, so the
+        # prompt types stay token-aligned (`ddpm.py:1588-1612`)
+        suffix = ""
+        for cand in (["_fp_bg"] if (fp and bg) else []) + \
+                (["_fp"] if fp else []) + (["_bg"] if bg else []) + [""]:
+            if all(k in e for k in keys_for(cand)):
+                suffix = cand
+                break
+        prompts = [e[k].split("|")[0] for k in keys_for(suffix)]
+        latents = self._latents(e["image"][None])
+        lh, lw = latents.shape[1:3]
+        fg_latent = self._mask_to_latent(e["fg_mask"][None], lh, lw)
+        latents, fg_latent, prompts, prev_t, _ = self._compos_x_start(
+            plan, e, latents, fg_latent, prompts)
+        # tokenize AFTER the cache check: a reuse-init iter restores the
+        # cached iteration's prompt battery
+        ids = self.pipe.tokenizer(prompts)
+        slots = self.mgr.build_slot_maps(ids)
+        subj_string = next(s for s, info in self.mgr.placeholders.items()
+                           if not info.is_background)
         t = sample_timesteps(self.rng, plan, 1, self.plan_cfg, prev_t=prev_t)
         noise = jnp.asarray(self.rng.standard_normal(latents.shape), jnp.float32)
 
@@ -478,15 +521,7 @@ class Trainer:
             i = verdict.best_cand_idx
             noise = cand_noise[i:i + 1]
             t = np.asarray(cand_t)[i:i + 1]
-            if self.cached_inits is not None:
-                # cache the best candidate's CFG reconstruction under the
-                # SUBJECT context (`x_recon.chunk(2)[0]`, `ddpm.py:3144-3177`)
-                # — the teacher's composition seeds the follow-up iter
-                self.cached_inits.put(
-                    e["subject_name"], verdict.x_recons[i:i + 1], t,
-                    fg_mask=np.asarray(fg_latent),
-                    comp_init_fg_from_training_image=bool(
-                        plan.comp_init_fg_from_training_image))
+            self._cache_teacher_recon(e, verdict, t, fg_latent, plan, prompts)
 
         compel_level, compel_mask = 0.0, None
         if self.cfg.apply_compel_cfg_prob > 0:

@@ -90,7 +90,10 @@ def init_x_with_fg_from_training_image(
     padded = np.zeros((b, h, w, packed.shape[-1]), np.float32)
     padded[:, ph1:ph1 + sh, pw1:pw1 + sw] = scaled
     x_scaled, fgm_scaled = padded[..., :4], padded[..., 4:]
-    fgm_scaled = (fgm_scaled > 0.5).astype(np.float32)
+    # .bool() semantics (`ldm/util.py:2450`): ANY nonzero interpolated
+    # pixel counts as foreground — a >0.5 cut would erase the bilinear
+    # feather ring of small fg regions at aggressive down-scales
+    fgm_scaled = (fgm_scaled > 0).astype(np.float32)
 
     x_new = np.where(fgm_scaled > 0, x_scaled,
                      rng.standard_normal(x_start.shape).astype(np.float32))

@@ -200,48 +200,28 @@ class ZeroShotTrainer(Trainer):
         suffix = "_bg" if (plan.use_background_token
                            and all(k in e for k in keys_for("_bg"))) else ""
         prompts = [e[k].split("|")[0] for k in keys_for(suffix)]
+        latents = self._latents(e["image"][None])
+        lh, lw = latents.shape[1:3]
+        fg_latent = self._mask_to_latent(e["fg_mask"][None], lh, lw)
+        latents, fg_latent, prompts, prev_t, entry = self._compos_x_start(
+            plan, e, latents, fg_latent, prompts)
+        # tokenize AFTER the cache check (reuse restores the cached
+        # iteration's prompt battery)
         ids = self.pipe.tokenizer(prompts)
         slots = self.mgr.build_slot_maps(ids)
         subj_string = next(s for s in self.generators
                            if s not in self.bg_placeholders)
-        latents = self._latents(e["image"][None])
-        lh, lw = latents.shape[1:3]
-        fg_latent = self._mask_to_latent(e["fg_mask"][None], lh, lw)
-        feats = self.extractor.encode([e["image_unnorm"]], [e["fg_mask"]],
-                                      is_face=True)
-        id_embs = feats.id_embs if feats.id_embs is not None else \
-            jnp.asarray(self.rng.standard_normal((1, 512)), jnp.float32)
-
-        prev_t = None
-        if (self.cached_inits is not None
-                and e["subject_name"] in self.cached_inits):
-            # reuse-init follow-up at mid-range t (`ddpm.py:2604-2635`)
-            entry = self.cached_inits.pop(e["subject_name"])
-            latents = jnp.asarray(entry["x_start"][:1])
-            prev_t = entry["t"][:1]
-            if "fg_mask" in entry:
-                fg_latent = entry["fg_mask"]
-            plan.reuse_init_conds = True
-            plan.do_teacher_filter = False
-            plan.comp_init_fg_from_training_image = bool(
-                entry.get("comp_init_fg_from_training_image", False))
+        if entry is not None and entry.get("zs_feats") is not None:
+            # the reference also caches/restores the zs conditioning
+            # (`zs_clip_features`/`zs_id_embs`, `ddpm.py:3173-3176`,
+            # `:1913-1915`): the cached recon was denoised under THESE
+            # reference-image features, which may differ from this draw's
+            feats, id_embs = entry["zs_feats"], entry["zs_id_embs"]
         else:
-            # fresh compos iter x_start modes (`ddpm.py:2645-2664`)
-            if (plan.comp_init_fg_from_training_image
-                    and float(fg_latent.sum()) > 0):
-                from adaface_tpu.training.x_init import (
-                    init_x_with_fg_from_training_image,
-                )
-
-                x_np, fg_np = init_x_with_fg_from_training_image(
-                    self.rng, np.asarray(latents), fg_latent,
-                    plan.training_percent)
-                latents = jnp.asarray(x_np)
-                fg_latent = fg_np
-            else:
-                plan.comp_init_fg_from_training_image = False
-                latents = jnp.asarray(
-                    self.rng.standard_normal(latents.shape), jnp.float32)
+            feats = self.extractor.encode([e["image_unnorm"]], [e["fg_mask"]],
+                                          is_face=True)
+            id_embs = feats.id_embs if feats.id_embs is not None else \
+                jnp.asarray(self.rng.standard_normal((1, 512)), jnp.float32)
         t = sample_timesteps(self.rng, plan, 1, self.plan_cfg, prev_t=prev_t)
         noise = jnp.asarray(self.rng.standard_normal(latents.shape),
                             jnp.float32)
@@ -273,15 +253,9 @@ class ZeroShotTrainer(Trainer):
             i = verdict.best_cand_idx
             noise = cand_noise[i:i + 1]
             t = np.asarray(cand_t)[i:i + 1]
-            if self.cached_inits is not None:
-                # cache the best candidate's CFG reconstruction — the
-                # teacher's composition, not the pre-noise training latent
-                # (`x_recon.chunk(2)[0]`, `ddpm.py:3144-3177`)
-                self.cached_inits.put(
-                    e["subject_name"], verdict.x_recons[i:i + 1], t,
-                    fg_mask=np.asarray(fg_latent),
-                    comp_init_fg_from_training_image=bool(
-                        plan.comp_init_fg_from_training_image))
+            self._cache_teacher_recon(e, verdict, t, fg_latent, plan,
+                                      prompts, zs_feats=feats,
+                                      zs_id_embs=id_embs)
 
         noise_kw = {}
         if plan.emb_noise_std > 0:

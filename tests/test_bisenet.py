@@ -131,10 +131,11 @@ def test_precise_cli(tmp_path):
                     ).save(d / "a.jpg")
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     env.pop("PALLAS_AXON_POOL_IPS", None)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     r = subprocess.run(
         [sys.executable, "scripts/gen_face_masks.py", str(d), "--precise",
          "--parsing_size", "64"],
-        cwd="/root/repo", env=env, capture_output=True, text=True,
+        cwd=repo_root, env=env, capture_output=True, text=True,
         timeout=600)
     assert r.returncode == 0, r.stdout + r.stderr
     assert (d / "a_mask.png").exists()

@@ -131,10 +131,20 @@ def test_fg_bg_complementary_loss_runs():
     fg = np.zeros((B, 8, 8, 1), np.float32)
     fg[:, 2:6, 2:6] = 1.0
     scores = {16: _fake_attn(rng), 17: _fake_attn(rng)}
+    # K_fg=3/K_bg=1 are now derived from the masks (3 subj slots, 1 bg)
     comple, s_mb, b_mf, contrast = L.fg_bg_complementary_loss(
         scores, jnp.asarray(subj_mask), jnp.asarray(bg_mask),
-        fg_mask=jnp.asarray(fg), K_fg=3, K_bg=1)
+        fg_mask=jnp.asarray(fg))
     for v in (comple, s_mb, b_mf, contrast):
+        assert np.isfinite(float(v))
+    # do_sqrt_norm (the wds variant): scores scale by 1/sqrt(K) per side,
+    # so the pure-cosine complementary term is UNCHANGED while the
+    # margin-hinge terms shift
+    comple_sq, s_mb_sq, b_mf_sq, contrast_sq = L.fg_bg_complementary_loss(
+        scores, jnp.asarray(subj_mask), jnp.asarray(bg_mask),
+        fg_mask=jnp.asarray(fg), do_sqrt_norm=True)
+    np.testing.assert_allclose(float(comple_sq), float(comple), rtol=1e-5)
+    for v in (s_mb_sq, b_mf_sq, contrast_sq):
         assert np.isfinite(float(v))
     # identical attn maps for subj and bg -> highly non-complementary
     comple2, *_ = L.fg_bg_complementary_loss(

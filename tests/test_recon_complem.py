@@ -187,3 +187,44 @@ def test_compos_x_start_modes_and_emb_noise(subject_dir, tmp_path):
     assert plan3.comp_init_fg_from_training_image
     assert subj not in tr.cached_inits  # consumed
     assert np.isfinite(float(m3["loss"]))
+
+
+def test_reuse_init_restores_cached_conditioning(subject_dir, tmp_path):
+    """A reuse-init iteration must distill the cached reconstruction under
+    the PROMPTS it was denoised with (`ddpm.py:1903-1915`), not under
+    freshly-sampled ones — regression: the cache used to carry only
+    x_start/t."""
+    from adaface_tpu.training.teacher_filter import CachedInits
+
+    tr = _build(subject_dir, str(tmp_path / "run"))
+    tr.cached_inits = CachedInits()
+    subj = tr.dataset.subjects[0].name
+    cached_prompts = ["a z marker", "a z marker on a beach",
+                      "a person marker", "a person marker on a beach"]
+    tr.cached_inits.put(subj, np.zeros((1, 8, 8, 4), np.float32),
+                        np.asarray([700]),
+                        fg_mask=np.ones((1, 8, 8, 1), np.float32),
+                        prompts=cached_prompts,
+                        use_background_token=False,
+                        comp_init_fg_from_training_image=False)
+    plan = plan_iteration(tr.rng, 0, tr.plan_cfg)
+    plan.use_background_token = True  # freshly sampled, must be overridden
+    seen = {}
+    orig = tr.pipe.tokenizer
+
+    class SpyTok:
+        def __call__(self, prompts):
+            seen["prompts"] = list(prompts)
+            return orig(prompts)
+
+        def __getattr__(self, name):
+            return getattr(orig, name)
+
+    tr.pipe.tokenizer = SpyTok()
+    try:
+        m = tr._run_compos(plan)
+    finally:
+        tr.pipe.tokenizer = orig
+    assert seen["prompts"] == cached_prompts
+    assert plan.use_background_token is False  # restored from the cache
+    assert np.isfinite(float(m["loss"]))
