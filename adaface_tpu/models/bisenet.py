@@ -11,7 +11,9 @@ as in that repo):
 
 - ResNet-18 trunk -> feat8 / feat16 / feat32;
 - ContextPath: global-avg context conv + two Attention Refinement Modules
-  (ARM) with top-down bilinear upsampling and 3x3 heads;
+  (ARM) with top-down NEAREST upsampling and 3x3 heads (the source repo
+  trains conv_head32/conv_head16 on nearest-upsampled feature maps;
+  bilinear here would feed the trained checkpoint smoothed activations);
 - Feature Fusion Module (FFM) fusing feat8 with the refined feat16;
 - 1x1 classifier head -> [B, H, W, 19] logits at input resolution.
 
@@ -36,9 +38,36 @@ def _conv(features, kernel, stride=1, name=None):
                    padding=[(pad, pad), (pad, pad)], use_bias=True, name=name)
 
 
-def _resize_to(x, h, w):
+def _resize_nearest(x, h, w):
+    """F.interpolate(mode='nearest') of the source repo's ContextPath —
+    identical to torch for the exact-2x upsamples used there."""
     b, _, _, c = x.shape
-    return jax.image.resize(x, (b, h, w, c), method="bilinear")
+    return jax.image.resize(x, (b, h, w, c), method="nearest")
+
+
+def _resize_bilinear_ac(x, h, w):
+    """Bilinear with align_corners=True (the source repo's final logits
+    upsample, F.interpolate(..., mode='bilinear', align_corners=True)) —
+    jax.image.resize implements half-pixel centers only, so the corner-
+    aligned sample grid is built explicitly."""
+    b, ih, iw, c = x.shape
+
+    def grid(n_out, n_in):
+        if n_out <= 1 or n_in <= 1:
+            return jnp.zeros((max(n_out, 1),), jnp.float32)
+        return jnp.arange(n_out, dtype=jnp.float32) * ((n_in - 1) / (n_out - 1))
+
+    ys, xs = grid(h, ih), grid(w, iw)
+    y0 = jnp.floor(ys).astype(jnp.int32)
+    x0 = jnp.floor(xs).astype(jnp.int32)
+    y1 = jnp.minimum(y0 + 1, ih - 1)
+    x1 = jnp.minimum(x0 + 1, iw - 1)
+    wy = (ys - y0.astype(jnp.float32))[None, :, None, None]
+    wx = (xs - x0.astype(jnp.float32))[None, None, :, None]
+    gather = lambda yi, xi: x[:, yi][:, :, xi]
+    top = gather(y0, x0) * (1 - wx) + gather(y0, x1) * wx
+    bot = gather(y1, x0) * (1 - wx) + gather(y1, x1) * wx
+    return top * (1 - wy) + bot * wy
 
 
 class BasicBlock(nn.Module):
@@ -130,16 +159,16 @@ class BiSeNet(nn.Module):
         avg_up = jnp.broadcast_to(avg, feat32.shape[:3] + (128,))
 
         f32 = ARM(128, name="arm32")(feat32) + avg_up
-        f32 = _resize_to(f32, *feat16.shape[1:3])
+        f32 = _resize_nearest(f32, *feat16.shape[1:3])
         f32 = nn.relu(_conv(128, 3, name="conv_head32")(f32))
 
         f16 = ARM(128, name="arm16")(feat16) + f32
-        f16 = _resize_to(f16, *feat8.shape[1:3])
+        f16 = _resize_nearest(f16, *feat8.shape[1:3])
         f16 = nn.relu(_conv(128, 3, name="conv_head16")(f16))
 
         fused = FFM(256, name="ffm")(feat8, f16)
         out = Head(256, self.n_classes, name="conv_out")(fused)
-        return _resize_to(out, H, W)
+        return _resize_bilinear_ac(out, H, W)
 
 
 IMAGENET_MEAN = (0.485, 0.456, 0.406)

@@ -45,7 +45,12 @@ def make_parser(opt):
         preprocess,
     )
 
-    if opt.parsing_ckpt and os.path.exists(opt.parsing_ckpt):
+    if opt.parsing_ckpt:
+        # an explicitly-given but missing checkpoint is a hard error:
+        # silently parsing with random weights would feed garbage parts
+        # counts into the destructive --route renames
+        if not os.path.exists(opt.parsing_ckpt):
+            raise SystemExit(f"--parsing_ckpt not found: {opt.parsing_ckpt}")
         from adaface_tpu.interop.bisenet import load_bisenet
 
         model, params = load_bisenet(opt.parsing_ckpt)

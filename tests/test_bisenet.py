@@ -108,6 +108,29 @@ def test_bn_folding_matches_unfolded():
                                atol=1e-5)
 
 
+def test_resize_modes_match_torch():
+    """The source repo's ContextPath upsamples with mode='nearest' and its
+    final logits resize with bilinear align_corners=True; both ports must
+    match torch exactly — trained-checkpoint parity depends on it."""
+    import torch
+    import torch.nn.functional as F
+
+    from adaface_tpu.models.bisenet import _resize_bilinear_ac, _resize_nearest
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 8, 9, 5)).astype(np.float32)
+    xt = torch.from_numpy(x).permute(0, 3, 1, 2)
+    for h, w in [(64, 72), (8, 9), (3, 4)]:
+        ours = np.asarray(_resize_bilinear_ac(jnp.asarray(x), h, w))
+        ref = F.interpolate(xt, (h, w), mode="bilinear",
+                            align_corners=True).permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(ours, ref, atol=1e-6)
+    ours = np.asarray(_resize_nearest(jnp.asarray(x), 16, 18))
+    ref = F.interpolate(xt, (16, 18), mode="nearest"
+                        ).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_array_equal(ours, ref)
+
+
 def test_parsing_to_mask_and_parts():
     parsing = jnp.asarray(np.array([[[0, 1, 2], [0, 17, 1], [0, 0, 0]]]))
     mask, parts = parsing_to_mask(parsing)
