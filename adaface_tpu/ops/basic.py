@@ -69,12 +69,26 @@ def group_norm(
     else:
         xs = x
     xf = xs.astype(jnp.float32)
-    s1 = jnp.sum(xf, axis=red)          # [B, C]
-    s2 = jnp.sum(xf * xf, axis=red)     # [B, C]
+    # One-pass E[x^2]-mean^2 cancels catastrophically when mean^2 >> var
+    # (a large common-mode offset leaves ~no significant bits in the fp32
+    # difference). Shift by a per-group PROBE value (the group's channel
+    # mean at one spatial site, ~ the true mean) first: the moments of the
+    # shifted values are well-conditioned, the subtract fuses into the
+    # same single reduction pass, and the shift cancels analytically
+    # (stop_gradient keeps autodiff identical to the unshifted formula).
+    bshape = (b,) + (1,) * (x.ndim - 2) + (c,)
+    probe = xf.reshape(b, -1, c)[:, 0]                   # [B, C]
+    shift = jax.lax.stop_gradient(
+        probe.reshape(b, g, c // g).mean(-1))            # [B, G]
+    shift_c = jnp.repeat(shift, c // g, axis=1)          # [B, C]
+    xsh = xf - shift_c.reshape(bshape)
+    s1 = jnp.sum(xsh, axis=red)         # [B, C]
+    s2 = jnp.sum(xsh * xsh, axis=red)   # [B, C]
     gs1 = s1.reshape(b, g, c // g).sum(-1)
     gs2 = s2.reshape(b, g, c // g).sum(-1)
-    mean = gs1 / n_per_group            # [B, G]
-    var = jnp.maximum(gs2 / n_per_group - mean * mean, 0.0)
+    mean_sh = gs1 / n_per_group         # [B, G] (of the shifted values)
+    var = jnp.maximum(gs2 / n_per_group - mean_sh * mean_sh, 0.0)
+    mean = mean_sh + shift              # [B, G]
     rstd = jax.lax.rsqrt(var + eps)
     # fold the group stats + gamma/beta into ONE per-(b, c) affine
     mean_c = jnp.repeat(mean, c // g, axis=1)

@@ -24,6 +24,7 @@ einsum` restores the einsum-recomputation arm for A/B.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -72,7 +73,6 @@ def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, block_k: int,
     bq, d = q.shape
     num_kb = lk // block_k
     sc = scale * _LOG2E  # exp2((s*scale - m)*log2e) == exp(s*scale - m)
-    import os
 
     # see _flash_kernel_heads for the max-free rationale. This base
     # [B, H, L, D] entry point is the generic one (callers outside the
@@ -168,7 +168,6 @@ def _flash_forward(q, k, v, bias, block_q: int, block_k: int, scale: float):
     else:
         bias2 = jnp.zeros((bh, 1, 1), q.dtype)  # dummy
 
-    import os
 
     # default pending the on-chip A/B (scripts/perf_r3_flash.py); the
     # online kernel is the measured round-2 configuration
@@ -404,7 +403,6 @@ def _flash_backward(q, k, v, bias, o, do, scale,
 
 
 def _use_einsum_bwd() -> bool:
-    import os
 
     return os.environ.get("ADAFACE_FLASH_BWD") == "einsum"
 
@@ -488,7 +486,6 @@ def _flash_kernel_heads(q_ref, k_ref, v_ref, bias_ref, o_ref, kh_s, vh_s, *,
             kh_s[hh] = k_ref[0, :, hh * d:(hh + 1) * d]
             vh_s[hh] = v_ref[0, :, hh * d:(hh + 1) * d]
 
-    import os
 
     # Max-free softmax (default): SD self-attention scores are LN-bounded
     # (|s·log2e| << 128 in practice, fp32 exp2 is exact to ~2^127), so the
@@ -591,7 +588,6 @@ def _flash_kernel_heads_pvt(q_ref, k_ref, v_ref, bias_ref, o_ref, kh_s, vt_s,
     # softmax reduces over sublanes and the division rides the [1, bq] row.
     j = pl.program_id(1)
     sc = scale * _LOG2E
-    import os
 
     # A/B arms for the remaining non-MXU time in this kernel (the fp32
     # exp2 pass + the [lk, bq] VPU row-sum are outside any MXU roofline):
@@ -681,7 +677,6 @@ def _flash_forward_blc(q, k, v, heads, d, bias, block_q, block_k, scale):
     have_bias = bias is not None
     bias2 = (bias.reshape(b, 1, lk) if have_bias
              else jnp.zeros((b, 1, 1), jnp.float32))
-    import os
 
     maxfree = os.environ.get("ADAFACE_FLASH_MAXFREE") != "0"
     use_pvt = maxfree and os.environ.get("ADAFACE_FLASH_PVT") != "0"
@@ -840,7 +835,6 @@ def flash_attention_blc(
     min_pallas_len: int = 256,
 ) -> jnp.ndarray:
     """Flash attention on packed [B, L, H*D] tensors (no head transpose)."""
-    import os
 
     b, lq, inner = q.shape
     lk = k.shape[1]
@@ -912,7 +906,6 @@ def flash_attention(
         return _reference_attention(
             q, k, v, None if key_bias is None else key_bias, scale)
 
-    import os
 
     if os.environ.get("ADAFACE_FLASH_HOST_PAD") == "1":
         # legacy arm: materialize lane-padded q/k/v in HBM. The xprof

@@ -36,7 +36,9 @@ def _reference_ln_geglu_ff(x, ln_g, ln_b, w1, b1, w2, b2, eps):
     bf16 GEMMs, tanh gelu)."""
     xf = x.astype(jnp.float32)
     mu = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu
+    # clamp like flax nn.LayerNorm: the one-pass E[x^2]-mu^2 can go
+    # slightly negative for near-constant rows with large |mu|
+    var = jnp.maximum(jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu, 0.0)
     y = (xf - mu) * jax.lax.rsqrt(var + eps)
     y = (y * ln_g.astype(jnp.float32) + ln_b.astype(jnp.float32)).astype(x.dtype)
     u = jnp.dot(y, w1, preferred_element_type=jnp.float32).astype(x.dtype) + b1
@@ -51,7 +53,7 @@ def _ff_kernel(x_ref, g_ref, be_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *,
     x = x_ref[0]                                     # [bq, C]
     xf = x.astype(jnp.float32)
     mu = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu
+    var = jnp.maximum(jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu, 0.0)
     y = (xf - mu) * jax.lax.rsqrt(var + eps)
     y = (y * g_ref[0].astype(jnp.float32)
          + be_ref[0].astype(jnp.float32)).astype(x.dtype)

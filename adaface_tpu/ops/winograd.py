@@ -214,21 +214,27 @@ def _vmem_estimate(h, w, cin, cout, itemsize) -> int:
     return grids + weights + acc + out
 
 
-# dispatch gates (env-overridable for A/B):
-#   ADAFACE_WINOGRAD=0 hard-disables; =1 forces where legal
-#   ADAFACE_WINOGRAD_MIN_TILES: min hh*wh (GEMM M dim) — small panels
-#     underfill the MXU and the direct conv wins
+# dispatch gates. The kernel is a measured NEGATIVE result at SD shapes
+# (0.62-0.92x vs XLA's direct conv, PERF.md), so it is OFF unless
+# explicitly opted in:
+#   ADAFACE_WINOGRAD unset or =0 — never dispatches (the default)
+#   ADAFACE_WINOGRAD=1    — force wherever legal (shape + VMEM fit)
+#   ADAFACE_WINOGRAD=auto — heuristic gates (min-tiles + lane width), for
+#     re-measuring on future hardware
+#   ADAFACE_WINOGRAD_MIN_TILES: min hh*wh (GEMM M dim) for auto — small
+#     panels underfill the MXU and the direct conv wins
 _DEF_MIN_TILES = 256
 _DEF_VMEM_BUDGET = 72 * 1024 * 1024
 
 
 def winograd_eligible(x_shape, cout: int, itemsize: int = 2) -> bool:
-    if os.environ.get("ADAFACE_WINOGRAD") == "0":
+    mode = os.environ.get("ADAFACE_WINOGRAD", "0")
+    if mode not in ("1", "auto"):
         return False
     b, h, w, cin = x_shape
     if h % 2 or w % 2:
         return False
-    forced = os.environ.get("ADAFACE_WINOGRAD") == "1"
+    forced = mode == "1"
     min_tiles = int(os.environ.get("ADAFACE_WINOGRAD_MIN_TILES",
                                    str(_DEF_MIN_TILES)))
     if not forced and (h // 2) * (w // 2) < min_tiles:

@@ -31,13 +31,17 @@ from adaface_tpu.personalization.embedding_manager import EmbeddingManager
 from adaface_tpu.samplers import ddim_sample, plms_sample, make_cfg_eps_fn
 
 
-def _cfg_dedup_on() -> bool:
+def _cfg_dedup_on(unet_cfg=None) -> bool:
     """CFG stem dedup (UNetModel cfg_dedup): run the UNet stem once for the
     identical (cond, uncond) latents and tile before the first cross-attn.
     Bit-identical outputs; ADAFACE_CFG_DEDUP=0 reverts to the doubled-batch
-    stem for A/B."""
+    stem for A/B. Requires an attention block at level 0 to tile at — pass
+    the UNetConfig so configs without one fall back to the doubled-batch
+    stem instead of tripping the model's ValueError."""
     import os
 
+    if unet_cfg is not None and 0 not in unet_cfg.attention_levels:
+        return False
     return os.environ.get("ADAFACE_CFG_DEDUP") != "0"
 
 
@@ -326,12 +330,12 @@ class StableDiffusionPipeline:
                         guidance, sampler: str):
         sig = (batch, latent_hw, steps,
                tuple(guidance) if isinstance(guidance, (tuple, list)) else guidance,
-               sampler)
+               sampler, _cfg_dedup_on(self.unet.cfg), _cross_kv_on())
         if sig in self._sample_cache:
             return self._sample_cache[sig]
         sched = make_ddim_schedule(self.base_sched, steps, guidance_scale=guidance)
 
-        dedup = _cfg_dedup_on()
+        dedup = _cfg_dedup_on(self.unet.cfg)
 
         @jax.jit
         def run_impl(unet_params, vae_params, ctx_c, ctx_u, x_T, slot_map):
@@ -370,16 +374,20 @@ class StableDiffusionPipeline:
         The encode runs on `n_uniq` deduplicated prompt rows (gathered back
         to `batch` by `gather`); the negative prompt encodes ONCE and
         broadcasts."""
+        # env knobs read at trace time are part of the compiled program —
+        # include them in the key so in-process A/B toggles retrace
+        # instead of silently reusing the stale arm
         sig = ("fused", batch, n_uniq, latent_hw, steps,
                tuple(guidance) if isinstance(guidance, (tuple, list)) else guidance,
-               sampler, has_slots)
+               sampler, has_slots, _cfg_dedup_on(self.unet.cfg),
+               _cross_kv_on())
         if sig in self._sample_cache:
             return self._sample_cache[sig]
         sched = make_ddim_schedule(self.base_sched, steps, guidance_scale=guidance)
 
         lh, lw = latent_hw
         in_ch = self.unet.cfg.in_channels
-        dedup = _cfg_dedup_on()
+        dedup = _cfg_dedup_on(self.unet.cfg)
 
         @jax.jit
         def run_full(clip_params, unet_params, vae_params, embedders,
@@ -468,7 +476,7 @@ class StableDiffusionPipeline:
             z_t = stochastic_encode(self.base_sched, z0, t,
                                     jax.random.normal(key, z0.shape))
 
-            dedup = _cfg_dedup_on()
+            dedup = _cfg_dedup_on(self.unet.cfg)
 
             def unet_apply(x, tt, c, ck, cross_kv=None):
                 return self.unet.apply({"params": unet_params}, x, tt, c,

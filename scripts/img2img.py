@@ -88,7 +88,7 @@ def inpaint(pipe, init_image, mask, prompts, num_steps=50,
     # silently disabled conv attn on the inpaint path (generate()/img2img()
     # thread it)
     slot_map = pipe._cfg_slot_map(pipe.tokenizer(list(prompts)))
-    dedup = _cfg_dedup_on()
+    dedup = _cfg_dedup_on(pipe.unet.cfg)
     sched = make_ddim_schedule(pipe.base_sched, num_steps,
                                guidance_scale=guidance_scale)
     f = 2 ** (len(pipe.vae.cfg.ch_mult) - 1)

@@ -44,6 +44,27 @@ def test_group_norm_vs_torch(rng):
     np.testing.assert_allclose(np.asarray(out), ref, atol=1e-4)
 
 
+def test_group_norm_large_common_mode(rng):
+    """Large common-mode offset (mean^2 >> var): the one-pass
+    E[x^2]-mean^2 formulation loses all significant bits without the
+    probe-shifted moments — regression for the shifted stats pass."""
+    x = (rng.standard_normal((2, 16, 16, 64)).astype(np.float32) * 0.01
+         + 100.0)  # var ~ 1e-4, mean^2 = 1e4 -> 1e8x cancellation ratio
+    scale = np.ones(64, np.float32)
+    bias = np.zeros(64, np.float32)
+    out = group_norm(jnp.asarray(x), jnp.asarray(scale), jnp.asarray(bias),
+                     num_groups=32, eps=1e-6)
+    # float64 analytic reference (torch fp32 GN ALSO cancels on this input
+    # — its CPU kernel loses the group variance the same way)
+    x64 = x.astype(np.float64).reshape(2, 16 * 16, 32, 2)
+    mu = x64.mean(axis=(1, 3), keepdims=True)
+    var = x64.var(axis=(1, 3), keepdims=True)
+    ref = ((x64 - mu) / np.sqrt(var + 1e-6)).reshape(x.shape)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=5e-3)
+    # normalized output must have ~unit std, not collapse to rsqrt(eps)
+    assert 0.9 < float(np.std(np.asarray(out))) < 1.1
+
+
 def test_layer_norm_vs_torch(rng):
     x = rng.standard_normal((3, 11, 768)).astype(np.float32)
     scale = rng.standard_normal(768).astype(np.float32)

@@ -78,21 +78,31 @@ def test_gradients_match_direct_conv():
 
 
 def test_dispatch_gates():
-    # odd spatial -> direct; tiny tiles -> direct; big enough -> winograd
-    assert not winograd_eligible((1, 7, 8, 320), 320)
-    assert not winograd_eligible((1, 8, 8, 320), 320)  # 16 tiles < 256
-    os.environ["ADAFACE_WINOGRAD_MIN_TILES"] = "16"
+    # OFF by default (measured negative result): nothing dispatches with
+    # the env unset or =0
+    assert not winograd_eligible((1, 64, 64, 320), 320)
+    os.environ["ADAFACE_WINOGRAD"] = "0"
+    assert not winograd_eligible((1, 64, 64, 320), 320)
+    # auto: heuristic gates (odd spatial / tiny tiles / thin lanes)
+    os.environ["ADAFACE_WINOGRAD"] = "auto"
     try:
+        assert winograd_eligible((1, 64, 64, 320), 320)
+        assert not winograd_eligible((1, 7, 8, 320), 320)
+        assert not winograd_eligible((1, 8, 8, 320), 320)  # 16 tiles < 256
+        os.environ["ADAFACE_WINOGRAD_MIN_TILES"] = "16"
         assert winograd_eligible((1, 8, 8, 320), 320)
         assert not winograd_eligible((1, 8, 8, 64), 320)  # thin Cin
-        os.environ["ADAFACE_WINOGRAD"] = "0"
-        assert not winograd_eligible((1, 8, 8, 320), 320)
+        # force mode skips the heuristics but not shape legality
+        os.environ["ADAFACE_WINOGRAD"] = "1"
+        assert winograd_eligible((1, 8, 8, 64), 320)
+        assert not winograd_eligible((1, 7, 8, 320), 320)
     finally:
         os.environ.pop("ADAFACE_WINOGRAD", None)
         os.environ.pop("ADAFACE_WINOGRAD_MIN_TILES", None)
 
 
 def test_conv3x3_same_dispatcher_parity():
+    os.environ["ADAFACE_WINOGRAD"] = "auto"
     os.environ["ADAFACE_WINOGRAD_MIN_TILES"] = "16"
     try:
         x = _rand(0, (1, 8, 8, 128))
@@ -103,6 +113,7 @@ def test_conv3x3_same_dispatcher_parity():
         np.testing.assert_allclose(np.asarray(on), np.asarray(off),
                                    rtol=2e-4, atol=2e-4)
     finally:
+        os.environ.pop("ADAFACE_WINOGRAD", None)
         os.environ.pop("ADAFACE_WINOGRAD_MIN_TILES", None)
 
 
