@@ -520,9 +520,10 @@ class UNetModel(nn.Module):
         context is [L, 2B, T, D] — the (cond, uncond) CFG halves share
         latents and timestep, so the stem (conv_in, first ResBlock, first
         self-attention) runs once at B and the stream is tiled to 2B right
-        before the first cross-attention. Bit-identical to calling with the
-        doubled batch (every stem op is batch-elementwise); saves ~the
-        stem's cost per CFG step."""
+        before the first cross-attention. Mathematically identical to
+        calling with the doubled batch (every stem op is batch-elementwise;
+        XLA's batch-B tiling may reassociate reductions, so outputs can
+        differ by float ULPs); saves ~the stem's cost per CFG step."""
         c = self.cfg
         ch0 = c.model_channels
         if cfg_dedup:

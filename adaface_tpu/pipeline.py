@@ -34,8 +34,9 @@ from adaface_tpu.samplers import ddim_sample, plms_sample, make_cfg_eps_fn
 def _cfg_dedup_on(unet_cfg=None) -> bool:
     """CFG stem dedup (UNetModel cfg_dedup): run the UNet stem once for the
     identical (cond, uncond) latents and tile before the first cross-attn.
-    Bit-identical outputs; ADAFACE_CFG_DEDUP=0 reverts to the doubled-batch
-    stem for A/B. Requires an attention block at level 0 to tile at — pass
+    Mathematically identical outputs (XLA may reassociate the batch-B vs
+    batch-2B stem reductions — observed <=1 uint8 step);
+    ADAFACE_CFG_DEDUP=0 reverts to the doubled-batch stem for A/B. Requires an attention block at level 0 to tile at — pass
     the UNetConfig so configs without one fall back to the doubled-batch
     stem instead of tripping the model's ValueError."""
     import os

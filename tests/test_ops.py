@@ -44,10 +44,12 @@ def test_group_norm_vs_torch(rng):
     np.testing.assert_allclose(np.asarray(out), ref, atol=1e-4)
 
 
-def test_group_norm_large_common_mode(rng):
-    """Large common-mode offset (mean^2 >> var): the one-pass
-    E[x^2]-mean^2 formulation loses all significant bits without the
-    probe-shifted moments — regression for the shifted stats pass."""
+def test_group_norm_large_common_mode(rng, monkeypatch):
+    """Large common-mode offset (mean^2 >> var): the default one-pass
+    E[x^2]-mean^2 loses all significant bits (exactly like torch's own
+    fp32 GN kernel on the same input); ADAFACE_GN_SHIFT=1 opts into the
+    probe-shifted moments that stay accurate."""
+    monkeypatch.setenv("ADAFACE_GN_SHIFT", "1")
     x = (rng.standard_normal((2, 16, 16, 64)).astype(np.float32) * 0.01
          + 100.0)  # var ~ 1e-4, mean^2 = 1e4 -> 1e8x cancellation ratio
     scale = np.ones(64, np.float32)

@@ -39,6 +39,43 @@ def test_generate_plain_prompt():
     assert imgs.dtype == np.uint8
 
 
+def test_ab_knob_flip_retraces_and_matches(monkeypatch):
+    """Flipping ADAFACE_CFG_DEDUP / ADAFACE_CROSS_KV between generate()
+    calls must RETRACE (the knobs are baked into the jitted program — the
+    cache key includes them, regression). The cross-KV hoist is
+    bit-identical; the stem dedup is mathematically identical but runs the
+    stem convs at batch B instead of 2B, so XLA may reassociate reductions
+    — allow 1 uint8 quantization step."""
+    pipe = _tiny_pipeline()
+    kw = dict(num_steps=2, height=64, width=64, guidance_scale=7.5, seed=3)
+    base = pipe.generate(["a photo of a cat"], **kw)
+    n_cached = len(pipe._sample_cache)
+    monkeypatch.setenv("ADAFACE_CROSS_KV", "0")
+    no_hoist = pipe.generate(["a photo of a cat"], **kw)
+    assert len(pipe._sample_cache) > n_cached  # retraced, not stale reuse
+    np.testing.assert_array_equal(base, no_hoist)  # hoist is bit-identical
+    monkeypatch.setenv("ADAFACE_CFG_DEDUP", "0")
+    plain = pipe.generate(["a photo of a cat"], **kw)
+    assert np.abs(base.astype(int) - plain.astype(int)).max() <= 1
+
+
+def test_cfg_dedup_falls_back_without_level0_attention():
+    """UNet configs with no attention block at level 0 cannot stem-dedup;
+    generate() must fall back to the doubled-batch stem instead of
+    raising at trace time (regression)."""
+    tok = HashTokenizer()
+    unet_cfg = UNetConfig(model_channels=32, channel_mult=(1, 2),
+                          num_res_blocks=1, attention_levels=(1,),
+                          num_heads=4, context_dim=64)
+    pipe = StableDiffusionPipeline.from_random(
+        jax.random.PRNGKey(0), tok, unet_cfg, VAEConfig.tiny(),
+        CLIPTextConfig.tiny(vocab_size=49408, hidden_size=64,
+                            max_position_embeddings=77, num_extra_tokens=4))
+    imgs = pipe.generate(["a photo of a cat"], num_steps=2, height=64,
+                         width=64, guidance_scale=7.5, seed=1)
+    assert imgs.shape == (1, 64, 64, 3)
+
+
 def test_generate_with_subject_embedding():
     pipe = _tiny_pipeline()
     tid = pipe.tokenizer.add_placeholder("z")
