@@ -180,7 +180,12 @@ def make_pad_embeddings(encoder: CLIPTextEncoder, params: dict,
                         pad_token_id: int, length: int = 77) -> jnp.ndarray:
     """[T, D] embeddings of an all-pad prompt INCLUDING positional
     embeddings (`subj_basis_generator.py:587-599` uses
-    `clip_embeddings(pad_tokens)[0]` which adds positions)."""
+    `clip_embeddings(pad_tokens)[0]` which adds positions).
+
+    Unbound-module twin of `SubjBasisGenerator._pad_embeddings` (which
+    runs inside flax scope and can call its submodules directly) — keep
+    the two in sync; this one reads the position table straight from the
+    param tree because no bound module exists at its call sites."""
     ids = jnp.full((1, length), pad_token_id, dtype=jnp.int32)
     token = encoder.apply({"params": params}, ids, method="embed_tokens")[0]
     pos_table = params["position_embedding"]["embedding"]

@@ -72,13 +72,23 @@ class EmbeddingManager:
     # ---------------------------------------------------------------- zero-shot
     def add_zero_shot_placeholder(self, string: str, token_id: int,
                                   generator, generator_params: dict,
-                                  num_vectors: int = 16,
+                                  num_vectors: Optional[int] = None,
                                   is_background: bool = False):
         """Register a placeholder whose embeddings come from a
         `SubjBasisGenerator` instead of an optimized static embedder
         (`embedding_manager.py:1160-1177`). In zero-shot mode the static
         embedder degenerates to a passthrough (`:507-514`), so none is
-        created here."""
+        created here. `num_vectors` defaults to the generator's K (16 fg /
+        4 bg) — a mismatch would mark more prompt slots than the generator
+        emits, and JAX's clipping gather would then silently duplicate the
+        last embedding into the extra slots."""
+        gen_k = getattr(generator, "num_out_embs_per_layer", None)
+        if num_vectors is None:
+            num_vectors = gen_k if gen_k is not None else 16
+        elif gen_k is not None and num_vectors != gen_k:
+            raise ValueError(
+                f"placeholder '{string}': num_vectors={num_vectors} != the "
+                f"generator's num_out_embs_per_layer={gen_k}")
         self.placeholders[string] = PlaceholderInfo(
             string, token_id, num_vectors, is_background)
         self.subj_basis_generators[string] = (generator, generator_params)
@@ -209,6 +219,12 @@ class EmbeddingManager:
         arrays = {}
         header = {"placeholders": [], "use_conv_attn_kernel_size": self.use_conv_attn_kernel_size}
         for s, info in self.placeholders.items():
+            if s not in self.embedders:
+                # generator-backed (zero-shot) placeholder: the trained
+                # artifact is the SubjBasisGenerator, exported separately
+                # (`scripts/export_embeddings.py --zs`) — nothing static
+                # to save here, and indexing would KeyError
+                continue
             header["placeholders"].append(dataclasses.asdict(info))
             header.setdefault("scores", {})[s] = float(self.emb_global_scale_scores[s])
             p = self.embedders[s]
@@ -266,6 +282,17 @@ class EmbeddingManager:
         remap = placeholder_remap or {}
         token2num = {str(k): int(np.asarray(v)) for k, v in
                      dict(ckpt.get("token2num_vectors", {})).items()}
+        # ckpt scores are a flat tensor aligned with string_to_token_dict
+        # order (`embedding_manager.py:2003-2004`); carried for checkpoint
+        # round-trip fidelity (the reference's only live use is a load-time
+        # print — its application site, `ddpm.py:1024-1035`, is commented
+        # out, so nothing here applies them either)
+        score_by_name = {}
+        if "emb_global_scale_scores" in ckpt:
+            names = list(dict(ckpt.get("string_to_token_dict", {})).keys())
+            scores = np.asarray(ckpt["emb_global_scale_scores"]).reshape(-1)
+            score_by_name = {str(n): float(scores[i])
+                             for i, n in enumerate(names) if i < len(scores)}
         bg_strings = list(ckpt.get("background_strings") or [])
         embedders = ckpt["string_to_static_embedder"]
         # ParameterDict stub: modules under _parameters/_modules or plain attrs
@@ -291,8 +318,15 @@ class EmbeddingManager:
             self.placeholders[target] = PlaceholderInfo(
                 string=target, token_id=tid, num_vectors=K,
                 is_background=(name in bg_strings))
-            self.embedders[target] = params
-            self.emb_global_scale_scores.setdefault(target, 0.0)
+            if params.basis_vecs is not None or params.pre_vecs is not None:
+                self.embedders[target] = params
+            # else: do_zero_shot degenerate embedder (reference
+            # `embedding_manager.py:426-435`: basis_vecs=pre_vecs=None,
+            # a passthrough) — the subj-basis generator supplies the
+            # embeddings; registering it would crash
+            # compute_static_embedding on the no-basis param set
+            self.emb_global_scale_scores[target] = score_by_name.get(
+                name, self.emb_global_scale_scores.get(target, 0.0))
         if "use_conv_attn_kernel_size" in ckpt and ckpt["use_conv_attn_kernel_size"] is not None:
             try:
                 self.use_conv_attn_kernel_size = int(np.asarray(ckpt["use_conv_attn_kernel_size"]))

@@ -182,14 +182,16 @@ class SubjBasisGenerator(nn.Module):
             out = self.prompt_translator(latents, id_embs,
                                          deterministic=deterministic)
             output_embs = out.reshape(B, L, K, D) * (D ** -0.5)
-            pad_embeddings = None  # bg has no prompt2token_proj; no pad blend
-            # The reference still blends with its (subject-generator-derived)
-            # pad embeddings; for bg generators `pad_embeddings` is produced
-            # by `generate_pad_embeddings` only on the subject generator, and
-            # at the blend site it is always available because bg generators
-            # are created with out_id_embs_scale=1 in practice
-            # (`zs_out_id_embs_scale_range` lower bound applies to fg). We
-            # blend only when scale < 1 AND we have a text encoder.
+            # No pad blend on the bg branch. The reference's blend site
+            # (`subj_basis_generator.py:557-558`) would dereference
+            # `self.pad_embeddings` — an attribute its bg __init__
+            # (`:448-474`) NEVER creates (only the fg is_face path
+            # generates it, `:508-511`) — i.e. the reference bg forward
+            # can only ever have run at its default
+            # zs_out_id_embs_scale_range=(1.0, 1.0), where the blend is
+            # the identity. Scale-multiply-only is therefore the faithful
+            # live behavior; a non-1 scale here shrinks rather than
+            # crashes.
             if out_id_embs_scale != 1.0:
                 output_embs = output_embs * out_id_embs_scale
             return output_embs, None

@@ -121,6 +121,13 @@ class ZeroShotFeatureExtractor:
                 id_embs.append(np.asarray(self.dino_embed_fn(image), np.float32))
             keep.append(idx)
 
+        if not keep:
+            # every image was dropped (skip_non_faces with no detectable
+            # face, or an empty input list) — np.stack([]) below would
+            # raise an unrelated ValueError; fail with the real cause
+            raise ValueError(
+                f"no usable reference images: {len(images)} given, "
+                f"0 kept (skip_non_faces={skip_non_faces})")
         images = [images[i] for i in keep]
         batch = np.stack([_center_crop_resize(im, size) for im in images])
         pixels = preprocess_images(jnp.asarray(batch), size)
@@ -161,12 +168,9 @@ def _center_crop_resize(image: np.ndarray, size: int) -> np.ndarray:
 
 
 def _resize_mask(mask: np.ndarray, size: int) -> np.ndarray:
+    """Mask variant of `_center_crop_resize` (same crop + nearest gather,
+    so image and mask stay spatially aligned) with a channel squeeze."""
     m = np.asarray(mask, np.float32)
     if m.ndim == 3:
         m = m[..., 0]
-    h, w = m.shape
-    s = min(h, w)
-    top, left = (h - s) // 2, (w - s) // 2
-    sq = m[top:top + s, left:left + s]
-    ri = (np.arange(size) * (s / size)).astype(np.int64)
-    return sq[ri][:, ri]
+    return _center_crop_resize(m, size)

@@ -49,6 +49,18 @@ class ReconBatch(NamedTuple):
     wds_extra_token_mask: Optional[jnp.ndarray] = None  # [B, T]
 
 
+def _gen_dropout_kwargs(dropout_key, i: int) -> dict:
+    """apply() kwargs activating the SubjBasisGenerator's attention
+    dropout (p=0.05) during training — the reference trains
+    prompt_translator with attn_drop active (`subj_basis_generator.py:
+    295,341` + torch train mode); without an explicit rng flax runs it
+    deterministic. `i` decorrelates the per-generator streams."""
+    if dropout_key is None:
+        return {}
+    return dict(deterministic=False,
+                rngs={"dropout": jax.random.fold_in(dropout_key, i)})
+
+
 def _slot_union_mask(slot_maps: Dict[str, jnp.ndarray], keys) -> Optional[jnp.ndarray]:
     """Union of placeholder slot maps -> [B, T] float mask (1 = any of the
     given placeholders' K vector slots sits at this position)."""
@@ -594,6 +606,7 @@ class ZeroShotArc2FaceBatch(NamedTuple):
     clip_fg: jnp.ndarray  # [B, N_tok, D_img]
     clip_bg: jnp.ndarray
     id_embs: jnp.ndarray  # [B, 512]
+    dropout_key: Optional[jnp.ndarray] = None  # generator attn dropout
 
 
 def make_zero_shot_arc2face_step(
@@ -660,12 +673,13 @@ def make_zero_shot_arc2face_step(
 
         # ---- student context from the generators
         subj = {}
-        for s, gen in generators.items():
+        for i, (s, gen) in enumerate(sorted(generators.items())):
             feats = batch.clip_bg if s in bg_placeholders else batch.clip_fg
             embs, _ = gen.apply(
                 {"params": gen_params[s]}, feats, None, arc_id_embs,
                 out_id_embs_scale=out_id_embs_scale, is_face=True,
-                is_training=True, inverse_template_ids=inverse_template_ids)
+                is_training=True, inverse_template_ids=inverse_template_ids,
+                **_gen_dropout_kwargs(batch.dropout_key, i))
             subj[s] = jnp.transpose(embs, (1, 0, 2, 3))
         embedded = clip.apply({"params": fz["clip"]}, batch.token_ids,
                               method=CLIPTextEncoder.embed_tokens)
@@ -775,6 +789,7 @@ class ZeroShotReconBatch(NamedTuple):
     id_embs: jnp.ndarray  # [B, 512] ArcFace (or DINO) identity embeddings
     emb_noise_std: Optional[jnp.ndarray] = None  # scalar
     emb_noise_key: Optional[jnp.ndarray] = None  # PRNG key
+    dropout_key: Optional[jnp.ndarray] = None  # generator attn dropout
 
 
 def make_zero_shot_recon_step(
@@ -822,13 +837,14 @@ def make_zero_shot_recon_step(
             arc2face_encoder.cfg.hidden_size)
 
         subj = {}
-        for s, gen in generators.items():
+        for i, (s, gen) in enumerate(sorted(generators.items())):
             feats = batch.clip_bg if s in bg_placeholders else batch.clip_fg
             embs, _ = gen.apply(
                 {"params": gen_params[s]}, feats,
                 None, arc_id_embs, out_id_embs_scale=out_id_embs_scale,
                 is_face=True, is_training=True,
-                inverse_template_ids=inverse_template_ids)
+                inverse_template_ids=inverse_template_ids,
+                **_gen_dropout_kwargs(batch.dropout_key, i))
             subj[s] = jnp.transpose(embs, (1, 0, 2, 3))  # [L, B, K, D]
         if batch.emb_noise_std is not None and batch.emb_noise_key is not None:
             from adaface_tpu.ops.grad import add_noise_to_tensor
@@ -903,6 +919,7 @@ class ZeroShotComposBatch(NamedTuple):
     compel_batch_mask: Optional[jnp.ndarray] = None
     emb_noise_std: Optional[jnp.ndarray] = None  # scalar
     emb_noise_key: Optional[jnp.ndarray] = None  # PRNG key
+    dropout_key: Optional[jnp.ndarray] = None  # generator attn dropout
     cls_mix_ranges: Optional[jnp.ndarray] = None  # [4], see ComposBatch
 
 
@@ -949,12 +966,13 @@ def make_zero_shot_compos_step(
 
     def _gen_embs(params, batch, fz, arc_id_embs):
         subj = {}
-        for s, gen in generators.items():
+        for i, (s, gen) in enumerate(sorted(generators.items())):
             feats = batch.clip_bg if s in bg_placeholders else batch.clip_fg
             embs, _ = gen.apply(
                 {"params": params[s]}, feats, None, arc_id_embs,
                 out_id_embs_scale=out_id_embs_scale, is_face=True,
-                is_training=True, inverse_template_ids=inverse_template_ids)
+                is_training=True, inverse_template_ids=inverse_template_ids,
+                **_gen_dropout_kwargs(batch.dropout_key, i))
             subj[s] = jnp.transpose(embs, (1, 0, 2, 3))  # [L, 1, K, D]
         return subj
 

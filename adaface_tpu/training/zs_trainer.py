@@ -81,6 +81,12 @@ class ZeroShotTrainer(Trainer):
             arcface_token_id=self._arc_tid,
             skip_weights=p.skip_weights))
 
+    def _dropout_key(self):
+        """Per-step PRNG key for the generators' attention dropout
+        (p=0.05 — the reference trains prompt_translator with attn_drop
+        active; see `_gen_dropout_kwargs`)."""
+        return jax.random.PRNGKey(int(self.rng.integers(2 ** 31)))
+
     def _get_zs_recon_step(self, use_bg_token: bool):
         """Jitted zs-recon variant per bg-token usage: the complementary
         battery dispatch is static (`calc_recon_and_complem_losses`,
@@ -276,7 +282,7 @@ class ZeroShotTrainer(Trainer):
             clip_fg=feats.clip_fg[:1], clip_bg=feats.clip_bg[:1],
             id_embs=id_embs[:1],
             cls_mix_ranges=jnp.asarray(self._cls_mix_ranges(plan)),
-            **noise_kw)
+            dropout_key=self._dropout_key(), **noise_kw)
         self.gen_params, self.opt_state, metrics = self._zs_compos_step(
             self.gen_params, self.opt_state, batch,
             {**self._frozen, "arc": self._arc_frozen, "gen0": self._gen0})
@@ -343,7 +349,8 @@ class ZeroShotTrainer(Trainer):
                                     jnp.float32),
             fg_mask=fg, clip_fg=bfg, clip_bg=bbg,
             id_embs=id_embs / (jnp.linalg.norm(id_embs, axis=-1,
-                                               keepdims=True) + 1e-12))
+                                               keepdims=True) + 1e-12),
+            dropout_key=self._dropout_key())
         self.gen_params, self.opt_state, metrics = self._zs_a2f_steps[key](
             self.gen_params, self.opt_state, batch,
             {**self._frozen, "arc": self._arc_frozen,
@@ -405,7 +412,8 @@ class ZeroShotTrainer(Trainer):
                 clip_bg=feats.clip_bg if feats.clip_bg.shape[0] == B
                 else jnp.broadcast_to(feats.clip_bg,
                                       (B,) + feats.clip_bg.shape[1:]),
-                id_embs=id_embs, **noise_kw)
+                id_embs=id_embs, dropout_key=self._dropout_key(),
+                **noise_kw)
             step = self._get_zs_recon_step(plan.use_background_token)
             self.gen_params, self.opt_state, metrics = step(
                 self.gen_params, self.opt_state, batch,

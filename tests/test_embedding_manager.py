@@ -107,6 +107,31 @@ def test_native_checkpoint_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
 
 
+def test_save_native_skips_generator_backed_placeholders(tmp_path):
+    """save_native must not KeyError on zero-shot (generator-backed)
+    placeholders, which have no static embedder — regression. The static
+    placeholders still round-trip; num_vectors is derived from the
+    generator's K and a mismatch is rejected (a larger value would make
+    the clipping gather silently duplicate the last embedding)."""
+    import dataclasses as _dc
+
+    class FakeGen:  # only the field add_zero_shot_placeholder reads
+        num_out_embs_per_layer = 4
+
+    mgr = _manager_with()
+    mgr.add_zero_shot_placeholder("w", token_id=49999, generator=FakeGen(),
+                                  generator_params={}, is_background=True)
+    assert mgr.placeholders["w"].num_vectors == 4  # derived from the gen
+    with pytest.raises(ValueError, match="num_out_embs_per_layer"):
+        mgr.add_zero_shot_placeholder("v", token_id=50000,
+                                      generator=FakeGen(),
+                                      generator_params={}, num_vectors=16)
+    path = str(tmp_path / "emb.npz")
+    mgr.save_native(path)  # used to KeyError: 'w'
+    mgr2 = EmbeddingManager.load_native(path)
+    assert set(mgr2.placeholders) == {"z", "y"}  # statics survive
+
+
 @pytest.mark.skipif(not reference_available(), reason="reference tree absent")
 def test_reference_checkpoint_import(tmp_path):
     """Save a real reference EmbeddingManager-style ckpt with torch, read it
