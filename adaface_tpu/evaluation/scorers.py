@@ -142,3 +142,77 @@ class DINOScorer:
         f1 = self.get_image_features(images1)
         f2 = self.get_image_features(images2)
         return _reduce(f1 @ f2.T, reduction)
+
+
+def init_evaluators(tokenizer=None,
+                    clip_ckpt: Optional[str] = None,
+                    dino_ckpt: Optional[str] = None):
+    """Build the (CLIPScorer, DINOScorer) pair — the reference's
+    `init_evaluators` (`evaluation/eval_utils.py:33`, used by
+    `scripts/evaluate_subjects.py:69` and `stable_txt2img.py`).
+
+    Real weights come from HF-format checkpoints (state dicts read by the
+    torch-free unpickler): `clip_ckpt` / env `CLIP_SCORER_PT` = full
+    `CLIPModel` (openai/clip-vit-base-patch32), `dino_ckpt` / env
+    `DINO_VITS16_PT` = `ViTModel` (facebook/dino-vits16). Without assets the
+    scorers run with random tiny towers — smoke mode, consistent with the
+    rest of the asset-gated stack (COMPONENTS.md "Known gaps")."""
+    import os
+
+    clip_ckpt = clip_ckpt or os.environ.get("CLIP_SCORER_PT")
+    dino_ckpt = dino_ckpt or os.environ.get("DINO_VITS16_PT")
+
+    if tokenizer is None:
+        from adaface_tpu.data.tokenizer import CLIPBPETokenizer, HashTokenizer
+        vocab = os.environ.get("CLIP_VOCAB_JSON")
+        merges = os.environ.get("CLIP_MERGES_TXT")
+        if vocab and merges and os.path.exists(vocab):
+            tokenizer = CLIPBPETokenizer(vocab, merges)
+        else:
+            tokenizer = HashTokenizer()
+
+    def _state_dict(path):
+        from adaface_tpu.interop.torch_pickle import (load_safetensors,
+                                                      load_torch_checkpoint)
+        if path.endswith(".safetensors"):
+            return load_safetensors(path)
+        sd = load_torch_checkpoint(path)
+        return sd.get("state_dict", sd)
+
+    if clip_ckpt and os.path.exists(clip_ckpt):
+        from adaface_tpu.interop.hf_clip import map_clip_model_params
+        tparams, vparams, tproj, vproj = map_clip_model_params(
+            _state_dict(clip_ckpt))
+        clip = CLIPScorer(
+            tokenizer,
+            CLIPTextEncoder(CLIPTextConfig(hidden_size=512, num_heads=8,
+                                           intermediate_size=2048)), tparams,
+            CLIPVisionEncoder(CLIPVisionConfig.vit_b_32()), vparams,
+            tproj, vproj)
+    else:
+        import jax
+
+        text = CLIPTextEncoder(CLIPTextConfig.tiny(
+            vocab_size=tokenizer.vocab_size, max_position_embeddings=77))
+        tparams = text.init(jax.random.PRNGKey(0),
+                            input_ids=jnp.zeros((1, 77), jnp.int32))["params"]
+        vis = CLIPVisionEncoder(CLIPVisionConfig.tiny())
+        vparams = vis.init(jax.random.PRNGKey(1),
+                           jnp.zeros((1, 28, 28, 3)))["params"]
+        rng = np.random.default_rng(0)
+        clip = CLIPScorer(
+            tokenizer, text, tparams, vis, vparams,
+            rng.standard_normal((64, 32)).astype(np.float32),
+            rng.standard_normal((64, 32)).astype(np.float32))
+
+    if dino_ckpt and os.path.exists(dino_ckpt):
+        from adaface_tpu.models.vit import map_vit_params
+        vit = ViTEncoder(ViTConfig.dino_vits16())
+        dino = DINOScorer(vit, map_vit_params(_state_dict(dino_ckpt)))
+    else:
+        import jax
+
+        vit = ViTEncoder(ViTConfig.tiny())
+        dino = DINOScorer(vit, vit.init(jax.random.PRNGKey(2),
+                                        jnp.zeros((1, 32, 32, 3)))["params"])
+    return clip, dino

@@ -201,29 +201,13 @@ def evaluate(opt, jobs):
     otherwise scores are computed with random towers (smoke only)."""
     import jax
     import jax.numpy as jnp
-    import numpy as np
 
-    from adaface_tpu.data.tokenizer import HashTokenizer
     from adaface_tpu.evaluation.eval_utils import compare_folders
-    from adaface_tpu.evaluation.scorers import CLIPScorer, DINOScorer
-    from adaface_tpu.models.clip_text import CLIPTextConfig, CLIPTextEncoder
-    from adaface_tpu.models.clip_vision import CLIPVisionConfig, CLIPVisionEncoder
-    from adaface_tpu.models.vit import ViTConfig, ViTEncoder
+    from adaface_tpu.evaluation.scorers import init_evaluators
 
-    tok = HashTokenizer()
-    text = CLIPTextEncoder(CLIPTextConfig.tiny(
-        vocab_size=tok.vocab_size, max_position_embeddings=77))
-    tp = text.init(jax.random.PRNGKey(0),
-                   input_ids=jnp.zeros((1, 77), jnp.int32))["params"]
-    vis = CLIPVisionEncoder(CLIPVisionConfig.tiny())
-    vp = vis.init(jax.random.PRNGKey(1), jnp.zeros((1, 28, 28, 3)))["params"]
-    rng = np.random.default_rng(0)
-    scorer = CLIPScorer(tok, text, tp, vis, vp,
-                        rng.standard_normal((64, 32)).astype(np.float32),
-                        rng.standard_normal((64, 32)).astype(np.float32))
-    vit = ViTEncoder(ViTConfig.tiny())
-    dino = DINOScorer(vit, vit.init(jax.random.PRNGKey(2),
-                                    jnp.zeros((1, 32, 32, 3)))["params"])
+    # tokenizer + tower weights resolve from env assets (CLIP_SCORER_PT,
+    # DINO_VITS16_PT, CLIP_VOCAB_JSON/MERGES); random tiny towers otherwise
+    scorer, dino = init_evaluators()
     prompt = opt.class_prompt or jobs[0][1]
     ci, ct, dn = compare_folders(scorer, dino, opt.outdir, opt.compare_with,
                                  prompt)

@@ -213,3 +213,124 @@ def test_image_logger_grid(tmp_path):
     lg.log_candidates(0, np.stack(imgs[:4]), [1, 2, 3, 0])
     files = os.listdir(tmp_path / "images")
     assert len(files) == 2
+
+
+def test_evaluate_subjects_cli(tmp_path, capsys):
+    """Offline evaluator over a synthetic samples tree
+    (`scripts/evaluate_subjects.py` vs the reference's
+    `scripts/evaluate_subjects.py:66-150`): per-subject prompt manifest,
+    orig_prompt dedup, per-subject + all-subject means, scores CSV."""
+    import csv
+    import sys
+
+    from PIL import Image
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    import evaluate_subjects
+
+    rng = np.random.default_rng(7)
+
+    def _imgs(folder, n=2):
+        os.makedirs(folder, exist_ok=True)
+        for i in range(n):
+            Image.fromarray(rng.integers(0, 255, (40, 40, 3)).astype(np.uint8)
+                            ).save(os.path.join(folder, f"{i}.jpg"))
+
+    gt_root = tmp_path / "gt"
+    samples = tmp_path / "samples"
+    os.makedirs(samples)
+    for subject in ("alice", "bob"):
+        _imgs(str(gt_root / subject))
+        rows = [[1, f"{subject}-p00", f"a z {subject}", "a photo"],
+                [1, f"{subject}-p01", f"a red z {subject}", "a red photo"],
+                # duplicate orig_prompt: must be skipped
+                [1, f"{subject}-p02", f"another z {subject}", "a photo"]]
+        with open(samples / f"{subject}-prompts.tsv", "w") as f:
+            csv.writer(f, delimiter="\t").writerows(rows)
+        for _, subdir, _, _ in rows:
+            _imgs(str(samples / subdir))
+    (tmp_path / "info.sh").write_text(
+        'set -g subjects  alice bob\n'
+        'set -g class_names "woman" "man"\n'
+        'set -g cls_delta_strings "young woman" man\n'
+        'set -g data_folder subjects-celebrity\n'
+        'set -g sel_set 1\n')
+
+    out_csv = str(tmp_path / "scores.csv")
+    opt = evaluate_subjects.parse_args(
+        ["--gt_dir", str(gt_root), "--samples_dir", str(samples),
+         "--subject_file", str(tmp_path / "info.sh"),
+         "--out_csv", out_csv])
+    assert evaluate_subjects.main(opt) == 0
+    text = capsys.readouterr().out
+    assert "All subjects:" in text
+    with open(out_csv) as f:
+        rows = list(csv.reader(f))
+    # header + 2 prompts x 2 subjects (dup dropped) + MEAN
+    assert len(rows) == 1 + 4 + 1
+    assert rows[-1][0] == "MEAN"
+    assert all(-1.0 <= float(v) <= 1.0 for v in rows[-1][2:])
+
+    # --selset restricts to sel_set (alice only)
+    opt = evaluate_subjects.parse_args(
+        ["--gt_dir", str(gt_root), "--samples_dir", str(samples),
+         "--subject_file", str(tmp_path / "info.sh"), "--selset"])
+    assert evaluate_subjects.main(opt) == 0
+    assert "bob" not in capsys.readouterr().out
+
+
+def test_clip_model_mapper_parity(tmp_path):
+    """`map_clip_model_params` (full dual-tower CLIPModel -> CLIPScorer
+    weights) produces HF-parity image/text features — the asset path of
+    `init_evaluators` (`evaluation/eval_utils.py:33` in the reference)."""
+    from transformers import CLIPConfig as HFCLIPConfig
+    from transformers import CLIPModel as HFCLIPModel
+
+    from adaface_tpu.interop.hf_clip import map_clip_model_params
+
+    torch.manual_seed(0)
+    vocab = 64
+    hf_cfg = HFCLIPConfig(
+        projection_dim=24,
+        text_config={"hidden_size": 32, "num_hidden_layers": 2,
+                     "num_attention_heads": 4, "intermediate_size": 64,
+                     "vocab_size": vocab, "max_position_embeddings": 16,
+                     "eos_token_id": vocab - 1},
+        vision_config={"hidden_size": 40, "num_hidden_layers": 2,
+                       "num_attention_heads": 4, "intermediate_size": 80,
+                       "image_size": 32, "patch_size": 16})
+    hf = HFCLIPModel(hf_cfg).eval()
+    torch.save(hf.state_dict(), str(tmp_path / "clip.pt"))
+    sd = load_torch_checkpoint(str(tmp_path / "clip.pt"))
+    tparams, vparams, tproj, vproj = map_clip_model_params(
+        sd, text_layers=2, vision_layers=2)
+
+    text = CLIPTextEncoder(CLIPTextConfig(
+        vocab_size=vocab, hidden_size=32, num_layers=2, num_heads=4,
+        intermediate_size=64, max_position_embeddings=16))
+    vis = CLIPVisionEncoder(CLIPVisionConfig(
+        hidden_size=40, num_layers=2, num_heads=4, intermediate_size=80,
+        image_size=32, patch_size=16))
+    scorer = CLIPScorer(HashTokenizer(), text, tparams, vis, vparams,
+                        tproj, vproj)
+
+    rng = np.random.default_rng(0)
+    # eos (= vocab-1, the max id) once at the end: OpenAI argmax pooling
+    # and HF eos-position pooling agree
+    ids = np.concatenate([rng.integers(1, vocab - 1, (2, 15)),
+                          np.full((2, 1), vocab - 1)], axis=1)
+    pixels = rng.standard_normal((2, 32, 32, 3)).astype(np.float32)
+
+    with torch.no_grad():
+        ht = hf.get_text_features(input_ids=torch.from_numpy(ids))
+        hv = hf.get_image_features(
+            pixel_values=torch.from_numpy(pixels.transpose(0, 3, 1, 2)))
+    ht = torch.nn.functional.normalize(ht, dim=-1).numpy()
+    hv = torch.nn.functional.normalize(hv, dim=-1).numpy()
+
+    jt = scorer._txt_feats(tparams, jnp.asarray(ids),
+                           scorer.text_projection)
+    jv = scorer._img_feats(vparams, jnp.asarray(pixels),
+                           scorer.visual_projection)
+    np.testing.assert_allclose(np.asarray(jt), ht, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(jv), hv, atol=2e-5)
