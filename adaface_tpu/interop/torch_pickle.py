@@ -20,7 +20,7 @@ import io
 import pickle
 import struct as pystruct
 import zipfile
-from typing import Any, Dict
+from typing import Any, Dict, Optional
 
 import numpy as np
 
@@ -221,6 +221,58 @@ def load_safetensors(path: str) -> Dict[str, np.ndarray]:
                 arr = np.frombuffer(raw, dtype=dt)
             out[name] = arr.reshape(meta["shape"]).copy()
     return out
+
+
+def save_safetensors(tensors: Dict[str, np.ndarray], path: str,
+                     metadata: Optional[Dict[str, str]] = None) -> None:
+    """Minimal standalone safetensors writer (header JSON + raw blobs) —
+    the export mirror of `load_safetensors`, so checkpoints produced here
+    load directly in diffusers/safetensors without torch in this process."""
+    import json
+
+    names = {
+        np.dtype(np.float32): "F32", np.dtype(np.float16): "F16",
+        np.dtype(np.float64): "F64", np.dtype(np.int64): "I64",
+        np.dtype(np.int32): "I32", np.dtype(np.int16): "I16",
+        np.dtype(np.int8): "I8", np.dtype(np.uint8): "U8",
+        np.dtype(np.bool_): "BOOL",
+    }
+    header: Dict[str, Any] = {}
+    if metadata:
+        header["__metadata__"] = dict(metadata)
+    blobs = []
+    off = 0
+    for name, arr in tensors.items():
+        arr = np.ascontiguousarray(arr)
+        if arr.dtype not in names:
+            raise ValueError(f"{name}: unsupported dtype {arr.dtype}")
+        raw = arr.tobytes()
+        header[name] = {"dtype": names[arr.dtype],
+                        "shape": list(arr.shape),
+                        "data_offsets": [off, off + len(raw)]}
+        blobs.append(raw)
+        off += len(raw)
+    hdr = json.dumps(header, separators=(",", ":")).encode()
+    with open(path, "wb") as f:
+        f.write(pystruct.pack("<Q", len(hdr)))
+        f.write(hdr)
+        for raw in blobs:
+            f.write(raw)
+
+
+def load_sd_state_dict(path: str) -> Dict[str, Any]:
+    """Load a flat SD-style state dict from either checkpoint container:
+    torch-zip `.ckpt`/`.pt`/`.bin` (through the torch-free unpickler, with
+    the Lightning `state_dict` wrapper unwrapped) or a single-file
+    `.safetensors` export. The reference only reads torch pickles
+    (`main.py:27-50`); single-file `.safetensors` is how SD v1.5 weights
+    are distributed today, so both routes land on the same dict shape."""
+    if path.endswith(".safetensors"):
+        return load_safetensors(path)
+    ckpt = load_torch_checkpoint(path)
+    if isinstance(ckpt, dict):
+        return ckpt.get("state_dict", ckpt)
+    return ckpt
 
 
 def walk_stub_tree(obj: Any, prefix: str = "") -> Dict[str, np.ndarray]:

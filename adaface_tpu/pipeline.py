@@ -151,17 +151,17 @@ class StableDiffusionPipeline:
     def from_sd_checkpoint(cls, path: str, tokenizer: TokenizerBase,
                            dtype=jnp.float32,
                            num_extra_tokens: int = 8) -> "StableDiffusionPipeline":
-        """Build the pipeline from an SD v1.x `.ckpt` (torch pickle) through
-        the torch-free unpickler + name mappers — the analog of
-        `load_model_from_config` (`main.py:27-50`, `stable_txt2img.py:400`).
+        """Build the pipeline from an SD v1.x checkpoint — torch-zip `.ckpt`
+        or single-file `.safetensors` — through the torch-free loaders + name
+        mappers: the analog of `load_model_from_config` (`main.py:27-50`,
+        `stable_txt2img.py:400`; the reference reads torch pickles only).
         """
-        from adaface_tpu.interop.torch_pickle import load_torch_checkpoint, walk_stub_tree
+        from adaface_tpu.interop.torch_pickle import load_sd_state_dict, walk_stub_tree
         from adaface_tpu.interop.sd_unet import map_unet_params
         from adaface_tpu.interop.sd_vae import map_vae_params
         from adaface_tpu.interop.hf_clip import map_clip_text_params
 
-        ckpt = load_torch_checkpoint(path)
-        sd = ckpt.get("state_dict", ckpt)
+        sd = load_sd_state_dict(path)
         if not isinstance(sd, dict) or not any(
                 k.startswith("model.diffusion_model.") for k in sd):
             sd = walk_stub_tree(sd)

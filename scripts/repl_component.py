@@ -32,20 +32,18 @@ def main(opt):
     from adaface_tpu.interop.hf_clip import map_clip_text_params
     from adaface_tpu.interop.sd_unet import map_unet_params
     from adaface_tpu.interop.sd_vae import map_vae_params
-    from adaface_tpu.interop.torch_pickle import load_torch_checkpoint
+    from adaface_tpu.interop.torch_pickle import load_sd_state_dict
     from adaface_tpu.models.unet import UNetConfig
     from adaface_tpu.models.vae import VAEConfig
 
-    base = load_torch_checkpoint(opt.base)
-    base_sd = base.get("state_dict", base)
+    base_sd = load_sd_state_dict(opt.base)
     unet = map_unet_params(base_sd, UNetConfig.sd_v1())
     vae = map_vae_params(base_sd, VAEConfig.sd_v1())
     clip = map_clip_text_params(
         base_sd, prefix="cond_stage_model.transformer.text_model.")
 
     if opt.textencoder:
-        src = load_torch_checkpoint(opt.textencoder)
-        src_sd = src.get("state_dict", src)
+        src_sd = load_sd_state_dict(opt.textencoder)
         prefix = ("cond_stage_model.transformer.text_model."
                   if any(k.startswith("cond_stage_model.") for k in src_sd)
                   else "text_model.")
@@ -53,8 +51,7 @@ def main(opt):
         print(f"replaced text encoder from {opt.textencoder}")
 
     if opt.vae:
-        src = load_torch_checkpoint(opt.vae)
-        src_sd = src.get("state_dict", src)
+        src_sd = load_sd_state_dict(opt.vae)
         prefix = ("first_stage_model."
                   if any(k.startswith("first_stage_model.") for k in src_sd)
                   else "")
@@ -71,7 +68,7 @@ def main(opt):
 
 if __name__ == "__main__":
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--base", required=True, help="SD v1.x .ckpt")
+    p.add_argument("--base", required=True, help="SD v1.x .ckpt or .safetensors")
     p.add_argument("--textencoder", default=None,
                    help="ckpt to take the text encoder from")
     p.add_argument("--vae", default=None, help="ckpt to take the VAE from")

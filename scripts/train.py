@@ -28,7 +28,7 @@ def parse_args(argv=None):
                         "per-subject folders with --subjects")
     p.add_argument("--subjects", nargs="*", default=None)
     p.add_argument("--actual_resume", type=str, default=None,
-                   help="SD v1.x .ckpt backbone (random weights if absent)")
+                   help="SD v1.x .ckpt or .safetensors backbone (random weights if absent)")
     p.add_argument("--subject_string", type=str, default="z")
     p.add_argument("--background_string", type=str, default="y")
     p.add_argument("--cls_delta_string", type=str, default="person")

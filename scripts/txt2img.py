@@ -27,7 +27,7 @@ def parse_args(argv=None):
     p.add_argument("--from_file", type=str, default=None,
                    help="TSV prompt file: n_repeat, subdir, prompt[, ...] "
                         "(gen_subjects_and_eval format)")
-    p.add_argument("--ckpt", type=str, default=None, help="SD v1.x .ckpt")
+    p.add_argument("--ckpt", type=str, default=None, help="SD v1.x .ckpt or .safetensors")
     p.add_argument("--embedding_paths", nargs="*", default=[],
                    help=".npz (native) or .pt (reference) subject embeddings")
     p.add_argument("--subject_string", type=str, default="z")
