@@ -96,6 +96,9 @@ def main():
         times.append(time.time() - t0)
     best = min(times)
     latency_img_s = N_SAMPLES / best
+    # p50 per-image latency (the BASELINE.json north-star's second metric):
+    # median synchronous batch latency divided by the batch size.
+    p50_batch_s = sorted(times)[len(times) // 2]
 
     # ---- pipelined throughput (the headline): dispatch R batches
     # back-to-back without synchronizing, convert results as they land.
@@ -167,6 +170,8 @@ def main():
         "vs_baseline": round(img_s / TORCH_A100_BASELINE_IMG_S, 4),
         "latency_batch_s": round(best, 4),
         "latency_img_s": round(latency_img_s, 4),
+        "p50_latency_batch_s": round(p50_batch_s, 4),
+        "p50_s_per_image": round(p50_batch_s / N_SAMPLES, 4),
         **stages,
     }))
     print(f"# compile+first: {compile_s:.1f}s; runs: {[round(t,2) for t in times]}; "
