@@ -166,18 +166,25 @@ def init_evaluators(tokenizer=None,
         from adaface_tpu.data.tokenizer import CLIPBPETokenizer, HashTokenizer
         vocab = os.environ.get("CLIP_VOCAB_JSON")
         merges = os.environ.get("CLIP_MERGES_TXT")
-        if vocab and merges and os.path.exists(vocab):
+        if (vocab and merges and os.path.exists(vocab)
+                and os.path.exists(merges)):
             tokenizer = CLIPBPETokenizer(vocab, merges)
         else:
             tokenizer = HashTokenizer()
+            if clip_ckpt and os.path.exists(clip_ckpt):
+                import warnings
+
+                # real text tower + hash token ids = in-range but meaningless
+                # CLIP-T scores; make the degradation loud
+                warnings.warn(
+                    "CLIP_SCORER_PT set but CLIP_VOCAB_JSON/CLIP_MERGES_TXT "
+                    "missing: CLIP-T uses a HashTokenizer over real weights, "
+                    "so text-image scores are NOT comparable to the "
+                    "reference (CLIP-I/DINO are unaffected).")
 
     def _state_dict(path):
-        from adaface_tpu.interop.torch_pickle import (load_safetensors,
-                                                      load_torch_checkpoint)
-        if path.endswith(".safetensors"):
-            return load_safetensors(path)
-        sd = load_torch_checkpoint(path)
-        return sd.get("state_dict", sd)
+        from adaface_tpu.interop.torch_pickle import load_sd_state_dict
+        return load_sd_state_dict(path)
 
     if clip_ckpt and os.path.exists(clip_ckpt):
         from adaface_tpu.interop.hf_clip import map_clip_model_params

@@ -244,6 +244,8 @@ def save_safetensors(tensors: Dict[str, np.ndarray], path: str,
     off = 0
     for name, arr in tensors.items():
         arr = np.ascontiguousarray(arr)
+        if arr.dtype.byteorder == ">":  # tags (F32, ...) imply little-endian
+            arr = arr.astype(arr.dtype.newbyteorder("<"))
         if arr.dtype not in names:
             raise ValueError(f"{name}: unsupported dtype {arr.dtype}")
         raw = arr.tobytes()

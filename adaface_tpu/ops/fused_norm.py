@@ -93,9 +93,9 @@ def _gn_silu_kernel(x_ref, scale_ref, bias_ref, gmat_ref, o_ref, *,
     sums, sumsq = jax.lax.fori_loop(0, num_chunks, stats_body, (z, z))
     mean_g = sums * inv_count  # [1, G]
     # clamp: one-pass E[x^2]-mean^2 can go (slightly) negative under fp32
-    # cancellation; rsqrt of a negative would be NaN. (This off-default
-    # kernel keeps the raw one-pass form; the default XLA group_norm in
-    # ops/basic.py uses probe-shifted moments for full accuracy.)
+    # cancellation; rsqrt of a negative would be NaN. (Same raw one-pass
+    # form as the default XLA group_norm in ops/basic.py; probe-shifted
+    # moments are the ADAFACE_GN_SHIFT=1 opt-in there.)
     var_g = jnp.maximum(sumsq * inv_count - mean_g * mean_g, 0.0)
     inv_g = jax.lax.rsqrt(var_g + eps)
     # broadcast group stats back to channels: [1, G] @ [G, C]

@@ -119,6 +119,9 @@ def main(opt):
             csv_rows.append([subject, orig_prompt,
                              f"{ci:.4f}", f"{ct:.4f}", f"{dn:.4f}"])
 
+        if not sims_img:  # no scorable rows: skip rather than NaN-poison
+            print(f"no scorable prompts for {subject}; skipping\n")
+            continue
         mi, mt, md = (float(np.mean(sims_img)), float(np.mean(sims_text)),
                       float(np.mean(sims_dino)))
         per_subject.append((subject, mi, mt, md))

@@ -90,10 +90,9 @@ def main():
         for label, maker in (("gn", gn_body), ("conv+gn", conv_gn_body)):
             times = {}
             for arm in ("shift", "raw"):
-                if arm == "raw":
-                    os.environ["ADAFACE_GN_SHIFT"] = "0"
-                else:
-                    os.environ.pop("ADAFACE_GN_SHIFT", None)
+                # the unset default is the RAW one-pass (bdc637d); the
+                # accurate arm must opt in explicitly
+                os.environ["ADAFACE_GN_SHIFT"] = "1" if arm == "shift" else "0"
                 times[arm] = timeit_chain(maker, x)
             os.environ.pop("ADAFACE_GN_SHIFT", None)
             s, r = times["shift"] * 1e3, times["raw"] * 1e3

@@ -41,6 +41,14 @@ def test_save_load_safetensors_roundtrip(tmp_path):
         np.testing.assert_array_equal(out[k], v)
 
 
+def test_save_safetensors_normalizes_big_endian(tmp_path):
+    path = str(tmp_path / "be.safetensors")
+    save_safetensors({"w": np.arange(4, dtype=">f4")}, path)
+    out = load_safetensors(path)
+    assert out["w"].dtype == np.float32
+    np.testing.assert_array_equal(out["w"], [0.0, 1.0, 2.0, 3.0])
+
+
 def test_safetensors_cross_validation_with_real_package(tmp_path):
     from safetensors.numpy import load_file, save_file
 
