@@ -247,15 +247,20 @@ class StableDiffusionPipeline:
     def set_zero_shot_features(self, features, forward_template_ids,
                                inverse_template_ids, arcface_token_id,
                                out_id_embs_scale: float = 1.0,
-                               is_face: bool = True):
+                               is_face: bool = True,
+                               inf_emb_type: str = "full_half_pad"):
         """Attach zero-shot reference features (from
         `ZeroShotFeatureExtractor.encode`) so `encode_prompts` conditions on
-        them — the `--ref_images` path of `stable_txt2img.py:437,665`."""
+        them — the `--ref_images` path of `stable_txt2img.py:437,665`.
+        `inf_emb_type` is the inference-time inverse-embedding padding variant
+        (`--zs_arc2face_inverse_prompt_embs_inf_type`, default matches the
+        reference's `full_half_pad`)."""
         self._zs = dict(features=features,
                         forward_template_ids=jnp.asarray(forward_template_ids),
                         inverse_template_ids=jnp.asarray(inverse_template_ids),
                         arcface_token_id=arcface_token_id,
-                        out_id_embs_scale=out_id_embs_scale, is_face=is_face)
+                        out_id_embs_scale=out_id_embs_scale, is_face=is_face,
+                        inf_emb_type=inf_emb_type)
 
     def encode_prompts(self, prompts: Sequence[str], ids=None,
                        slot_maps=None) -> jnp.ndarray:
@@ -276,7 +281,8 @@ class StableDiffusionPipeline:
                 forward_template_ids=zs["forward_template_ids"],
                 arcface_token_id=zs["arcface_token_id"],
                 out_id_embs_scale=zs["out_id_embs_scale"],
-                is_face=zs["is_face"])
+                is_face=zs["is_face"],
+                inf_emb_type=zs.get("inf_emb_type", "full_half_pad"))
             # [L, 1, K, D] features broadcast over the prompt batch; the
             # patch+encode body runs through the SAME jitted program as the
             # static path (one compile, no per-op eager tunnel RTTs)
@@ -512,6 +518,7 @@ class StableDiffusionPipeline:
         compel_cfg_weight_level: float = 0.0,
         x_T: Optional[np.ndarray] = None,  # [B, h, w, C] initial noise
         block: bool = True,
+        context: Optional[jnp.ndarray] = None,  # [L|1, B|1, T, D] cond ctx
     ) -> np.ndarray:
         """Returns uint8 images [B, H, W, 3].
 
@@ -524,7 +531,14 @@ class StableDiffusionPipeline:
         `compel_cfg_weight_level` != 0 amplifies the cond context's offset
         from the empty-prompt context by 1.1^level before sampling
         (`stable_txt2img.py:680-694`: inference applies compel to the cond
-        half of the CFG batch only)."""
+        half of the CFG batch only).
+
+        `context` bypasses prompt encoding with a precomputed conditioning
+        tensor (layer and batch dims of size 1 broadcast) — the analog of
+        the reference's `apply_arc2face_embs` / `apply_arc2face_inverse_embs`
+        evaluation modes (`ddpm.py:1004-1030`: raw Arc2Face or inverse prompt
+        embeddings drive the UNet directly), and generally useful for serving
+        callers with cached contexts. Prompts then only size the batch."""
         b = len(prompts)
         f = 2 ** (len(self.vae.cfg.ch_mult) - 1)  # VAE spatial factor (8 for SD)
         lh, lw = height // f, width // f
@@ -541,7 +555,7 @@ class StableDiffusionPipeline:
         # noise): everything in one dispatch — noise + encode + scan +
         # decode + uint8, one compact readback
         if (compel_cfg_weight_level == 0 and getattr(self, "_zs", None) is None
-                and not x_T_given):
+                and not x_T_given and context is None):
             # Dedup identical prompt rows before the CLIP encode: the
             # layerwise context batch is L*B CLIP rows (128 at batch 8), so
             # repeated prompts — the common serving batch — pay L*U instead.
@@ -573,7 +587,14 @@ class StableDiffusionPipeline:
             x_T = jax.random.normal(jax.random.PRNGKey(seed),
                                     (b, lh, lw, self.unet.cfg.in_channels),
                                     jnp.float32)
-        ctx_c = self.encode_prompts(prompts)
+        if context is not None:
+            from adaface_tpu.models.unet import NUM_CA_LAYERS
+
+            ctx_c = jnp.asarray(context)
+            L = NUM_CA_LAYERS if ctx_c.shape[0] == 1 else ctx_c.shape[0]
+            ctx_c = jnp.broadcast_to(ctx_c, (L, b) + ctx_c.shape[2:])
+        else:
+            ctx_c = self.encode_prompts(prompts)
         ctx_u = self.encode_negative(negative_prompt, b)
         if compel_cfg_weight_level:
             from adaface_tpu.ops.compel import apply_compel_cfg

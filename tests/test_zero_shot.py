@@ -206,6 +206,22 @@ def test_pipeline_zero_shot_generation(stack):
     ctx2 = pipe.encode_prompts([prompt] * 2)
     assert float(jnp.abs(ctx1 - ctx2).max()) > 1e-3
 
+    # arc2face evaluation modes (`ddpm.py:1004-1030`): precomputed forward /
+    # inverse contexts drive the UNet via generate(context=...)
+    from adaface_tpu.personalization.arc2face import forward_face_embs
+
+    full_embs, _ = forward_face_embs(arc_enc, arc_params, feats.id_embs,
+                                     fwd77, int(tok.encode("id")[0]))
+    imgs_f = pipe.generate([prompt] * 2, num_steps=2, height=32, width=32,
+                           guidance_scale=5.0, context=full_embs[None, :1])
+    assert imgs_f.shape[0] == 2 and imgs_f.dtype == np.uint8
+    _, inv_embs = mgr.compute_zero_shot_embeddings(
+        feats2, inv77, forward_template_ids=fwd77,
+        arcface_token_id=int(tok.encode("id")[0]), inf_emb_type="full_pad")
+    imgs_i = pipe.generate([prompt] * 2, num_steps=2, height=32, width=32,
+                           guidance_scale=5.0, context=inv_embs[None, :1])
+    assert imgs_i.shape[0] == 2 and imgs_i.dtype == np.uint8
+
 
 def test_zero_shot_recon_train_step(stack):
     """The SubjBasisGenerator learns from the recon gradient."""
