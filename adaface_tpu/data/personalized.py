@@ -131,6 +131,7 @@ class PersonalizedDataset:
         num_vectors_per_subj_token: int = 9,
         num_vectors_per_bg_token: int = 4,
         num_compositions_per_image: int = 1,
+        common_placeholder_prefix: Optional[str] = None,
         seed: Optional[int] = None,
     ):
         self.subjects = list(subjects)
@@ -140,6 +141,12 @@ class PersonalizedDataset:
         self.num_vectors_per_subj_token = num_vectors_per_subj_token
         self.num_vectors_per_bg_token = num_vectors_per_bg_token
         self.num_compositions_per_image = num_compositions_per_image
+        # comma-separated prefixes; one is sampled per example and prepended
+        # to the subject AND class strings (`--common_placeholder_prefix`,
+        # `personalized.py:412-415,895-898`; used for cartoon subjects)
+        self.common_placeholder_prefixes = (
+            re.split(r"\s*,\s*", common_placeholder_prefix)
+            if common_placeholder_prefix else None)
         self.rng = np.random.default_rng(seed)
 
         self.records: List[ImageRecord] = []
@@ -246,6 +253,11 @@ class PersonalizedDataset:
                              if spec.background_string else None)
         cls_bg_delta = (pad(spec.cls_bg_delta_string, self.num_vectors_per_bg_token)
                         if spec.cls_bg_delta_string and spec.background_string else None)
+        if self.common_placeholder_prefixes is not None:
+            prefix = self.common_placeholder_prefixes[
+                int(rng.integers(len(self.common_placeholder_prefixes)))]
+            subject_string = prefix + " " + subject_string
+            cls_delta_string = prefix + " " + cls_delta_string
 
         template = IMAGENET_TEMPLATES_SMALL[
             int(rng.integers(len(IMAGENET_TEMPLATES_SMALL)))]

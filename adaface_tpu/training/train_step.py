@@ -30,6 +30,15 @@ from adaface_tpu.personalization.static_embedding import compute_static_embeddin
 from adaface_tpu.training.losses import masked_recon_loss, embedding_norm_loss
 
 
+def _iter_skip_weights(batch, skip_weights) -> jnp.ndarray:
+    """Per-iteration CLIP clip-skip blend weights: the host-sampled Dirichlet
+    draw carried in the batch (`randomize_clip_skip_weights`,
+    `modules.py:410-435` + `ddpm.py:973-974`: every training encode
+    resamples) or the static configured weights."""
+    sw = getattr(batch, "skip_weights", None)
+    return jnp.asarray(skip_weights) if sw is None else sw
+
+
 class ReconBatch(NamedTuple):
     """One normal-recon iteration batch (latent space, host-prepared)."""
 
@@ -47,6 +56,9 @@ class ReconBatch(NamedTuple):
     # subject nor bg slots; host-built like `ddpm.py:3498-3524`) enabling
     # the fg↔wds complementary battery
     wds_extra_token_mask: Optional[jnp.ndarray] = None  # [B, T]
+    # per-iteration clip-skip weights ([2], host-sampled Dirichlet when
+    # randomize_clip_skip_weights; None = the configured constant)
+    skip_weights: Optional[jnp.ndarray] = None
 
 
 def _gen_dropout_kwargs(dropout_key, i: int) -> dict:
@@ -188,7 +200,7 @@ def make_recon_train_step(
         L, B, T, D = patched.shape
         ctx = clip.apply({"params": fz["clip"]},
                          input_embeds=patched.reshape(L * B, T, D),
-                         skip_weights=jnp.asarray(skip_weights))
+                         skip_weights=_iter_skip_weights(batch, skip_weights))
         ctx = ctx.reshape(L, B, T, D)
         x_noisy = sched.q_sample(batch.latents, batch.timesteps, batch.noise)
         if do_capture:
@@ -254,6 +266,9 @@ class ComposBatch(NamedTuple):
     # do_zero_shot x comp_init_fg_from_training_image (`ddpm.py:2577-2597`);
     # None keeps the mixing defaults
     cls_mix_ranges: Optional[jnp.ndarray] = None
+    # per-iteration clip-skip weights ([2], host-sampled Dirichlet when
+    # randomize_clip_skip_weights; None = the configured constant)
+    skip_weights: Optional[jnp.ndarray] = None
 
 
 def make_compos_distill_step(
@@ -344,7 +359,7 @@ def _make_compos_loss_core(clip, unet, sched, skip_weights,
         L, B4, T, D = patched.shape
         ctx = clip.apply({"params": fz["clip"]},
                          input_embeds=patched.reshape(L * B4, T, D),
-                         skip_weights=jnp.asarray(skip_weights))
+                         skip_weights=_iter_skip_weights(batch, skip_weights))
         ctx = ctx.reshape(L, B4, T, D)
         B = B4 // 4
         subj_single, subj_comp, cls_single, cls_comp = (
@@ -500,6 +515,9 @@ class Arc2FaceBatch(NamedTuple):
     noises: jnp.ndarray  # [S, B, h, w, 4] per-step noise
     relative_ts: jnp.ndarray  # [S-1, B] uniforms for earlier-t sampling
     fg_mask: Optional[jnp.ndarray]
+    # per-iteration clip-skip weights ([2], host-sampled Dirichlet when
+    # randomize_clip_skip_weights; None = the configured constant)
+    skip_weights: Optional[jnp.ndarray] = None
 
 
 def make_arc2face_distill_step(
@@ -559,7 +577,7 @@ def make_arc2face_distill_step(
         L, _, T, D = patched.shape
         ctx = clip.apply({"params": fz["clip"]},
                          input_embeds=patched.reshape(L * B, T, D),
-                         skip_weights=jnp.asarray(skip_weights))
+                         skip_weights=_iter_skip_weights(batch, skip_weights))
         ctx = ctx.reshape(L, B, T, D)
 
         losses = []
@@ -607,6 +625,9 @@ class ZeroShotArc2FaceBatch(NamedTuple):
     clip_bg: jnp.ndarray
     id_embs: jnp.ndarray  # [B, 512]
     dropout_key: Optional[jnp.ndarray] = None  # generator attn dropout
+    # per-iteration clip-skip weights ([2], host-sampled Dirichlet when
+    # randomize_clip_skip_weights; None = the configured constant)
+    skip_weights: Optional[jnp.ndarray] = None
 
 
 def make_zero_shot_arc2face_step(
@@ -688,7 +709,7 @@ def make_zero_shot_arc2face_step(
         L, _, T, D = patched.shape
         ctx = clip.apply({"params": fz["clip"]},
                          input_embeds=patched.reshape(L * B, T, D),
-                         skip_weights=jnp.asarray(skip_weights))
+                         skip_weights=_iter_skip_weights(batch, skip_weights))
         ctx = ctx.reshape(L, B, T, D)
 
         max_loss_steps = max(max_accumu_batch // B, 1)
@@ -726,6 +747,9 @@ class DreamBoothBatch(NamedTuple):
 
     train: ReconBatch
     reg: ReconBatch
+    # per-iteration clip-skip weights ([2], host-sampled Dirichlet when
+    # randomize_clip_skip_weights; None = the configured constant)
+    skip_weights: Optional[jnp.ndarray] = None
 
 
 def make_dreambooth_train_step(
@@ -751,7 +775,7 @@ def make_dreambooth_train_step(
         L, B, T, D = patched.shape
         ctx = clip.apply({"params": fz["clip"]},
                          input_embeds=patched.reshape(L * B, T, D),
-                         skip_weights=jnp.asarray(skip_weights))
+                         skip_weights=_iter_skip_weights(batch, skip_weights))
         ctx = ctx.reshape(L, B, T, D)
         x_noisy = sched.q_sample(batch.latents, batch.timesteps, batch.noise)
         eps = unet.apply({"params": fz["unet"]}, x_noisy, batch.timesteps, ctx)
@@ -790,6 +814,9 @@ class ZeroShotReconBatch(NamedTuple):
     emb_noise_std: Optional[jnp.ndarray] = None  # scalar
     emb_noise_key: Optional[jnp.ndarray] = None  # PRNG key
     dropout_key: Optional[jnp.ndarray] = None  # generator attn dropout
+    # per-iteration clip-skip weights ([2], host-sampled Dirichlet when
+    # randomize_clip_skip_weights; None = the configured constant)
+    skip_weights: Optional[jnp.ndarray] = None
 
 
 def make_zero_shot_recon_step(
@@ -861,7 +888,7 @@ def make_zero_shot_recon_step(
         L, B, T, D = patched.shape
         ctx = clip.apply({"params": fz["clip"]},
                          input_embeds=patched.reshape(L * B, T, D),
-                         skip_weights=jnp.asarray(skip_weights))
+                         skip_weights=_iter_skip_weights(batch, skip_weights))
         ctx = ctx.reshape(L, B, T, D)
         x_noisy = sched.q_sample(batch.latents, batch.timesteps, batch.noise)
         if do_capture:
@@ -921,6 +948,9 @@ class ZeroShotComposBatch(NamedTuple):
     emb_noise_key: Optional[jnp.ndarray] = None  # PRNG key
     dropout_key: Optional[jnp.ndarray] = None  # generator attn dropout
     cls_mix_ranges: Optional[jnp.ndarray] = None  # [4], see ComposBatch
+    # per-iteration clip-skip weights ([2], host-sampled Dirichlet when
+    # randomize_clip_skip_weights; None = the configured constant)
+    skip_weights: Optional[jnp.ndarray] = None
 
 
 def make_zero_shot_compos_step(

@@ -91,6 +91,12 @@ class TrainerConfig:
     # disabled whenever zero-shot features ride along, `ddpm.py:979-988`)
     apply_compel_cfg_prob: float = 0.0
     compel_cfg_weight_level_range: tuple = (2.0, 2.0)
+    # per-iteration Dirichlet resampling of the CLIP clip-skip blend
+    # weights (`--randomize_clip_skip_weights`, `modules.py:410-435`; alpha
+    # = the RAW configured weights, `main.py:331-338`; every training
+    # encode resamples, `ddpm.py:973-974`)
+    randomize_clip_skip_weights: bool = False
+    clip_skip_weights_alpha: tuple = (1.0, 1.0)
     # EMA shadow of the trainable embedders (`ldm/modules/ema.py` LitEma;
     # off by default like `v1-finetune-ada.yaml:25`)
     use_ema: bool = False
@@ -306,6 +312,16 @@ class Trainer:
         ci = (np.arange(lw) * (m.shape[2] / lw)).astype(np.int64)
         return m[:, ri][:, :, ci][..., None]
 
+    def _skip_weights_kw(self) -> dict:
+        """Per-iteration Dirichlet clip-skip draw (`ddpm.py:973-974`) —
+        batch kwargs for any train-step batch type, empty when the
+        randomization is off (the step then uses the configured constant)."""
+        if not self.cfg.randomize_clip_skip_weights:
+            return {}
+        w = self.rng.dirichlet(
+            np.asarray(self.cfg.clip_skip_weights_alpha, np.float64))
+        return {"skip_weights": jnp.asarray(w, jnp.float32)}
+
     def _prompt_batch(self, examples, key: str):
         prompts = [e[key] if key in e else e["caption"] for e in examples]
         # comp prompts pack num_compositions variants with '|'; take the first
@@ -385,7 +401,8 @@ class Trainer:
             fg_mask=jnp.asarray(self._mask_to_latent(batch_np["fg_mask"], lh, lw)),
             timesteps=jnp.asarray(t, jnp.int32),
             noise=jnp.asarray(self.rng.standard_normal(latents.shape),
-                              jnp.float32), **noise_kw)
+                              jnp.float32),
+            **self._skip_weights_kw(), **noise_kw)
         step = self._get_recon_step(plan.use_background_token, use_wds)
         self.mgr.embedders, self.opt_state, metrics = step(
             self.mgr.embedders, self.opt_state, batch, self._frozen)
@@ -550,7 +567,8 @@ class Trainer:
             t_frac=jnp.asarray(t / self.plan_cfg.num_timesteps, jnp.float32),
             training_percent=jnp.asarray(plan.training_percent, jnp.float32),
             compel_level=compel_level, compel_batch_mask=compel_mask,
-            cls_mix_ranges=jnp.asarray(self._cls_mix_ranges(plan)), **noise_kw)
+            cls_mix_ranges=jnp.asarray(self._cls_mix_ranges(plan)),
+            **self._skip_weights_kw(), **noise_kw)
         self.mgr.embedders, self.opt_state, metrics = self._steps[COMPOS_DISTILL](
             self.mgr.embedders, self.opt_state, batch, self._frozen)
         return metrics
@@ -652,7 +670,8 @@ class Trainer:
                                jnp.float32),
             relative_ts=jnp.asarray(self.rng.uniform(size=(max(S - 1, 1), B)),
                                     jnp.float32),
-            fg_mask=jnp.asarray(self._mask_to_latent(batch_np["fg_mask"], lh, lw)))
+            fg_mask=jnp.asarray(self._mask_to_latent(batch_np["fg_mask"], lh, lw)),
+            **self._skip_weights_kw())
         frozen = dict(self._frozen)
         frozen["teacher"] = teacher_params
         self.mgr.embedders, self.opt_state, metrics = self._a2f_steps[key](

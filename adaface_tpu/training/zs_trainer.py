@@ -282,7 +282,8 @@ class ZeroShotTrainer(Trainer):
             clip_fg=feats.clip_fg[:1], clip_bg=feats.clip_bg[:1],
             id_embs=id_embs[:1],
             cls_mix_ranges=jnp.asarray(self._cls_mix_ranges(plan)),
-            dropout_key=self._dropout_key(), **noise_kw)
+            dropout_key=self._dropout_key(),
+            **self._skip_weights_kw(), **noise_kw)
         self.gen_params, self.opt_state, metrics = self._zs_compos_step(
             self.gen_params, self.opt_state, batch,
             {**self._frozen, "arc": self._arc_frozen, "gen0": self._gen0})
@@ -350,7 +351,7 @@ class ZeroShotTrainer(Trainer):
             fg_mask=fg, clip_fg=bfg, clip_bg=bbg,
             id_embs=id_embs / (jnp.linalg.norm(id_embs, axis=-1,
                                                keepdims=True) + 1e-12),
-            dropout_key=self._dropout_key())
+            dropout_key=self._dropout_key(), **self._skip_weights_kw())
         self.gen_params, self.opt_state, metrics = self._zs_a2f_steps[key](
             self.gen_params, self.opt_state, batch,
             {**self._frozen, "arc": self._arc_frozen,
@@ -413,7 +414,7 @@ class ZeroShotTrainer(Trainer):
                 else jnp.broadcast_to(feats.clip_bg,
                                       (B,) + feats.clip_bg.shape[1:]),
                 id_embs=id_embs, dropout_key=self._dropout_key(),
-                **noise_kw)
+                **self._skip_weights_kw(), **noise_kw)
             step = self._get_zs_recon_step(plan.use_background_token)
             self.gen_params, self.opt_state, metrics = step(
                 self.gen_params, self.opt_state, batch,

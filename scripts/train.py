@@ -34,6 +34,31 @@ def parse_args(argv=None):
     p.add_argument("--cls_delta_string", type=str, default="person")
     p.add_argument("--num_vectors_per_subj_token", type=int, default=9)
     p.add_argument("--num_vectors_per_bg_token", type=int, default=4)
+    p.add_argument("--subj_init_word_weights", nargs="*", type=float,
+                   default=None,
+                   help="per-token weights for the cls_delta_string init "
+                        "words (main.py:237)")
+    p.add_argument("--bg_init_string", type=str, default="unknown",
+                   help="words initializing the background embedder "
+                        "(main.py:233)")
+    p.add_argument("--layerwise_lora_rank", type=int, default=10,
+                   help="static embedder basis rank (main.py:286)")
+    p.add_argument("--clip_last_layers_skip_weights", nargs="+", type=float,
+                   default=None,
+                   help="relative weights of CLIP's last hidden layers "
+                        "(main.py:331; default [1, 1])")
+    p.add_argument("--randomize_clip_skip_weights", action="store_true",
+                   help="resample the skip weights per iteration from "
+                        "Dirichlet(weights) (main.py:335)")
+    p.add_argument("--common_placeholder_prefix", type=str, default=None,
+                   help="comma-separated prefixes sampled per example and "
+                        "prepended to subject+class strings (main.py:229)")
+    p.add_argument("--matmul_prec", type=str, default=None,
+                   help="matmul precision: jax names or torch aliases "
+                        "highest/high/medium (main.py:339,849-851)")
+    p.add_argument("--embedding_manager_ckpt", type=str, default=None,
+                   help="warm-start embedders from a .pt/.npz checkpoint "
+                        "(main.py --embedding_manager_ckpt)")
     p.add_argument("--max_steps", type=int, default=2000)
     p.add_argument("--batch_size", type=int, default=3)
     p.add_argument("--accumulate_grad_batches", type=int, default=2)
@@ -131,6 +156,7 @@ def main(opt):
         specs, size=opt.size,
         num_vectors_per_subj_token=opt.num_vectors_per_subj_token,
         num_vectors_per_bg_token=opt.num_vectors_per_bg_token,
+        common_placeholder_prefix=opt.common_placeholder_prefix,
         seed=opt.seed)
 
     # backbone
@@ -168,25 +194,75 @@ def main(opt):
         pipe.unet = type(pipe.unet)(_dc.replace(pipe.unet.cfg, **mo),
                                     pipe.unet.dtype)
 
-    # placeholders
+    if opt.matmul_prec:
+        # torch.set_float32_matmul_precision aliases -> JAX precisions
+        # (`main.py:849-851`)
+        prec = {"highest": "highest", "high": "tensorfloat32",
+                "medium": "bfloat16"}.get(opt.matmul_prec, opt.matmul_prec)
+        jax.config.update("jax_default_matmul_precision", prec)
+        print(f"matmul precision: {prec}")
+
+    if opt.clip_last_layers_skip_weights:
+        w = [float(x) for x in opt.clip_last_layers_skip_weights]
+        pipe.skip_weights = tuple(x / sum(w) for x in w)
+
+    # placeholders — initialized from class/init-word embeddings like the
+    # reference (`embedding_manager.py:414-495`: pre_vecs = the CLIP token
+    # embeddings of cls_delta_string / bg_init_string, weighted by
+    # --subj_init_word_weights), not randomly
+    import numpy as np
+
     mgr = pipe.embedding_manager
     emb_dim = pipe.clip.cfg.hidden_size
+    table = np.asarray(pipe.clip_params["token_embedding"]["embedding"])
+
+    def word_init(words: str, weights=None):
+        tids = [t for t in tok.encode(words) if 0 <= t < table.shape[0]]
+        if not tids:
+            return {}
+        vecs = table[np.asarray(tids)]
+        kw = dict(init_vecs=vecs)
+        if weights:
+            if len(weights) != len(tids):
+                raise SystemExit(
+                    f"--subj_init_word_weights: {len(weights)} weights for "
+                    f"{len(tids)} init tokens of {words!r}")
+            w = np.asarray(weights, np.float32)
+            kw["init_vec_weights"] = w / w.sum()
+        return kw
+
     mgr.add_placeholder(opt.subject_string,
                         token_id=tok.add_placeholder(opt.subject_string),
                         num_vectors=opt.num_vectors_per_subj_token,
                         init_key=jax.random.PRNGKey(opt.seed + 1),
-                        emb_dim=emb_dim)
+                        emb_dim=emb_dim, rank=opt.layerwise_lora_rank,
+                        **word_init(opt.cls_delta_string,
+                                    opt.subj_init_word_weights))
     if opt.background_string:
         mgr.add_placeholder(opt.background_string,
                             token_id=tok.add_placeholder(opt.background_string),
                             num_vectors=opt.num_vectors_per_bg_token,
                             is_background=True,
                             init_key=jax.random.PRNGKey(opt.seed + 2),
-                            emb_dim=emb_dim)
+                            emb_dim=emb_dim, rank=opt.layerwise_lora_rank,
+                            **word_init(opt.bg_init_string))
+    if opt.embedding_manager_ckpt:
+        path = opt.embedding_manager_ckpt
+        if path.endswith(".npz"):
+            loaded = type(mgr).load_native(path)
+            for s, info in loaded.placeholders.items():
+                info.token_id = tok.add_placeholder(s)
+                mgr.placeholders[s] = info
+                mgr.embedders[s] = loaded.embedders[s]
+        else:
+            mgr.load_reference_checkpoint(
+                path, token_id_resolver=tok.add_placeholder)
+        print(f"warm-started embedding manager from {path}")
 
     cli_handled = {"max_steps", "batch_size", "accumulate_grad_batches",
                    "ckpt_every_steps", "use_prodigy", "learning_rate",
-                   "seed", "logdir"}
+                   "seed", "logdir", "randomize_clip_skip_weights",
+                   "clip_skip_weights_alpha"}
     # precedence: explicit CLI flag > config file > argparse default —
     # the file's learning_rate/use_prodigy win only when the CLI flag was
     # left at its default
@@ -204,7 +280,10 @@ def main(opt):
         accumulate_grad_batches=opt.accumulate_grad_batches,
         learning_rate=lr, use_prodigy=use_prodigy,
         ckpt_every_steps=opt.ckpt_every_steps, seed=opt.seed,
-        logdir=opt.logdir)
+        logdir=opt.logdir,
+        randomize_clip_skip_weights=opt.randomize_clip_skip_weights,
+        clip_skip_weights_alpha=tuple(
+            float(x) for x in (opt.clip_last_layers_skip_weights or (1, 1))))
     pcfg = IterPlanConfig(
         **dataclass_cfg(IterPlanConfig, "iter_plan",
                         skip={"composition_regs_iter_gap", "max_steps"}),

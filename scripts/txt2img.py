@@ -55,6 +55,17 @@ def parse_args(argv=None):
     p.add_argument("--calc_face_sim", action="store_true",
                    help="also score ArcFace similarity + no-face exception "
                         "rate (the reference's are_faces subjects)")
+    p.add_argument("--skip_save", action="store_true",
+                   help="do not save individual samples (speed measurement; "
+                        "stable_txt2img.py:82)")
+    p.add_argument("--n_rows", type=int, default=0,
+                   help="rows in the grid (0 = one row per batch; "
+                        "stable_txt2img.py:148)")
+    p.add_argument("--use_first_gt_img_as_init", action="store_true",
+                   help="start from the stochastic encode of the first "
+                        "--compare_with image (stable_txt2img.py:205,580-600)")
+    p.add_argument("--init_img_weight", type=float, default=0.1,
+                   help="img2img strength for --use_first_gt_img_as_init")
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--tiny", action="store_true",
                    help="tiny random models (CPU smoke/verify mode)")
@@ -133,6 +144,49 @@ def pad_placeholders(prompt, subject_string, k):
                           subject_string + " ," * (k - 1), 1)
 
 
+def _gt_init_code(opt, pipe):
+    """x_T from the ground-truth folder's VAE latents
+    (`stable_txt2img.py:585-626`): per image, fg-masked latent with noise
+    outside the mask; averaged /sqrt(N); blended with fresh noise by
+    `--init_img_weight`."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from PIL import Image
+
+    from adaface_tpu.models.vae import SD_VAE_SCALE_FACTOR, AutoencoderKL
+
+    paths = sorted(
+        os.path.join(opt.compare_with, f) for f in os.listdir(opt.compare_with)
+        if f.lower().endswith((".jpg", ".jpeg", ".png"))
+        and "_mask" not in f)
+    if not paths:
+        raise SystemExit(f"no images in {opt.compare_with}")
+    f = 2 ** (len(pipe.vae.cfg.ch_mult) - 1)
+    lh = lw = opt.size // f
+    enc = jax.jit(lambda p, x: pipe.vae.apply(
+        {"params": p}, x, method=AutoencoderKL.encode))
+    rng = np.random.default_rng(opt.seed)
+    avg = np.zeros((opt.n_samples, lh, lw, 4), np.float32)
+    for path in paths:
+        im = Image.open(path).convert("RGB").resize((opt.size, opt.size))
+        x = (np.asarray(im, np.float32) / 127.5 - 1.0)[None]
+        mean, _ = enc(pipe.vae_params, jnp.asarray(x))
+        z = np.asarray(mean, np.float32) * SD_VAE_SCALE_FACTOR
+        z = np.broadcast_to(z, avg.shape)
+        stem, ext = os.path.splitext(path)
+        mask_path = stem + "_mask.png"
+        if os.path.exists(mask_path):
+            m = np.asarray(Image.open(mask_path).convert("L").resize(
+                (lw, lh), Image.NEAREST), np.float32)[None, :, :, None] / 255.0
+            z = np.where(m > 0.5, z, rng.standard_normal(avg.shape))
+        avg += z
+    avg /= np.sqrt(len(paths))
+    w = opt.init_img_weight
+    return (avg * w + rng.standard_normal(avg.shape).astype(np.float32)
+            * (1.0 - w)).astype(np.float32)
+
+
 def main(opt):
     import numpy as np
     from PIL import Image
@@ -142,6 +196,15 @@ def main(opt):
     pipe, tok = build_pipeline(opt)
     neg = opt.neg_prompt if opt.neg_prompt is not None else DEFAULT_NEGATIVE_PROMPT
     guidance = tuple(opt.scale) if len(opt.scale) > 1 else opt.scale[0]
+
+    x_T = None
+    if opt.use_first_gt_img_as_init:
+        # x_T = blended VAE latents of the ground-truth images + noise
+        # (`stable_txt2img.py:585-626`: masked latents averaged /sqrt(N),
+        # then init_img_weight-blended with fresh noise)
+        if not opt.compare_with:
+            raise SystemExit("--use_first_gt_img_as_init needs --compare_with")
+        x_T = _gt_init_code(opt, pipe)
 
     jobs = []  # (subdir, prompt, n_repeat)
     if opt.from_file:
@@ -174,19 +237,30 @@ def main(opt):
                                  height=opt.size, width=opt.size,
                                  seed=opt.seed + rep, sampler=opt.sampler,
                                  compel_cfg_weight_level=opt.compel_cfg_weight_level,
-                                 block=False)
+                                 x_T=x_T, block=False)
                    for rep in range(n_rep)]
         for batch in pending:
             imgs = np.asarray(batch)
-            for im in imgs:
-                Image.fromarray(im).save(os.path.join(outd, f"{idx:05}.jpg"))
-                idx += 1
+            if not opt.skip_save:
+                for im in imgs:
+                    Image.fromarray(im).save(os.path.join(outd, f"{idx:05}.jpg"))
+                    idx += 1
             all_imgs.append(imgs)
         print(f"wrote {idx} images to {outd} for prompt: {prompt!r}")
 
-    # grid
-    grid = np.concatenate([np.concatenate(list(batch), axis=1)
-                           for batch in all_imgs[:4]], axis=0)
+    # grid: n_rows overrides the one-row-per-batch default
+    # (`stable_txt2img.py:148`)
+    if opt.n_rows > 0:
+        flat = [im for batch in all_imgs for im in batch]
+        per_row = max(1, (len(flat) + opt.n_rows - 1) // opt.n_rows)
+        rows = [np.concatenate(flat[i:i + per_row], axis=1)
+                for i in range(0, len(flat), per_row)]
+        w = max(r.shape[1] for r in rows)
+        rows = [np.pad(r, ((0, 0), (0, w - r.shape[1]), (0, 0))) for r in rows]
+        grid = np.concatenate(rows, axis=0)
+    else:
+        grid = np.concatenate([np.concatenate(list(batch), axis=1)
+                               for batch in all_imgs[:4]], axis=0)
     Image.fromarray(grid).save(os.path.join(opt.outdir, "grid.jpg"))
 
     if opt.compare_with:

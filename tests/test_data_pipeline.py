@@ -154,3 +154,23 @@ def test_templates_and_compositions():
     assert all("{" not in c and "}" not in c for c in comps)
     obj = sample_compositions(4, "object", is_training=False, rng=rng)
     assert all("wearing" not in c for c in obj)  # static bank only
+
+
+def test_common_placeholder_prefix(subjects):
+    """--common_placeholder_prefix: a per-example random choice is prepended
+    to the padded subject AND class strings (`personalized.py:412-415,
+    895-898`)."""
+    ds = PersonalizedDataset(subjects, size=16, num_vectors_per_subj_token=2,
+                             common_placeholder_prefix="boy with, girl with",
+                             seed=3)
+    seen = set()
+    for i in range(8):
+        ex = ds[i % len(ds)]
+        single = ex["subj_prompt_single"]
+        m = [p for p in ("boy with z, ", "girl with z, ") if p in single]
+        assert len(m) == 1, single
+        seen.add(m[0])
+        # the class prompt gets the SAME prefix (cls string may be the
+        # metainfo person_type, so check the prefix only)
+        assert m[0].split(" z")[0] + " " in ex["cls_prompt_single"]
+    assert len(seen) == 2  # both alternatives sampled

@@ -140,3 +140,67 @@ def test_train_cli_model_options_override(subject_dir, tmp_path):
         "model_options.use_remat=true"]))
     assert rc in (0, None)
     assert os.path.exists(os.path.join(logdir, "embeddings_last.npz"))
+
+
+def test_skip_weights_flow_into_encode(subject_dir, tmp_path):
+    """Two recon batches identical except for the per-iteration skip-weight
+    draw produce different losses through ONE compiled step (the weights are
+    a traced batch field, not a retrace trigger)."""
+    from adaface_tpu.training.train_step import ReconBatch
+
+    tr = _build(subject_dir, str(tmp_path / "sw"), max_steps=2)
+    ex = [tr.dataset[i] for i in range(2)]
+    from adaface_tpu.data.personalized import collate_examples
+
+    batch_np = collate_examples(ex)
+    latents = tr._latents(batch_np["image"])
+    ids, slots = tr._prompt_batch(ex, "caption")
+    base = dict(
+        latents=latents, token_ids=ids, slot_maps=slots, fg_mask=None,
+        timesteps=jnp.full((2,), 10, jnp.int32),
+        noise=jnp.asarray(np.random.default_rng(0).standard_normal(
+            latents.shape), jnp.float32))
+    step = tr._get_recon_step(False, False)
+    losses = {}
+    for name, sw in (("a", (0.05, 0.95)), ("b", (0.95, 0.05))):
+        b = ReconBatch(**base, skip_weights=jnp.asarray(sw, jnp.float32))
+        _, _, metrics = step(tr.mgr.embedders, tr.opt_state, b, tr._frozen)
+        losses[name] = float(metrics["loss"])
+    assert np.isfinite(losses["a"]) and np.isfinite(losses["b"])
+    assert abs(losses["a"] - losses["b"]) > 1e-6
+
+
+def test_train_cli_init_words_rank_and_randomize(subject_dir, tmp_path):
+    """CLI parity flags: --subj_init_word_weights / --bg_init_string
+    initialize the embedders from token embeddings (pre_vecs present,
+    embedding_manager.py:414-495), --layerwise_lora_rank sets the basis
+    rank, --randomize_clip_skip_weights trains fine end to end."""
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                     "scripts"))
+    import train as train_cli
+
+    logdir = str(tmp_path / "cli_init")
+    rc = train_cli.main(train_cli.parse_args([
+        "--data_root", subject_dir, "--tiny", "--max_steps", "2",
+        "--batch_size", "1", "--size", "32", "--logdir", logdir,
+        "--ckpt_every_steps", "1000",
+        "--subj_init_word_weights", "1",
+        "--layerwise_lora_rank", "8",
+        "--clip_last_layers_skip_weights", "1", "2",
+        "--randomize_clip_skip_weights"]))
+    assert rc in (0, None)
+    path = os.path.join(logdir, "embeddings_last.npz")
+    assert os.path.exists(path)
+    from adaface_tpu.personalization.embedding_manager import EmbeddingManager
+
+    mgr = EmbeddingManager.load_native(path)
+    z = mgr.embedders["z"]
+    # init-word vectors present: pre_vecs [K, 1, D] (one init token 'person')
+    assert z.pre_vecs is not None and z.pre_vecs.shape[1] == 1
+    # rank 8 = pre(1) + basis(7)
+    assert z.basis_vecs.shape[1] == 7
+    # bg init from 'unknown'
+    y = mgr.embedders["y"]
+    assert y.pre_vecs is not None
