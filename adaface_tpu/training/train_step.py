@@ -747,9 +747,8 @@ class DreamBoothBatch(NamedTuple):
 
     train: ReconBatch
     reg: ReconBatch
-    # per-iteration clip-skip weights ([2], host-sampled Dirichlet when
-    # randomize_clip_skip_weights; None = the configured constant)
-    skip_weights: Optional[jnp.ndarray] = None
+    # per-iteration clip-skip randomization rides in the inner ReconBatches'
+    # skip_weights fields (one draw shared by both halves)
 
 
 def make_dreambooth_train_step(

@@ -220,6 +220,11 @@ def main(opt):
         tids = [t for t in tok.encode(words) if 0 <= t < table.shape[0]]
         if not tids:
             return {}
+        if len(tids) > opt.layerwise_lora_rank:
+            raise SystemExit(
+                f"{words!r} tokenizes to {len(tids)} init tokens but "
+                f"--layerwise_lora_rank is {opt.layerwise_lora_rank}; the "
+                f"rank must be >= the init-token count")
         vecs = table[np.asarray(tids)]
         kw = dict(init_vecs=vecs)
         if weights:
@@ -254,6 +259,9 @@ def main(opt):
                 info.token_id = tok.add_placeholder(s)
                 mgr.placeholders[s] = info
                 mgr.embedders[s] = loaded.embedders[s]
+                # save_native reads a score per placeholder
+                mgr.emb_global_scale_scores.setdefault(
+                    s, loaded.emb_global_scale_scores.get(s, 0.0))
         else:
             mgr.load_reference_checkpoint(
                 path, token_id_resolver=tok.add_placeholder)
@@ -348,7 +356,7 @@ def run_dreambooth(opt, pipe, tok):
     rng = np.random.default_rng(opt.seed)
     os.makedirs(opt.logdir, exist_ok=True)
 
-    def mk_recon(e):
+    def mk_recon(e, sw=None):
         lat = encode(pipe.vae_params, jnp.asarray(e["image"][None]))[0] \
             * SD_VAE_SCALE_FACTOR
         ids = pipe.tokenizer([e["caption"]])
@@ -358,11 +366,19 @@ def run_dreambooth(opt, pipe, tok):
             slot_maps={k: jnp.asarray(v) for k, v in slots.items()},
             fg_mask=None,
             timesteps=jnp.asarray(rng.integers(0, 1000, 1), jnp.int32),
-            noise=jnp.asarray(rng.standard_normal(lat.shape), jnp.float32))
+            noise=jnp.asarray(rng.standard_normal(lat.shape), jnp.float32),
+            skip_weights=sw)
 
     for i in range(opt.max_steps):
         tr, rg = ds.draw_pair()
-        batch = DreamBoothBatch(train=mk_recon(tr), reg=mk_recon(rg))
+        # one Dirichlet draw per iteration, shared by both halves (the
+        # reference encodes both in one get_learned_conditioning call)
+        sw = None
+        if opt.randomize_clip_skip_weights:
+            alpha = [float(x) for x in
+                     (opt.clip_last_layers_skip_weights or (1, 1))]
+            sw = jnp.asarray(rng.dirichlet(alpha), jnp.float32)
+        batch = DreamBoothBatch(train=mk_recon(tr, sw), reg=mk_recon(rg, sw))
         mgr.embedders, opt_state, m = step(mgr.embedders, opt_state, batch)
         if i % 10 == 0:
             print(f"[db {i}/{opt.max_steps}] loss={float(m['loss']):.4f} "

@@ -145,10 +145,10 @@ def pad_placeholders(prompt, subject_string, k):
 
 
 def _gt_init_code(opt, pipe):
-    """x_T from the ground-truth folder's VAE latents
+    """x_T base from the ground-truth folder's VAE latents
     (`stable_txt2img.py:585-626`): per image, fg-masked latent with noise
-    outside the mask; averaged /sqrt(N); blended with fresh noise by
-    `--init_img_weight`."""
+    outside the mask; averaged /sqrt(N). The `--init_img_weight` noise
+    blend happens per repeat in main()."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -181,10 +181,7 @@ def _gt_init_code(opt, pipe):
                 (lw, lh), Image.NEAREST), np.float32)[None, :, :, None] / 255.0
             z = np.where(m > 0.5, z, rng.standard_normal(avg.shape))
         avg += z
-    avg /= np.sqrt(len(paths))
-    w = opt.init_img_weight
-    return (avg * w + rng.standard_normal(avg.shape).astype(np.float32)
-            * (1.0 - w)).astype(np.float32)
+    return (avg / np.sqrt(len(paths))).astype(np.float32)
 
 
 def main(opt):
@@ -197,14 +194,22 @@ def main(opt):
     neg = opt.neg_prompt if opt.neg_prompt is not None else DEFAULT_NEGATIVE_PROMPT
     guidance = tuple(opt.scale) if len(opt.scale) > 1 else opt.scale[0]
 
-    x_T = None
+    gt_avg = None
     if opt.use_first_gt_img_as_init:
-        # x_T = blended VAE latents of the ground-truth images + noise
-        # (`stable_txt2img.py:585-626`: masked latents averaged /sqrt(N),
-        # then init_img_weight-blended with fresh noise)
+        # base for x_T = blended VAE latents of the ground-truth images
+        # (`stable_txt2img.py:585-626`: masked latents averaged /sqrt(N));
+        # the noise blend happens per repeat below so --n_repeat still
+        # diversifies (the reference reuses ONE start code across repeats,
+        # which makes deterministic-DDIM repeats identical)
         if not opt.compare_with:
             raise SystemExit("--use_first_gt_img_as_init needs --compare_with")
-        x_T = _gt_init_code(opt, pipe)
+        if opt.skip_save:
+            raise SystemExit("--skip_save would leave nothing for "
+                             "--compare_with evaluation to score")
+        gt_avg = _gt_init_code(opt, pipe)
+    if opt.skip_save and opt.compare_with:
+        raise SystemExit("--skip_save writes no samples; --compare_with "
+                         "evaluation scores the samples directory")
 
     jobs = []  # (subdir, prompt, n_repeat)
     if opt.from_file:
@@ -232,12 +237,20 @@ def main(opt):
         # DDIM programs: batch i+1 computes while batch i's readback and
         # the host-side JPEG encode run — see PERF.md fifth pass), then
         # convert+save in dispatch order
+        def rep_x_T(rep):
+            if gt_avg is None:
+                return None
+            w = opt.init_img_weight
+            noise = np.random.default_rng(opt.seed + rep).standard_normal(
+                gt_avg.shape).astype(np.float32)
+            return gt_avg * w + noise * (1.0 - w)
+
         pending = [pipe.generate([prompt] * opt.n_samples, negative_prompt=neg,
                                  num_steps=opt.steps, guidance_scale=guidance,
                                  height=opt.size, width=opt.size,
                                  seed=opt.seed + rep, sampler=opt.sampler,
                                  compel_cfg_weight_level=opt.compel_cfg_weight_level,
-                                 x_T=x_T, block=False)
+                                 x_T=rep_x_T(rep), block=False)
                    for rep in range(n_rep)]
         for batch in pending:
             imgs = np.asarray(batch)
@@ -248,11 +261,12 @@ def main(opt):
             all_imgs.append(imgs)
         print(f"wrote {idx} images to {outd} for prompt: {prompt!r}")
 
-    # grid: n_rows overrides the one-row-per-batch default
-    # (`stable_txt2img.py:148`)
+    # grid: n_rows overrides the one-row-per-batch default. Reference
+    # passes it as torchvision make_grid's `nrow` — images PER row
+    # (`stable_txt2img.py:148,744`)
     if opt.n_rows > 0:
         flat = [im for batch in all_imgs for im in batch]
-        per_row = max(1, (len(flat) + opt.n_rows - 1) // opt.n_rows)
+        per_row = opt.n_rows
         rows = [np.concatenate(flat[i:i + per_row], axis=1)
                 for i in range(0, len(flat), per_row)]
         w = max(r.shape[1] for r in rows)
