@@ -334,3 +334,62 @@ def test_clip_model_mapper_parity(tmp_path):
                            scorer.visual_projection)
     np.testing.assert_allclose(np.asarray(jt), ht, atol=2e-5)
     np.testing.assert_allclose(np.asarray(jv), hv, atol=2e-5)
+
+
+def test_gen_subjects_prompt_shaping(tmp_path, capsys):
+    """gen_subjects_and_eval prompt-shaping parity: z-suffix dispatch
+    (db -> cls_delta_string, objects -> class_name), prompt
+    prefix/suffix, bg string, selset/skipselset, --gen_prompt_set_only
+    (`gen_subjects_and_eval.py:77-348`)."""
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                     "scripts"))
+    import gen_subjects_and_eval as gse
+
+    info = tmp_path / "info.sh"
+    info.write_text(
+        'set -g subjects  alice mug\n'
+        'set -g class_names "woman" "cup"\n'
+        'set -g cls_delta_strings "young woman" "coffee cup"\n'
+        'set -g broad_classes 1 0\n'
+        'set -g data_folder subjects\n'
+        'set -g sel_set 1\n')
+    out = str(tmp_path / "eval")
+
+    def run(extra):
+        opt = gse.parse_args(
+            ["--subject_file", str(info), "--outdir", out,
+             "--gen_prompt_set_only", "--max_prompts", "2",
+             "--range", "1-2"] + extra)
+        assert gse.main(opt) in (0, None)
+
+    run([])
+    alice = open(os.path.join(out, "alice-prompts.tsv")).read()
+    mug = open(os.path.join(out, "mug-prompts.tsv")).read()
+    assert " z " in alice or " z," in alice or alice.count("z")  # human: no suffix
+    assert "z cup" in mug  # object default z_suffix_type=class_name
+
+    run(["--method", "db"])
+    alice = open(os.path.join(out, "alice-prompts.tsv")).read()
+    assert "z young woman" in alice  # db -> cls_delta_string suffix
+
+    run(["--prompt_prefix", "portrait of", "--prompt_suffix", "4k",
+         "--include_bg_string", "--num_vectors_per_bg_token", "2",
+         "--extra_z_suffix", "smiling"])
+    alice = open(os.path.join(out, "alice-prompts.tsv")).read()
+    first = alice.splitlines()[0]
+    assert first.split("\t")[2].startswith("portrait of ")
+    assert first.split("\t")[2].endswith(", 4k")
+    assert "with background y, " in first
+    assert "z smiling," in first
+
+    # selset only evaluates sel_set (1-offset '1' = alice); skipselset the
+    # inverse
+    for f in os.listdir(out):
+        os.remove(os.path.join(out, f))
+    run(["--selset"])
+    assert os.path.exists(os.path.join(out, "alice-prompts.tsv"))
+    assert not os.path.exists(os.path.join(out, "mug-prompts.tsv"))
+    run(["--skipselset"])
+    assert os.path.exists(os.path.join(out, "mug-prompts.tsv"))
