@@ -107,3 +107,43 @@ def shard_params(mesh: Mesh, params, kind: str = "unet"):
     size — true for SD's head counts/MLP widths on tp in {2, 4, 8}."""
     rules = param_sharding_rules(mesh, params, kind)
     return jax.tree_util.tree_map(jax.device_put, params, rules)
+
+
+# ------------------------------------------------------- optimizer sharding
+
+def zero1_sharding_rules(mesh: Mesh, opt_state, axis: str = "dp",
+                         min_elems: int = 65536):
+    """ZeRO-1-style NamedSharding tree for an optimizer state: each large
+    leaf shards its largest divisible axis over `axis`; small leaves
+    (scalars, Prodigy's global d, step counters) replicate.
+
+    Beyond the reference (DDP replicates optimizer state on every rank,
+    SURVEY §2.8) — this is what makes the zero-shot flagship mode scale:
+    its 123M-param SubjBasisGenerator carries ~4x123M fp32 of Prodigy
+    state, which OOMs a single v5e at batch 6 (PERF.md) but drops to
+    1/dp-th per chip here. Gradients stay replicated; XLA inserts the
+    (re)sharding collectives around the elementwise optimizer update."""
+    n = mesh.shape[axis]
+    rep = replicated(mesh)
+
+    def rule(leaf):
+        if not hasattr(leaf, "ndim") or leaf.size < min_elems:
+            return rep
+        sizes = list(leaf.shape)
+        # largest axis divisible by the mesh axis
+        cands = [(s, i) for i, s in enumerate(sizes) if s % n == 0]
+        if not cands:
+            return rep
+        _, dim = max(cands)
+        spec = [None] * leaf.ndim
+        spec[dim] = axis
+        return NamedSharding(mesh, P(*spec))
+
+    return jax.tree_util.tree_map(rule, opt_state)
+
+
+def shard_opt_state(mesh: Mesh, opt_state, axis: str = "dp",
+                    min_elems: int = 65536):
+    """Device-put an optimizer state with ZeRO-1 shardings."""
+    rules = zero1_sharding_rules(mesh, opt_state, axis, min_elems)
+    return jax.tree_util.tree_map(jax.device_put, opt_state, rules)
