@@ -45,6 +45,17 @@ IMAGENET_TEMPLATES_SMALL = sorted({
     for subj in _SUBJECTS for flavor in _FLAVORS for adj in _ADJS
 } | {"a rendition of a {}", "a rendition of the {}", "the photo of a {}"})
 
+# Textual-Inversion style-learning bank (`ldm/data/personalized_style.py:
+# 10-30`): same distribution of painting/rendering flavors
+_STYLE_FLAVORS = ("a painting", "a rendering", "a cropped painting",
+                  "the painting", "a clean painting", "a dirty painting",
+                  "a dark painting", "a picture", "a cool painting",
+                  "a close-up painting", "a bright painting",
+                  "a good painting", "a rendition", "a nice painting",
+                  "a small painting", "a weird painting", "a large painting")
+STYLE_TEMPLATES_SMALL = sorted(
+    f + " in the style of {}" for f in _STYLE_FLAVORS)
+
 IMG_EXTS = (".jpg", ".jpeg", ".png", ".webp", ".bmp")
 
 
@@ -132,6 +143,7 @@ class PersonalizedDataset:
         num_vectors_per_bg_token: int = 4,
         num_compositions_per_image: int = 1,
         common_placeholder_prefix: Optional[str] = None,
+        template_set: str = "object",  # 'object' | 'style' (TI style bank)
         seed: Optional[int] = None,
     ):
         self.subjects = list(subjects)
@@ -147,6 +159,10 @@ class PersonalizedDataset:
         self.common_placeholder_prefixes = (
             re.split(r"\s*,\s*", common_placeholder_prefix)
             if common_placeholder_prefix else None)
+        if template_set not in ("object", "style"):
+            raise ValueError(f"template_set {template_set!r}")
+        self.templates = (STYLE_TEMPLATES_SMALL if template_set == "style"
+                          else IMAGENET_TEMPLATES_SMALL)
         self.rng = np.random.default_rng(seed)
 
         self.records: List[ImageRecord] = []
@@ -259,8 +275,7 @@ class PersonalizedDataset:
             subject_string = prefix + " " + subject_string
             cls_delta_string = prefix + " " + cls_delta_string
 
-        template = IMAGENET_TEMPLATES_SMALL[
-            int(rng.integers(len(IMAGENET_TEMPLATES_SMALL)))]
+        template = self.templates[int(rng.integers(len(self.templates)))]
 
         bg_suffix = f" with background {background_string}" if background_string else ""
         cls_bg_suffix = f" with background {cls_bg_delta}" if cls_bg_delta else ""

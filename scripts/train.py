@@ -50,6 +50,9 @@ def parse_args(argv=None):
     p.add_argument("--randomize_clip_skip_weights", action="store_true",
                    help="resample the skip weights per iteration from "
                         "Dirichlet(weights) (main.py:335)")
+    p.add_argument("--template_set", choices=("object", "style"),
+                   default="object",
+                   help="training template bank; style = TI style inversion (ldm/data/personalized_style.py)")
     p.add_argument("--common_placeholder_prefix", type=str, default=None,
                    help="comma-separated prefixes sampled per example and "
                         "prepended to subject+class strings (main.py:229)")
@@ -157,6 +160,7 @@ def main(opt):
         num_vectors_per_subj_token=opt.num_vectors_per_subj_token,
         num_vectors_per_bg_token=opt.num_vectors_per_bg_token,
         common_placeholder_prefix=opt.common_placeholder_prefix,
+        template_set=opt.template_set,
         seed=opt.seed)
 
     # backbone

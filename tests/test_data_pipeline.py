@@ -174,3 +174,13 @@ def test_common_placeholder_prefix(subjects):
         # metainfo person_type, so check the prefix only)
         assert m[0].split(" z")[0] + " " in ex["cls_prompt_single"]
     assert len(seen) == 2  # both alternatives sampled
+
+
+def test_style_template_set(subjects):
+    """TI style-learning templates (`ldm/data/personalized_style.py:10-30`)
+    selected via template_set='style'."""
+    ds = PersonalizedDataset(subjects, size=16, template_set="style", seed=5)
+    for i in range(4):
+        assert "in the style of" in ds[i]["subj_prompt_single"]
+    with pytest.raises(ValueError):
+        PersonalizedDataset(subjects, size=16, template_set="nope")
