@@ -27,11 +27,15 @@ IMG_EXTS = (".jpg", ".jpeg", ".png", ".webp", ".bmp")
 
 
 def list_image_files(folder: str) -> List[str]:
-    """Image files, skipping `*_mask.png` companions (`personalized.py`)."""
+    """Image files, skipping `*_mask.png` companions (`personalized.py`)
+    and `grid*` mosaics (txt2img's grid artifact must not be scored as a
+    sample — the reference scores per-prompt indiv_subdirs that never
+    contain the grid)."""
     out = []
     for name in sorted(os.listdir(folder)):
         low = name.lower()
-        if low.endswith(IMG_EXTS) and not low.endswith("_mask.png"):
+        if (low.endswith(IMG_EXTS) and not low.endswith("_mask.png")
+                and not low.startswith("grid")):
             out.append(os.path.join(folder, name))
     return out
 

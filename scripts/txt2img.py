@@ -296,9 +296,20 @@ def evaluate(opt, jobs):
     # tokenizer + tower weights resolve from env assets (CLIP_SCORER_PT,
     # DINO_VITS16_PT, CLIP_VOCAB_JSON/MERGES); random tiny towers otherwise
     scorer, dino = init_evaluators()
+    # score each per-prompt sample dir like the reference's indiv_subdir
+    # loop (`stable_txt2img.py:776-860`), then aggregate; scoring the root
+    # dir would miss --from_file subdirs entirely
+    import numpy as _np
+
+    per_dir = []
+    for subdir, job_prompt, _ in jobs:
+        d = os.path.join(opt.outdir, subdir) if subdir else opt.outdir
+        prompt = opt.class_prompt or job_prompt
+        per_dir.append((d, prompt) + compare_folders(
+            scorer, dino, d, opt.compare_with, prompt))
+    ci, ct, dn = (float(_np.mean([r[k] for r in per_dir]))
+                  for k in (2, 3, 4))
     prompt = opt.class_prompt or jobs[0][1]
-    ci, ct, dn = compare_folders(scorer, dino, opt.outdir, opt.compare_with,
-                                 prompt)
     res = {"clip_i": ci, "clip_t": ct, "dino": dn}
     row = [prompt, f"{ci:.4f}", f"{ct:.4f}", f"{dn:.4f}"]
     if opt.calc_face_sim:
@@ -314,10 +325,16 @@ def evaluate(opt, jobs):
         app = FaceApp(recognizer=rec, params=rp)
         embed = lambda im: (lambda fs: fs[0].normed_embedding if fs else None)(
             app.get(im))
-        n_gen = len([None for r, d, fs in os.walk(opt.outdir) for f in fs
-                     if f.endswith((".jpg", ".png"))])
-        sim, nf_gen, nf_gt = compare_face_folders(
-            embed, opt.outdir, opt.compare_with)
+        sims, nf_gen, nf_gt, n_gen = [], 0, 0, 0
+        for subdir, _, _ in jobs:
+            d = os.path.join(opt.outdir, subdir) if subdir else opt.outdir
+            s, nf_g, nf_t = compare_face_folders(embed, d, opt.compare_with)
+            sims.append(s)
+            nf_gen += nf_g
+            nf_gt = nf_t
+            from adaface_tpu.evaluation.eval_utils import list_image_files
+            n_gen += len(list_image_files(d))
+        sim = float(_np.mean(sims)) if sims else 0.0
         exc_rate = nf_gen / max(n_gen, 1)
         res.update({"face_sim": float(sim), "face_exceptions": nf_gen,
                     "face_exception_rate": exc_rate})
