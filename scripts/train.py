@@ -85,6 +85,11 @@ def parse_args(argv=None):
                         "enables arc2face distillation iterations")
     p.add_argument("--arc2face_text_encoder", type=str, default=None,
                    help="arc2face CLIPTextModel weights (.safetensors/.bin)")
+    p.add_argument("--zeroshot", action="store_true",
+                   help="train the zero-shot SubjBasisGenerator over the "
+                        "corpus (the reference's main.py --zeroshot "
+                        "flagship mode; CLIP_VISION_PT / ARCFACE_ONNX env "
+                        "assets, random towers in smoke mode)")
     p.add_argument("--dreambooth", action="store_true",
                    help="DreamBooth baseline (main_db.py analog)")
     p.add_argument("--reg_data_root", type=str, default=None,
@@ -240,21 +245,24 @@ def main(opt):
             kw["init_vec_weights"] = w / w.sum()
         return kw
 
-    mgr.add_placeholder(opt.subject_string,
-                        token_id=tok.add_placeholder(opt.subject_string),
-                        num_vectors=opt.num_vectors_per_subj_token,
-                        init_key=jax.random.PRNGKey(opt.seed + 1),
-                        emb_dim=emb_dim, rank=opt.layerwise_lora_rank,
-                        **word_init(opt.cls_delta_string,
-                                    opt.subj_init_word_weights))
-    if opt.background_string:
-        mgr.add_placeholder(opt.background_string,
-                            token_id=tok.add_placeholder(opt.background_string),
-                            num_vectors=opt.num_vectors_per_bg_token,
-                            is_background=True,
-                            init_key=jax.random.PRNGKey(opt.seed + 2),
+    if not opt.zeroshot:
+        # zero-shot placeholders are generator-backed (run_zero_shot)
+        mgr.add_placeholder(opt.subject_string,
+                            token_id=tok.add_placeholder(opt.subject_string),
+                            num_vectors=opt.num_vectors_per_subj_token,
+                            init_key=jax.random.PRNGKey(opt.seed + 1),
                             emb_dim=emb_dim, rank=opt.layerwise_lora_rank,
-                            **word_init(opt.bg_init_string))
+                            **word_init(opt.cls_delta_string,
+                                        opt.subj_init_word_weights))
+        if opt.background_string:
+            mgr.add_placeholder(
+                opt.background_string,
+                token_id=tok.add_placeholder(opt.background_string),
+                num_vectors=opt.num_vectors_per_bg_token,
+                is_background=True,
+                init_key=jax.random.PRNGKey(opt.seed + 2),
+                emb_dim=emb_dim, rank=opt.layerwise_lora_rank,
+                **word_init(opt.bg_init_string))
     if opt.embedding_manager_ckpt:
         path = opt.embedding_manager_ckpt
         if path.endswith(".npz"):
@@ -301,6 +309,8 @@ def main(opt):
                         skip={"composition_regs_iter_gap", "max_steps"}),
         composition_regs_iter_gap=opt.composition_regs_iter_gap,
         max_steps=opt.max_steps)
+    if opt.zeroshot:
+        return run_zero_shot(opt, pipe, tok, dataset, tcfg, pcfg)
     if opt.dreambooth:
         return run_dreambooth(opt, pipe, tok)
     trainer = Trainer(pipe, dataset, tcfg, pcfg)
@@ -325,6 +335,148 @@ def main(opt):
         print(f"arc2face teacher loaded from {opt.arc2face_unet}")
     trainer.fit(arc2face_teacher=teacher)
     trainer.save_state()
+    return 0
+
+
+def run_zero_shot(opt, pipe, tok, dataset, tcfg, pcfg):
+    """The reference's flagship `--zeroshot` training mode (`main.py:260`,
+    `ddpm.py:127` do_zero_shot): train SubjBasisGenerators that map face
+    identity + masked CLIP vision features to the layerwise prompt
+    embeddings, over a multi-subject corpus. Real towers load from
+    CLIP_VISION_PT (HF CLIPVisionModel state dict) and
+    --arc2face_text_encoder; ARCFACE_ONNX drives the identity embedder;
+    random towers otherwise (smoke mode)."""
+    import dataclasses as _dc
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from adaface_tpu.models.clip_text import CLIPTextConfig, CLIPTextEncoder
+    from adaface_tpu.models.clip_vision import (
+        CLIPVisionConfig,
+        CLIPVisionEncoder,
+    )
+    from adaface_tpu.personalization.arc2face import INVERSE_TEMPLATE
+    from adaface_tpu.personalization.embedding_manager import NUM_CA_LAYERS
+    from adaface_tpu.personalization.subj_basis_generator import (
+        SubjBasisGenerator,
+    )
+    from adaface_tpu.personalization.zero_shot import ZeroShotFeatureExtractor
+    from adaface_tpu.training.zs_trainer import ZeroShotTrainer
+    from filter_faces import default_face_app
+
+    D = pipe.clip.cfg.hidden_size
+
+    # vision tower (masked CLIP features)
+    vis_ckpt = os.environ.get("CLIP_VISION_PT")
+    if opt.tiny or not (vis_ckpt and os.path.exists(vis_ckpt)):
+        if not opt.tiny:
+            print("NOTE: no CLIP_VISION_PT; random vision tower (smoke mode)")
+        vis_cfg = CLIPVisionConfig.tiny(hidden_size=48)
+        vision = CLIPVisionEncoder(vis_cfg)
+        vparams = vision.init(jax.random.PRNGKey(opt.seed + 3),
+                              jnp.zeros((1, vis_cfg.image_size,
+                                         vis_cfg.image_size, 3)))["params"]
+    else:
+        from adaface_tpu.interop.hf_clip import map_clip_vision_params
+        from adaface_tpu.interop.torch_pickle import load_sd_state_dict
+
+        sd = load_sd_state_dict(vis_ckpt)
+        prefix = ("vision_model." if any(
+            k.startswith("vision_model.") for k in sd) else "")
+        vis_cfg = CLIPVisionConfig.vit_l_14()
+        vision = CLIPVisionEncoder(vis_cfg)
+        vparams = map_clip_vision_params(sd, prefix=prefix)
+        print(f"vision tower loaded from {vis_ckpt}")
+    app = default_face_app()
+    ext = ZeroShotFeatureExtractor(vision, vparams,
+                                   face_embed_fn=app.embed_image)
+
+    # arc2face face-conditioned text encoder (frozen)
+    arc_ckpt = opt.arc2face_text_encoder
+    if opt.tiny or not (arc_ckpt and os.path.exists(arc_ckpt)):
+        if not opt.tiny:
+            print("NOTE: no --arc2face_text_encoder; random encoder "
+                  "(smoke mode)")
+        arc_cfg = CLIPTextConfig.tiny(vocab_size=tok.vocab_size,
+                                      hidden_size=D, num_layers=2,
+                                      max_position_embeddings=77)
+        arc_enc = CLIPTextEncoder(arc_cfg)
+        arc_params = arc_enc.init(
+            jax.random.PRNGKey(opt.seed + 4),
+            input_ids=jnp.zeros((1, 77), jnp.int32))["params"]
+    else:
+        from adaface_tpu.interop.hf_clip import map_clip_text_params
+        from adaface_tpu.interop.torch_pickle import load_sd_state_dict
+
+        sd = load_sd_state_dict(arc_ckpt)
+        prefix = ("text_model." if any(
+            k.startswith("text_model.") for k in sd) else "")
+        arc_cfg = CLIPTextConfig.vit_l_14()
+        arc_enc = CLIPTextEncoder(arc_cfg)
+        arc_params = map_clip_text_params(sd, prefix=prefix)
+        print(f"arc2face text encoder loaded from {arc_ckpt}")
+
+    # generators: fg subject (K=16 core rows) + optional bg
+    mgr = pipe.embedding_manager
+    inv_ids = jnp.asarray(tok([INVERSE_TEMPLATE], max_length=77))
+    gen = SubjBasisGenerator(placeholder_is_bg=False,
+                             num_out_layers=NUM_CA_LAYERS,
+                             num_out_embs_per_layer=16, output_dim=D,
+                             proj_cfg=arc_cfg, pad_token_id=tok.eos_id)
+    gparams = gen.init(jax.random.PRNGKey(opt.seed + 5), None, None,
+                       jnp.zeros((1, 16, D)),
+                       inverse_template_ids=inv_ids)["params"]
+    gens = {opt.subject_string: gen}
+    gen_tree = {opt.subject_string: gparams}
+    mgr.add_zero_shot_placeholder(
+        opt.subject_string, tok.add_placeholder(opt.subject_string),
+        gen, gparams, num_vectors=16)
+    bg_placeholders = frozenset()
+    if opt.background_string:
+        bg_gen = SubjBasisGenerator(
+            placeholder_is_bg=True, num_out_layers=NUM_CA_LAYERS,
+            num_out_embs_per_layer=opt.num_vectors_per_bg_token,
+            output_dim=D, image_embedding_dim=vis_cfg.hidden_size,
+            num_heads=4, bg_num_id_vecs=vis_cfg.num_tokens)
+        bg_params = bg_gen.init(
+            jax.random.PRNGKey(opt.seed + 6),
+            jnp.zeros((1, vis_cfg.num_tokens, vis_cfg.hidden_size)),
+            None, None)["params"]
+        gens[opt.background_string] = bg_gen
+        gen_tree[opt.background_string] = bg_params
+        mgr.add_zero_shot_placeholder(
+            opt.background_string, tok.add_placeholder(opt.background_string),
+            bg_gen, bg_params, num_vectors=opt.num_vectors_per_bg_token,
+            is_background=True)
+        bg_placeholders = frozenset({opt.background_string})
+
+    if opt.embedding_manager_ckpt:
+        mgr.load_reference_checkpoint(opt.embedding_manager_ckpt,
+                                      token_id_resolver=tok.add_placeholder)
+        for s, (g, gp) in mgr.subj_basis_generators.items():
+            gens[s] = g
+            gen_tree[s] = gp
+        print(f"zs generators warm-started from {opt.embedding_manager_ckpt}")
+
+    trainer = ZeroShotTrainer(
+        pipe, dataset, ext, gens, gen_tree, arc_enc, arc_params,
+        tcfg, plan_cfg=_dc.replace(pcfg, do_zero_shot=True),
+        bg_placeholders=bg_placeholders)
+    if opt.resume:
+        trainer.load_checkpoint(opt.resume)
+    teacher = None
+    if opt.arc2face_unet:
+        from adaface_tpu.training.arc2face_teacher import load_arc2face_teacher
+
+        if not opt.arc2face_text_encoder:
+            raise SystemExit("--arc2face_unet requires --arc2face_text_encoder")
+        teacher = load_arc2face_teacher(
+            opt.arc2face_unet, opt.arc2face_text_encoder, tok).as_tuple()
+        print(f"arc2face teacher loaded from {opt.arc2face_unet}")
+    trainer.fit(arc2face_teacher=teacher)
+    trainer.save_checkpoint("last")
     return 0
 
 

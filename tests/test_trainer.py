@@ -204,3 +204,39 @@ def test_train_cli_init_words_rank_and_randomize(subject_dir, tmp_path):
     # bg init from 'unknown'
     y = mgr.embedders["y"]
     assert y.pre_vecs is not None
+
+
+def test_train_cli_zeroshot_mode(subject_dir, tmp_path):
+    """`--zeroshot` trains SubjBasisGenerators over the corpus (the
+    reference's flagship `main.py --zeroshot` / `ddpm.py:127` do_zero_shot
+    mode): generator-backed placeholders (no static embedders), recon +
+    compos iterations, subj_basis checkpoint save + resume."""
+    import json
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                     "scripts"))
+    import train as train_cli
+
+    logdir = str(tmp_path / "cli_zs")
+    args = ["--data_root", subject_dir, "--tiny", "--zeroshot",
+            "--max_steps", "2", "--batch_size", "1", "--size", "32",
+            "--logdir", logdir, "--ckpt_every_steps", "1000",
+            "--background_string", "y"]
+    rc = train_cli.main(train_cli.parse_args(args))
+    assert rc in (0, None)
+    ckpt = os.path.join(logdir, "subj_basis_last.pkl")
+    assert os.path.exists(ckpt)
+    with open(os.path.join(logdir, "metrics.jsonl")) as f:
+        recs = [json.loads(l) for l in f if l.strip()]
+    assert len(recs) == 2
+    assert all(np.isfinite(r["loss"]) for r in recs)
+    # resume continues from the saved global step
+    logdir2 = str(tmp_path / "cli_zs_resume")
+    rc = train_cli.main(train_cli.parse_args(
+        args[:-2] + ["--logdir", logdir2, "--max_steps", "3",
+                     "--resume", ckpt]))
+    assert rc in (0, None)
+    with open(os.path.join(logdir2, "metrics.jsonl")) as f:
+        recs = [json.loads(l) for l in f if l.strip()]
+    assert [r["step"] for r in recs] == [2]
