@@ -90,6 +90,19 @@ def _resize_and_crop(img: np.ndarray, size: int) -> np.ndarray:
     return big[top:top + size, left:left + size]
 
 
+def repl_bg_as_wbg(prompt: str, background_string: Optional[str],
+                   wds_background_string: Optional[str]) -> str:
+    """Replace the singleton background placeholder with the dedicated wds
+    background placeholder (`repl_bg_as_wbg`, `personalized.py:982-990`):
+    wds backgrounds are out-of-domain for the per-subject 'y' embedder, so
+    they get their own token (reference default 'w'). No-op when either
+    string is unset."""
+    if not background_string or not wds_background_string:
+        return prompt
+    return re.sub(rf"\b{re.escape(background_string)}\b",
+                  wds_background_string, prompt)
+
+
 class BackgroundCompositor:
     """Draw filtered background images and composite subject foregrounds."""
 
@@ -132,10 +145,16 @@ class BackgroundCompositor:
             return _resize_and_crop(nopad, self.size), prompt
         return None
 
-    def composite(self, example: Dict, cls_delta_string: str) -> Dict:
+    def composite(self, example: Dict, cls_delta_string: str,
+                  background_string: str = None,
+                  wds_background_string: str = None) -> Dict:
         """Fill the `wds_*` example keys (`personalized.py:800-824`):
         subject fg pasted over a background, caption suffixes, bg-only
-        image. Mutates and returns `example`."""
+        image. The `_bg` caption variants swap the ordinary background
+        placeholder for the dedicated wds one (`repl_bg_as_wbg`,
+        `personalized.py:982-990`; reference default 'w') so the wds
+        backgrounds train their own embedder. Mutates and returns
+        `example`."""
         bg = self.next_background()
         if bg is None:
             example.update({
@@ -153,13 +172,16 @@ class BackgroundCompositor:
         wds_image = np.where(fg_mask[:, :, None] > 0, image_u8, bg_img)
         extra = ", in front of " + bg_prompt
         cls_extra = " " + cls_delta_string + extra
+        cap_bg = repl_bg_as_wbg(
+            example.get("caption_bg", example["caption"]),
+            background_string, wds_background_string)
         example.update({
             "wds_comp_extra": extra,
             "wds_cls_comp_extra": cls_extra,
             "wds_caption": example["caption"] + extra,
             "wds_cls_caption": example["caption"] + cls_extra,
-            "wds_caption_bg": example.get("caption_bg", example["caption"]) + extra,
-            "wds_cls_caption_bg": example.get("caption_bg", example["caption"]) + cls_extra,
+            "wds_caption_bg": cap_bg + extra,
+            "wds_cls_caption_bg": cap_bg + cls_extra,
             "wds_image": (wds_image / 127.5 - 1.0).astype(np.float32),
             "wds_image_bgonly": (bg_img / 127.5 - 1.0).astype(np.float32),
             "wds_aug_mask": example["aug_mask"],

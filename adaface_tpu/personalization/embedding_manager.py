@@ -211,6 +211,31 @@ class EmbeddingManager:
             out = jnp.where(keep, gathered.astype(out.dtype), out)
         return out
 
+    @staticmethod
+    def distribute_cls_embeddings(ctx: jnp.ndarray,
+                                  slot_map: jnp.ndarray) -> jnp.ndarray:
+        """Class-prompt analog of multi-vector subject tokens
+        (`distribute_embedding_to_M_tokens`, `ldm/util.py:883-919`, applied
+        to the cls halves of the 4-type battery at `ddpm.py:2039-2046`):
+        the class prompt pads a single class word with commas to align with
+        the K subject vectors ("person , , ,"), so at the K aligned
+        positions (slot map from the SUBJECT prompt) the encoded class
+        embeddings are replaced by the first position's embedding / sqrt(K)
+        — the class word distributed over the pad slots, damped so
+        cross-attention doesn't over-focus on it. ctx: [L, B, T, D];
+        slot_map: [B, T] (k at the k-th vector slot, -1 elsewhere).
+        Instances without the placeholder (or K=1) pass through."""
+        sm = jnp.asarray(slot_map)
+        is_slot = sm >= 0  # [B, T]
+        m = is_slot.sum(axis=1)  # [B]
+        B = sm.shape[0]
+        pos0 = jnp.argmax(sm == 0, axis=1)  # [B] first-slot position
+        first = ctx[:, jnp.arange(B), pos0]  # [L, B, D]
+        repl = first / jnp.sqrt(jnp.maximum(m, 1).astype(ctx.dtype)
+                                )[None, :, None]
+        keep = (is_slot & (m > 1)[:, None])[None, :, :, None]
+        return jnp.where(keep, repl[:, :, None, :], ctx)
+
     # ------------------------------------------------------------- checkpoints
     def save_native(self, path: str):
         """Native checkpoint: flat .npz + a tiny JSON header."""

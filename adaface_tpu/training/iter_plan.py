@@ -73,6 +73,11 @@ class IterPlan:
     add_noise_to_real_id_embs: bool = False
     num_denoising_steps: int = 1
     emb_noise_std: float = 0.0  # 0 = no noise this iteration
+    # wds background compositing this iteration (`ddpm.py:1485-1532`):
+    # recon iters train on the fg-over-new-bg overlay, compos iters start
+    # from the bg-only image kept intact. Rolled by the trainer (needs the
+    # compositor), restored from the cache on reuse-init (`ddpm.py:1911`)
+    use_wds_comp: bool = False
 
 
 def anneal_value(training_percent: float, final_percent: float,
@@ -175,6 +180,12 @@ def sample_timesteps(rng: np.random.Generator, plan: IterPlan,
         return rng.integers(int(T * 0.8), T, batch_size)  # `:2639-2642`
 
     t = rng.integers(0, T, batch_size)
+    if plan.use_wds_comp and plan.iter_type == RECON:
+        # wds recon iters DECREASE t to preserve more semantics — overlay
+        # backgrounds are out-of-domain and intrinsically hard to denoise
+        # (`ddpm.py:2841-2847`)
+        return probably_anneal_t(t, plan.training_percent, T, (0.8, 1.0),
+                                 keep_prob_range=(0.5, 0.3), rng=rng)
     if plan.iter_type == ARC2FACE_DISTILL or cfg.do_zero_shot:
         t = probably_anneal_t(t, plan.training_percent, T, (1.0, 1.3),
                               keep_prob_range=(0.4, 0.2), rng=rng)

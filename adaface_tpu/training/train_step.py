@@ -22,12 +22,22 @@ import jax
 import jax.numpy as jnp
 import optax
 
+from adaface_tpu.data.tokenizer import CLIP_VOCAB_SIZE
 from adaface_tpu.models.clip_text import CLIPTextEncoder
 from adaface_tpu.models.unet import UNetModel
 from adaface_tpu.ops.schedule import DiffusionSchedule
 from adaface_tpu.personalization.embedding_manager import EmbeddingManager
 from adaface_tpu.personalization.static_embedding import compute_static_embedding
 from adaface_tpu.training.losses import masked_recon_loss, embedding_norm_loss
+
+BOS_ID, EOS_ID = CLIP_VOCAB_SIZE - 2, CLIP_VOCAB_SIZE - 1
+
+
+def _prompt_emb_mask(ids: jnp.ndarray) -> jnp.ndarray:
+    """[B, T] real-token mask: not BOS, not EOS/padding (the reference's
+    `prompt_emb_mask`, `embedding_manager.py:1642`; EOS doubles as the pad
+    token, so padding drops out of the delta-loss weights)."""
+    return ((ids != BOS_ID) & (ids != EOS_ID)).astype(jnp.float32)
 
 
 def _iter_skip_weights(batch, skip_weights) -> jnp.ndarray:
@@ -56,9 +66,44 @@ class ReconBatch(NamedTuple):
     # subject nor bg slots; host-built like `ddpm.py:3498-3524`) enabling
     # the fg↔wds complementary battery
     wds_extra_token_mask: Optional[jnp.ndarray] = None  # [B, T]
+    # 4-type delta-prompt battery for the always-on static prompt-delta
+    # regularizer, which the reference computes on RECON iters too
+    # (`do_static_prompt_delta_reg`, `ddpm.py:1954-2057,3230-3240`;
+    # BLOCK_SIZE = the full batch on recon iters)
+    delta_token_ids: Optional[jnp.ndarray] = None  # [4B, T]
+    delta_slot_maps: Optional[Dict[str, jnp.ndarray]] = None
     # per-iteration clip-skip weights ([2], host-sampled Dirichlet when
     # randomize_clip_skip_weights; None = the configured constant)
     skip_weights: Optional[jnp.ndarray] = None
+
+
+def _recon_prompt_delta(clip, fz, batch, subj, skip_weights):
+    """Static prompt-delta regularizer on a recon iteration: encode the
+    4-type battery (with the SAME subject embeddings as the recon pass,
+    incl. emb noise), distribute the class word over the pad slots, and
+    align the ortho-subtracted comp-single deltas (`ddpm.py:2045-2057` +
+    `calc_prompt_emb_delta_loss`, `ldm/util.py:2278-2331`)."""
+    from adaface_tpu.training.losses import prompt_delta_loss
+
+    embedded = clip.apply({"params": fz["clip"]}, batch.delta_token_ids,
+                          method=CLIPTextEncoder.embed_tokens)
+    patched = EmbeddingManager.patch_prompt_embeddings(
+        embedded, batch.delta_slot_maps, subj)
+    L, B4, T, D = patched.shape
+    ctx = clip.apply({"params": fz["clip"]},
+                     input_embeds=patched.reshape(L * B4, T, D),
+                     skip_weights=_iter_skip_weights(batch, skip_weights))
+    ctx = ctx.reshape(L, B4, T, D)
+    B = B4 // 4
+    ss, sc = ctx[:, :B], ctx[:, B:2 * B]
+    cs, cc = ctx[:, 2 * B:3 * B], ctx[:, 3 * B:]
+    for s in sorted(batch.delta_slot_maps):
+        sm1b = batch.delta_slot_maps[s][:B]
+        cs = EmbeddingManager.distribute_cls_embeddings(cs, sm1b)
+        cc = EmbeddingManager.distribute_cls_embeddings(cc, sm1b)
+    return prompt_delta_loss(ss, sc, cs, cc,
+                             _prompt_emb_mask(batch.delta_token_ids[:B]),
+                             _prompt_emb_mask(batch.delta_token_ids[B:2 * B]))
 
 
 def _gen_dropout_kwargs(dropout_key, i: int) -> dict:
@@ -172,6 +217,7 @@ def make_recon_train_step(
     complem_weight: float = 0.0,
     xlayer_weight: float = 0.0,
     wds_complem_weight: float = 0.0,
+    prompt_delta_weight: float = 0.0,
     use_bg_token: bool = False,
     do_zero_shot: bool = True,
     bg_placeholders: frozenset = frozenset(),
@@ -217,6 +263,11 @@ def make_recon_train_step(
         reg = sum(embedding_norm_loss(e) for e in subj.values()) / max(len(subj), 1)
         loss = recon + emb_reg_weight * reg
         metrics = {"recon": recon, "emb_reg": reg}
+        if prompt_delta_weight > 0 and batch.delta_token_ids is not None:
+            loss_delta = _recon_prompt_delta(clip, fz, batch, subj,
+                                             skip_weights)
+            loss = loss + prompt_delta_weight * loss_delta
+            metrics["prompt_delta"] = loss_delta
         if do_capture:
             complem, cm = _recon_complem_terms(
                 aux, batch.slot_maps, batch.fg_mask, bg_placeholders,
@@ -364,11 +415,23 @@ def _make_compos_loss_core(clip, unet, sched, skip_weights,
         B = B4 // 4
         subj_single, subj_comp, cls_single, cls_comp = (
             ctx[:, :B], ctx[:, B:2 * B], ctx[:, 2 * B:3 * B], ctx[:, 3 * B:])
+        # distribute the class word over the multi-vector pad slots in the
+        # cls halves (`distribute_embedding_to_M_tokens_by_dict`,
+        # `ddpm.py:2039-2046`; slot maps from the subj_single block — the
+        # 4 prompt types are prefix-aligned)
+        for s in sorted(batch.slot_maps):
+            sm1b = batch.slot_maps[s][:B]
+            cls_single = EmbeddingManager.distribute_cls_embeddings(
+                cls_single, sm1b)
+            cls_comp = EmbeddingManager.distribute_cls_embeddings(
+                cls_comp, sm1b)
 
-        # always-on static delta regularizer (`ldm/util.py:2278-2331`)
+        # always-on static delta regularizer (`ldm/util.py:2278-2331`);
+        # masks exclude BOS and EOS/padding (`embedding_manager.py:1642` —
+        # `ids > 0` would weight the eos-padded tail fully)
         first = batch.subj_slot_map
-        single_mask = (batch.token_ids[:B] > 0).astype(jnp.float32)
-        comp_mask = (batch.token_ids[B:2 * B] > 0).astype(jnp.float32)
+        single_mask = _prompt_emb_mask(batch.token_ids[:B])
+        comp_mask = _prompt_emb_mask(batch.token_ids[B:2 * B])
         loss_delta = prompt_delta_loss(subj_single, subj_comp, cls_single,
                                        cls_comp, single_mask, comp_mask)
 
@@ -813,6 +876,12 @@ class ZeroShotReconBatch(NamedTuple):
     emb_noise_std: Optional[jnp.ndarray] = None  # scalar
     emb_noise_key: Optional[jnp.ndarray] = None  # PRNG key
     dropout_key: Optional[jnp.ndarray] = None  # generator attn dropout
+    # wds compositing: comp-extra token mask enabling the fg↔wds
+    # complementary battery (see ReconBatch.wds_extra_token_mask)
+    wds_extra_token_mask: Optional[jnp.ndarray] = None  # [B, T]
+    # 4-type delta-prompt battery (see ReconBatch.delta_token_ids)
+    delta_token_ids: Optional[jnp.ndarray] = None  # [4B, T]
+    delta_slot_maps: Optional[Dict[str, jnp.ndarray]] = None
     # per-iteration clip-skip weights ([2], host-sampled Dirichlet when
     # randomize_clip_skip_weights; None = the configured constant)
     skip_weights: Optional[jnp.ndarray] = None
@@ -837,6 +906,8 @@ def make_zero_shot_recon_step(
     out_id_embs_scale: float = 1.0,
     complem_weight: float = 0.0,
     xlayer_weight: float = 0.0,
+    wds_complem_weight: float = 0.0,
+    prompt_delta_weight: float = 0.0,
     use_bg_token: bool = False,
 ):
     """Recon step whose TRAINABLES are the SubjBasisGenerator params — the
@@ -848,7 +919,8 @@ def make_zero_shot_recon_step(
     forward)."""
     from adaface_tpu.personalization.arc2face import forward_face_embs_fn
 
-    do_capture = complem_weight > 0 or xlayer_weight > 0
+    do_capture = (complem_weight > 0 or xlayer_weight > 0
+                  or wds_complem_weight > 0)
 
     def loss_fn(gen_params: dict, batch: ZeroShotReconBatch, fz):
         # frozen Arc2Face forward: id emb -> 16 core prompt embeddings
@@ -902,10 +974,20 @@ def make_zero_shot_recon_step(
                                   bg_weight=bg_weight)
         loss = recon
         metrics = {"recon": recon}
+        if prompt_delta_weight > 0 and batch.delta_token_ids is not None:
+            # generator embeddings are per-instance [L, B, K, D]; the
+            # 4-type battery repeats each instance 4x
+            subj4 = {s: jnp.concatenate([v] * 4, axis=1)
+                     for s, v in subj.items()}
+            loss_delta = _recon_prompt_delta(clip, fz, batch, subj4,
+                                             skip_weights)
+            loss = loss + prompt_delta_weight * loss_delta
+            metrics["prompt_delta"] = loss_delta
         if do_capture:
             complem, cm = _recon_complem_terms(
                 aux, batch.slot_maps, batch.fg_mask, bg_placeholders,
-                use_bg_token, True, complem_weight, xlayer_weight)
+                use_bg_token, True, complem_weight, xlayer_weight,
+                batch.wds_extra_token_mask, wds_complem_weight)
             loss = loss + complem
             metrics.update(cm)
         metrics["loss"] = loss

@@ -45,6 +45,7 @@ from adaface_tpu.training.iter_plan import (
     RECON,
     IterPlan,
     IterPlanConfig,
+    anneal_value,
     plan_iteration,
     sample_timesteps,
 )
@@ -84,8 +85,18 @@ class TrainerConfig:
     # (`personalized.py:607-824`; wds instances use a discounted bg weight,
     # `ddpm.py:2917-2946`)
     wds_shards: tuple = ()
-    p_wds_comp: float = 0.5
+    # per-iteration-type composite probabilities (`ddpm.py:1485-1499`):
+    # 5% of recon iters use the fg-over-new-bg overlay (more makes the
+    # subject embeddings attend to the overlay background); 20% of compos
+    # iters start from the bg-ONLY image (subject not overlaid)
+    p_wds_comp_recon: float = 0.05
+    p_wds_comp_compos: float = 0.2
     wds_bg_recon_weight: float = 0.05
+    # dedicated wds background placeholder substituted for the ordinary bg
+    # token in wds `_bg` captions (`repl_bg_as_wbg`, `personalized.py:982`,
+    # `--wds_background_string` default 'w'); applied only when registered
+    # as a placeholder (scripts/train.py does so when wds shards are on)
+    wds_background_string: str = "w"
     # compel-style CFG embedding weighting of compos-iter contexts
     # (`v1-finetune-ada.yaml:50-52`: prob 0.5, level range [2, 2];
     # disabled whenever zero-shot features ride along, `ddpm.py:979-988`)
@@ -145,10 +156,22 @@ class Trainer:
         self._bg_placeholders = frozenset(
             s for s, info in self.mgr.placeholders.items()
             if getattr(info, "is_background", False))
+        # Prodigy damping + zero-shot disabling of the always-on regs
+        # (`ddpm.py:3203-3213`): Prodigy suppresses embeddings, so emb-reg
+        # and prompt-delta scale 0.5; zero-shot additionally kills emb reg
+        # and /5 the delta reg (effective 2e-5)
+        delta_scale = 0.5 if cfg.use_prodigy else 1.0
+        if self.plan_cfg.do_zero_shot:
+            delta_scale /= 5
+        self._delta_w = (self.plan_cfg.prompt_emb_delta_reg_weight
+                         * delta_scale)
+        self._emb_reg_w = (0.0 if self.plan_cfg.do_zero_shot
+                           else 2e-4 * (0.5 if cfg.use_prodigy else 1.0))
         self._steps = {
             COMPOS_DISTILL: jax.jit(make_compos_distill_step(
                 p.clip, p.clip_params, p.unet, p.unet_params, p.base_sched,
                 self.optimizer, skip_weights=p.skip_weights,
+                prompt_delta_weight=self._delta_w,
                 do_zero_shot=self.plan_cfg.do_zero_shot,
                 bg_placeholders=self._bg_placeholders)),
         }
@@ -216,7 +239,8 @@ class Trainer:
         rec = {"step": self.global_step, "iter_type": plan.iter_type,
                "emb_noise_std": float(plan.emb_noise_std),
                "comp_init_fg": float(plan.comp_init_fg_from_training_image),
-               "reuse_init": float(plan.reuse_init_conds)}
+               "reuse_init": float(plan.reuse_init_conds),
+               "wds_comp": float(plan.use_wds_comp)}
         rec.update({k: float(v) for k, v in metrics.items()})
         if not all(np.isfinite(v) for v in rec.values()
                    if isinstance(v, float)):
@@ -344,6 +368,8 @@ class Trainer:
                 bg_weight=(cfg.wds_bg_recon_weight if use_wds
                            else cfg.bg_recon_weight if use_bg_token
                            else 0.0),
+                emb_reg_weight=self._emb_reg_w,
+                prompt_delta_weight=self._delta_w,
                 complem_weight=cfg.fg_bg_complementary_loss_weight,
                 xlayer_weight=cfg.fg_bg_xlayer_consist_loss_weight,
                 wds_complem_weight=(cfg.fg_wds_complementary_loss_weight
@@ -353,33 +379,109 @@ class Trainer:
                 bg_placeholders=self._bg_placeholders))
         return self._recon_steps[key]
 
-    def _wds_extra_mask(self, ids: np.ndarray, slots: Dict) -> np.ndarray:
+    def _subject_spec(self, e: dict):
+        """The SubjectSpec an example was drawn from (multi-subject zs
+        corpora have per-subject cls_delta_strings)."""
+        return next((s for s in self.dataset.subjects
+                     if s.name == e.get("subject_name")),
+                    self.dataset.subjects[0])
+
+    def _composite(self, e: dict) -> None:
+        """Fill the wds_* example keys; the wds bg placeholder substitution
+        applies only when its embedder is actually registered."""
+        spec = self._subject_spec(e)
+        wbg = self.cfg.wds_background_string
+        if wbg not in getattr(self.mgr, "placeholders", {}):
+            wbg = None
+        self.compositor.composite(e, spec.cls_delta_string,
+                                  background_string=spec.background_string,
+                                  wds_background_string=wbg)
+
+    def _delta_prompt_battery(self, plan: IterPlan, ex):
+        """4-type delta-prompt battery for the always-on static
+        prompt-delta regularizer on RECON iters (`ddpm.py:1954-2005`:
+        BLOCK_SIZE = the full batch, bg suffix per plan, never fp; wds
+        iters swap the comp extras, `ddpm.py:1660-1670`). Returns
+        (token_ids [4B, T], slot_maps) or None when the reg is off."""
+        if self._delta_w <= 0:
+            return None
+        keys = ["subj_prompt_single", "subj_prompt_comp",
+                "cls_prompt_single", "cls_prompt_comp"]
+        sfx = "_bg" if (plan.use_background_token and all(
+            k + "_bg" in e for e in ex for k in keys)) else ""
+        dp = [e[k + sfx].split("|")[0] for k in keys for e in ex]
+        if plan.use_wds_comp:
+            B = len(ex)
+            for i, e in enumerate(ex):
+                extra = e.get("wds_comp_extra", "")
+                if extra:
+                    dp[B + i] = dp[i] + extra          # subj_comp
+                    dp[3 * B + i] = dp[2 * B + i] + extra  # cls_comp
+        ids = self.pipe.tokenizer(dp)
+        slots = self.mgr.build_slot_maps(ids)
+        return (jnp.asarray(ids),
+                {k: jnp.asarray(v) for k, v in slots.items()})
+
+    def _wds_extra_mask(self, ids: np.ndarray, slots: Dict,
+                        extend_subj_by_one: bool = False) -> np.ndarray:
         """[B, T] comp-extra token mask for wds instances: real WORD tokens
         (not BOS and not EOS/padding — the reference's `prompt_emb_mask`,
         `embedding_manager.py:1642`) that are neither subject nor bg slots
-        (`ddpm.py:3498-3524`)."""
+        (`ddpm.py:3498-3524`). With wds CLS captions the class token
+        immediately follows the subject tokens and must count as subject,
+        not extra (`extend_indices_N_by_n_times(..., n=1)`,
+        `ddpm.py:3506-3512`)."""
         ids = np.asarray(ids)
         tok = self.pipe.tokenizer
         real = ((ids != tok.bos_id) & (ids != tok.eos_id)).astype(np.float32)
         for s, m in slots.items():
-            real = real * (np.asarray(m) < 0)
+            pos = np.asarray(m) >= 0
+            is_bg = (s in getattr(self, "bg_placeholders", ()) or
+                     (s in getattr(self.mgr, "placeholders", {})
+                      and self.mgr.placeholders[s].is_background))
+            if extend_subj_by_one and not is_bg:
+                ext = np.zeros_like(pos)
+                ext[:, 1:] = pos[:, :-1]
+                pos = pos | ext
+            real = real * (~pos)
         return real
+
+    def _wds_recon_swap(self, plan: IterPlan, ex) -> tuple:
+        """Roll + apply the recon-iter wds composite (`ddpm.py:1493-1532`):
+        image -> fg-over-new-bg overlay, captions -> wds variants (the CLS
+        flavor — class token appended after the subject — at an annealed
+        probability 0.6 -> 0.1 over the first half of training,
+        `ddpm.py:1517-1527`). Mutates `plan` IN PLACE (the caller's `fit`
+        loop logs from the same object). Returns (plan, use_wds,
+        use_wds_cls)."""
+        use_wds = (self.compositor is not None
+                   and self.rng.random() < self.cfg.p_wds_comp_recon)
+        use_wds_cls = False
+        if use_wds:
+            for e in ex:
+                self._composite(e)
+            use_wds = all(e.get("has_wds_comp") for e in ex)
+        if use_wds:
+            p_cls = anneal_value(plan.training_percent, 0.5, (0.6, 0.1))
+            use_wds_cls = (self.rng.random() < p_cls
+                           and all("wds_cls_caption" in e for e in ex))
+            ck = "wds_cls_caption" if use_wds_cls else "wds_caption"
+            for e in ex:
+                e["image"] = e["wds_image"]
+                e["caption"] = e[ck]
+                e["caption_bg"] = e.get(ck + "_bg", e[ck])
+            # wds recon iters use the bg token at p=0.95 instead of 0.9
+            # (`ddpm.py:1565-1567`): the plan rolled 0.9 before knowing
+            # use_wds, so upgrade the misses at 0.5 (0.9 + 0.1*0.5 = 0.95)
+            if not plan.use_background_token and self.rng.random() < 0.5:
+                plan.use_background_token = True
+            plan.use_wds_comp = True
+        return plan, use_wds, use_wds_cls
 
     def _run_recon(self, plan: IterPlan):
         B = self.cfg.batch_size
         ex = self._draw_examples(B)
-        use_wds = (self.compositor is not None
-                   and self.rng.random() < self.cfg.p_wds_comp)
-        if use_wds:
-            spec = self.dataset.subjects[0]
-            for e in ex:
-                self.compositor.composite(e, spec.cls_delta_string)
-            use_wds = all(e.get("has_wds_comp") for e in ex)
-        if use_wds:
-            for e in ex:
-                e["image"] = e["wds_image"]
-                e["caption"] = e["wds_caption"]
-                e["caption_bg"] = e.get("wds_caption_bg", e["wds_caption"])
+        plan, use_wds, use_wds_cls = self._wds_recon_swap(plan, ex)
         batch_np = collate_examples(ex)
         latents = self._latents(batch_np["image"])
         lh, lw = latents.shape[1:3]
@@ -394,7 +496,11 @@ class Trainer:
                     int(self.rng.integers(2 ** 31))))
         if use_wds and self.cfg.fg_wds_complementary_loss_weight > 0:
             noise_kw["wds_extra_token_mask"] = jnp.asarray(
-                self._wds_extra_mask(ids, slots))
+                self._wds_extra_mask(ids, slots,
+                                     extend_subj_by_one=use_wds_cls))
+        delta = self._delta_prompt_battery(plan, ex)
+        if delta is not None:
+            noise_kw["delta_token_ids"], noise_kw["delta_slot_maps"] = delta
         batch = ReconBatch(
             latents=latents,
             token_ids=ids, slot_maps=slots,
@@ -406,9 +512,6 @@ class Trainer:
         step = self._get_recon_step(plan.use_background_token, use_wds)
         self.mgr.embedders, self.opt_state, metrics = step(
             self.mgr.embedders, self.opt_state, batch, self._frozen)
-        if use_wds:
-            metrics = dict(metrics)
-            metrics["wds_comp"] = 1.0
         return metrics
 
     def _compos_x_start(self, plan: IterPlan, e: dict, latents, fg_latent,
@@ -440,10 +543,16 @@ class Trainer:
             # the previous iter's fg-init mode carries over (`ddpm.py:2609-2612`)
             plan.comp_init_fg_from_training_image = bool(
                 entry.get("comp_init_fg_from_training_image", False))
+            # ... as does use_wds_comp (`ddpm.py:1911`)
+            plan.use_wds_comp = bool(entry.get("use_wds_comp", False))
         else:
             # fresh compos iter: x_start = training-image fg scaled onto
-            # noise, or pure noise (`ddpm.py:2645-2664`)
-            if (plan.comp_init_fg_from_training_image
+            # noise, or pure noise (`ddpm.py:2645-2664`). wds compos iters
+            # keep x_start INTACT — the bg-only wds image's latents, no
+            # fg transform, no noise fill (`ddpm.py:2651-2664`)
+            if plan.use_wds_comp:
+                pass
+            elif (plan.comp_init_fg_from_training_image
                     and float(fg_latent.sum()) > 0):
                 from adaface_tpu.training.x_init import (
                     init_x_with_fg_from_training_image,
@@ -477,12 +586,42 @@ class Trainer:
             use_background_token=bool(plan.use_background_token),
             comp_init_fg_from_training_image=bool(
                 plan.comp_init_fg_from_training_image),
+            use_wds_comp=bool(plan.use_wds_comp),
             **zs_extra)
+
+    def _wds_compos_swap(self, plan: IterPlan, e: dict) -> None:
+        """Compos-iter wds composite (`ddpm.py:1488-1515`): 20% of compos
+        iters start from the bg-ONLY wds image (subject not overlaid) kept
+        intact as x_start, with `comp_init_fg_from_training_image` forced
+        on (`ddpm.py:1536-1543`). Mutates `plan` and `e` in place; the
+        comp-prompt extras swap happens in the caller (the prompts are
+        known only after suffix selection)."""
+        if (self.compositor is None
+                or self.rng.random() >= self.cfg.p_wds_comp_compos):
+            return
+        self._composite(e)
+        if not e.get("has_wds_comp"):
+            return
+        e["image"] = e["wds_image_bgonly"]
+        plan.use_wds_comp = True
+        plan.comp_init_fg_from_training_image = True
+
+    def _wds_comp_prompts(self, plan: IterPlan, e: dict, prompts):
+        """Replace the compositional extras with the wds background extra
+        (`replace_prompt_comp_extra`, `ldm/util.py:2231-2245`, called from
+        `ddpm.py:1660-1670`) — never the CLS flavor, since the 4-type
+        battery carries the subject/class tokens already."""
+        if not plan.use_wds_comp or not e.get("wds_comp_extra"):
+            return prompts
+        extra = e["wds_comp_extra"]
+        return [prompts[0], prompts[0] + extra,
+                prompts[2], prompts[2] + extra]
 
     def _run_compos(self, plan: IterPlan):
         # BLOCK_SIZE=1 (`ddpm.py:1971-2141`): one instance per prompt type
         ex = self._draw_examples(1)
         e = ex[0]
+        self._wds_compos_swap(plan, e)
         bg = plan.use_background_token
         fp = plan.use_fp_trick
 
@@ -499,6 +638,7 @@ class Trainer:
                 suffix = cand
                 break
         prompts = [e[k].split("|")[0] for k in keys_for(suffix)]
+        prompts = self._wds_comp_prompts(plan, e, prompts)
         latents = self._latents(e["image"][None])
         lh, lw = latents.shape[1:3]
         fg_latent = self._mask_to_latent(e["fg_mask"][None], lh, lw)
@@ -610,10 +750,23 @@ class Trainer:
                                input_embeds=patched.reshape(L * B4, T, D),
                                skip_weights=jnp.asarray(p.skip_weights))
             ctx = ctx.reshape(L, B4, T, D)
+        ctx = self._distribute_cls_ctx(ctx, slots)
         subj_slot = jnp.asarray(slots[next(
             s for s, i in self.mgr.placeholders.items()
             if not i.is_background)])
         return self._mix_ctx_for_filter(ctx, subj_slot, plan, t, ids.shape[1])
+
+    def _distribute_cls_ctx(self, ctx, slots):
+        """Distribute the class word over multi-vector pad slots in the cls
+        halves of an encoded 4-type context (`ddpm.py:2039-2046`) — the
+        filter-context twin of the in-step distribution."""
+        B = ctx.shape[1] // 4
+        cs, cc = ctx[:, 2 * B:3 * B], ctx[:, 3 * B:]
+        for s in sorted(slots):
+            sm = jnp.asarray(slots[s])[:B]
+            cs = EmbeddingManager.distribute_cls_embeddings(cs, sm)
+            cc = EmbeddingManager.distribute_cls_embeddings(cc, sm)
+        return jnp.concatenate([ctx[:, :2 * B], cs, cc], axis=1)
 
     def _mix_ctx_for_filter(self, ctx, subj_slot, plan, t, T):
         """Shared tail of the teacher-filter context build: 4-type encoded

@@ -73,6 +73,7 @@ class ZeroShotTrainer(Trainer):
         self._zs_compos_step = jax.jit(make_zero_shot_compos_step(
             p.clip, p.clip_params, p.unet, p.unet_params, p.base_sched,
             self.optimizer, generators=self.generators,
+            prompt_delta_weight=self._delta_w,
             bg_placeholders=self.bg_placeholders,
             arc2face_encoder=arc2face_encoder,
             arc2face_params=arc2face_params,
@@ -87,13 +88,15 @@ class ZeroShotTrainer(Trainer):
         active; see `_gen_dropout_kwargs`)."""
         return jax.random.PRNGKey(int(self.rng.integers(2 ** 31)))
 
-    def _get_zs_recon_step(self, use_bg_token: bool):
-        """Jitted zs-recon variant per bg-token usage: the complementary
-        battery dispatch is static (`calc_recon_and_complem_losses`,
-        `ddpm.py:3457-3565`)."""
-        if use_bg_token not in self._zs_recon_steps:
+    def _get_zs_recon_step(self, use_bg_token: bool, use_wds: bool = False):
+        """Jitted zs-recon variant per (bg-token, wds) combination: each
+        changes the static loss battery (`calc_recon_and_complem_losses`,
+        `ddpm.py:2917-2946,3457-3565`; wds instances use the discounted bg
+        recon weight + the fg↔wds-extra complementary variant)."""
+        key = (use_bg_token, use_wds)
+        if key not in self._zs_recon_steps:
             p, cfg = self.pipe, self.cfg
-            self._zs_recon_steps[use_bg_token] = jax.jit(
+            self._zs_recon_steps[key] = jax.jit(
                 make_zero_shot_recon_step(
                     p.clip, p.clip_params, p.unet, p.unet_params,
                     p.base_sched, self.optimizer, generators=self.generators,
@@ -104,11 +107,16 @@ class ZeroShotTrainer(Trainer):
                     inverse_template_ids=self._inv_ids,
                     arcface_token_id=self._arc_tid,
                     skip_weights=p.skip_weights,
-                    bg_weight=(cfg.bg_recon_weight if use_bg_token else 0.0),
+                    bg_weight=(cfg.wds_bg_recon_weight if use_wds
+                               else cfg.bg_recon_weight if use_bg_token
+                               else 0.0),
                     complem_weight=cfg.fg_bg_complementary_loss_weight,
                     xlayer_weight=cfg.fg_bg_xlayer_consist_loss_weight,
+                    wds_complem_weight=(cfg.fg_wds_complementary_loss_weight
+                                        if use_wds else 0.0),
+                    prompt_delta_weight=self._delta_w,
                     use_bg_token=use_bg_token))
-        return self._zs_recon_steps[use_bg_token]
+        return self._zs_recon_steps[key]
 
     def save_checkpoint(self, tag: Optional[str] = None):
         tag = tag or f"gs-{self.global_step}"
@@ -185,6 +193,7 @@ class ZeroShotTrainer(Trainer):
                            input_embeds=patched.reshape(L * B, T, D),
                            skip_weights=jnp.asarray(p.skip_weights))
         ctx = ctx.reshape(L, B, T, D)
+        ctx = self._distribute_cls_ctx(ctx, slots)
         subj_string = next(s for s in self.generators
                            if s not in self.bg_placeholders)
         return self._mix_ctx_for_filter(
@@ -198,6 +207,7 @@ class ZeroShotTrainer(Trainer):
         when `set_teacher_filter` is active."""
         ex = self._draw_examples(1)
         e = ex[0]
+        self._wds_compos_swap(plan, e)
 
         def keys_for(suffix):
             return [f"subj_prompt_single{suffix}", f"subj_prompt_comp{suffix}",
@@ -206,6 +216,7 @@ class ZeroShotTrainer(Trainer):
         suffix = "_bg" if (plan.use_background_token
                            and all(k in e for k in keys_for("_bg"))) else ""
         prompts = [e[k].split("|")[0] for k in keys_for(suffix)]
+        prompts = self._wds_comp_prompts(plan, e, prompts)
         latents = self._latents(e["image"][None])
         lh, lw = latents.shape[1:3]
         fg_latent = self._mask_to_latent(e["fg_mask"][None], lh, lw)
@@ -382,6 +393,7 @@ class ZeroShotTrainer(Trainer):
                 continue
             plan.iter_type = RECON
             ex = self._draw_examples(B)
+            plan, use_wds, use_wds_cls = self._wds_recon_swap(plan, ex)
             batch_np = collate_examples(ex)
             latents = self._latents(batch_np["image"])
             lh, lw = latents.shape[1:3]
@@ -400,6 +412,14 @@ class ZeroShotTrainer(Trainer):
                                               jnp.float32),
                     emb_noise_key=jax.random.PRNGKey(
                         int(self.rng.integers(2 ** 31))))
+            if use_wds and self.cfg.fg_wds_complementary_loss_weight > 0:
+                noise_kw["wds_extra_token_mask"] = jnp.asarray(
+                    self._wds_extra_mask(ids, slots,
+                                         extend_subj_by_one=use_wds_cls))
+            delta = self._delta_prompt_battery(plan, ex)
+            if delta is not None:
+                noise_kw["delta_token_ids"], noise_kw["delta_slot_maps"] = \
+                    delta
             batch = ZeroShotReconBatch(
                 latents=latents, token_ids=ids, slot_maps=slots,
                 fg_mask=jnp.asarray(
@@ -415,7 +435,7 @@ class ZeroShotTrainer(Trainer):
                                       (B,) + feats.clip_bg.shape[1:]),
                 id_embs=id_embs, dropout_key=self._dropout_key(),
                 **self._skip_weights_kw(), **noise_kw)
-            step = self._get_zs_recon_step(plan.use_background_token)
+            step = self._get_zs_recon_step(plan.use_background_token, use_wds)
             self.gen_params, self.opt_state, metrics = step(
                 self.gen_params, self.opt_state, batch,
                 {**self._frozen, "arc": self._arc_frozen})

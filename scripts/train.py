@@ -31,6 +31,10 @@ def parse_args(argv=None):
                    help="SD v1.x .ckpt or .safetensors backbone (random weights if absent)")
     p.add_argument("--subject_string", type=str, default="z")
     p.add_argument("--background_string", type=str, default="y")
+    p.add_argument("--wds_background_string", type=str, default="w",
+                   help="dedicated bg placeholder for wds composite "
+                        "backgrounds (main.py:327; registered only when "
+                        "wds shards are configured)")
     p.add_argument("--cls_delta_string", type=str, default="person")
     p.add_argument("--num_vectors_per_subj_token", type=int, default=9)
     p.add_argument("--num_vectors_per_bg_token", type=int, default=4)
@@ -128,6 +132,7 @@ def main(opt):
     for k in ("subject_string", "background_string",
               "num_vectors_per_subj_token", "num_vectors_per_bg_token"):
         cfg_opt("personalization", k)
+    cfg_opt("data", "wds_background_string")
     cfg_opt("data", "size")
     for k in ("max_steps", "batch_size", "accumulate_grad_batches",
               "ckpt_every_steps"):
@@ -263,6 +268,18 @@ def main(opt):
                 init_key=jax.random.PRNGKey(opt.seed + 2),
                 emb_dim=emb_dim, rank=opt.layerwise_lora_rank,
                 **word_init(opt.bg_init_string))
+        if (opt.background_string and opt.wds_background_string
+                and cfg.get("data", {}).get("wds_shards")):
+            # dedicated wds background embedder ('w'): wds captions swap
+            # the ordinary bg token for it (`main.py:376-382`)
+            mgr.add_placeholder(
+                opt.wds_background_string,
+                token_id=tok.add_placeholder(opt.wds_background_string),
+                num_vectors=opt.num_vectors_per_bg_token,
+                is_background=True,
+                init_key=jax.random.PRNGKey(opt.seed + 3),
+                emb_dim=emb_dim, rank=opt.layerwise_lora_rank,
+                **word_init(opt.bg_init_string))
     if opt.embedding_manager_ckpt:
         path = opt.embedding_manager_ckpt
         if path.endswith(".npz"):
@@ -282,7 +299,7 @@ def main(opt):
     cli_handled = {"max_steps", "batch_size", "accumulate_grad_batches",
                    "ckpt_every_steps", "use_prodigy", "learning_rate",
                    "seed", "logdir", "randomize_clip_skip_weights",
-                   "clip_skip_weights_alpha"}
+                   "clip_skip_weights_alpha", "wds_background_string"}
     # precedence: explicit CLI flag > config file > argparse default —
     # the file's learning_rate/use_prodigy win only when the CLI flag was
     # left at its default
@@ -302,6 +319,7 @@ def main(opt):
         ckpt_every_steps=opt.ckpt_every_steps, seed=opt.seed,
         logdir=opt.logdir,
         randomize_clip_skip_weights=opt.randomize_clip_skip_weights,
+        wds_background_string=opt.wds_background_string or "",
         clip_skip_weights_alpha=tuple(
             float(x) for x in (opt.clip_last_layers_skip_weights or (1, 1))))
     pcfg = IterPlanConfig(
@@ -434,23 +452,28 @@ def run_zero_shot(opt, pipe, tok, dataset, tcfg, pcfg):
         opt.subject_string, tok.add_placeholder(opt.subject_string),
         gen, gparams, num_vectors=16)
     bg_placeholders = frozenset()
-    if opt.background_string:
+    bg_strings = [opt.background_string] if opt.background_string else []
+    if bg_strings and opt.wds_background_string and tcfg.wds_shards:
+        # dedicated wds background generator ('w'), same architecture as
+        # the ordinary bg generator (`main.py:404-410`)
+        bg_strings.append(opt.wds_background_string)
+    for i, bg_s in enumerate(bg_strings):
         bg_gen = SubjBasisGenerator(
             placeholder_is_bg=True, num_out_layers=NUM_CA_LAYERS,
             num_out_embs_per_layer=opt.num_vectors_per_bg_token,
             output_dim=D, image_embedding_dim=vis_cfg.hidden_size,
             num_heads=4, bg_num_id_vecs=vis_cfg.num_tokens)
         bg_params = bg_gen.init(
-            jax.random.PRNGKey(opt.seed + 6),
+            jax.random.PRNGKey(opt.seed + 6 + i),
             jnp.zeros((1, vis_cfg.num_tokens, vis_cfg.hidden_size)),
             None, None)["params"]
-        gens[opt.background_string] = bg_gen
-        gen_tree[opt.background_string] = bg_params
+        gens[bg_s] = bg_gen
+        gen_tree[bg_s] = bg_params
         mgr.add_zero_shot_placeholder(
-            opt.background_string, tok.add_placeholder(opt.background_string),
+            bg_s, tok.add_placeholder(bg_s),
             bg_gen, bg_params, num_vectors=opt.num_vectors_per_bg_token,
             is_background=True)
-        bg_placeholders = frozenset({opt.background_string})
+    bg_placeholders = frozenset(bg_strings)
 
     if opt.embedding_manager_ckpt:
         mgr.load_reference_checkpoint(opt.embedding_manager_ckpt,

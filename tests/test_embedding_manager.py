@@ -175,3 +175,29 @@ def test_reference_checkpoint_import(tmp_path):
     mgr2 = EmbeddingManager()
     mgr2.load_reference_checkpoint(path, placeholder_remap={"z": "z2"})
     assert "z2" in mgr2.placeholders and "y" in mgr2.placeholders
+
+
+def test_distribute_cls_embeddings():
+    """`distribute_embedding_to_M_tokens` analog (`ldm/util.py:883-919`):
+    at the K subject-aligned positions of a class prompt, every slot takes
+    the FIRST slot's embedding / sqrt(K); K=1 and absent instances pass
+    through untouched."""
+    import jax.numpy as jnp
+
+    L, B, T, D = 2, 3, 6, 4
+    rng = np.random.default_rng(0)
+    ctx = jnp.asarray(rng.standard_normal((L, B, T, D)), jnp.float32)
+    sm = -np.ones((B, T), np.int32)
+    sm[0, 2], sm[0, 3], sm[0, 4] = 0, 1, 2  # K=3 at positions 2..4
+    sm[1, 1] = 0                            # K=1 -> untouched
+    # instance 2: placeholder absent -> untouched
+    out = np.asarray(EmbeddingManager.distribute_cls_embeddings(ctx, sm))
+    ref = np.asarray(ctx).copy()
+    ref[:, 0, 2:5] = ref[:, 0, 2:3] / np.sqrt(3.0)
+    np.testing.assert_allclose(out, ref, rtol=1e-6)
+    # gradient flows (the cls side feeds the mixing teacher contexts)
+    import jax
+
+    g = jax.grad(lambda c: jnp.sum(
+        EmbeddingManager.distribute_cls_embeddings(c, sm) ** 2))(ctx)
+    assert np.isfinite(np.asarray(g)).all()

@@ -319,3 +319,16 @@ def test_padding_embs_align_loss():
                                        jnp.asarray(prompt_mask),
                                        jnp.asarray(subj_mask))
     assert float(lp2) > float(lp)
+
+
+def test_prompt_emb_mask_excludes_padding():
+    """`prompt_emb_mask` analog (`embedding_manager.py:1642`): BOS and the
+    EOS-padded tail must drop out of the delta-loss token weights (eos is
+    the pad token — an `ids > 0` mask would weight padding fully)."""
+    import jax.numpy as jnp
+
+    from adaface_tpu.training.train_step import BOS_ID, EOS_ID, _prompt_emb_mask
+
+    ids = jnp.asarray([[BOS_ID, 5, 7, EOS_ID, EOS_ID]])
+    np.testing.assert_array_equal(np.asarray(_prompt_emb_mask(ids))[0],
+                                  [0, 1, 1, 0, 0])

@@ -78,6 +78,15 @@ def test_trainer_fit_and_resume(subject_dir, tmp_path):
     # artifacts
     assert os.path.exists(tmp_path / "run" / "embeddings_last.npz")
     assert os.path.exists(tmp_path / "run" / "metrics.jsonl")
+    # always-on static prompt-delta reg runs on RECON iters too
+    # (`do_static_prompt_delta_reg`, `ddpm.py:1954-2005,3230-3240`), at the
+    # Prodigy/zero-shot-damped weight (2e-4 * 0.5 / 5)
+    import json
+    recs = [json.loads(l) for l in open(tmp_path / "run" / "metrics.jsonl")]
+    recon = [r for r in recs if r["iter_type"] == "recon"]
+    assert recon and all("prompt_delta" in r for r in recon)
+    assert all(np.isfinite(r["prompt_delta"]) for r in recon)
+    assert tr._delta_w == pytest.approx(2e-4 * 0.5 / 5)
 
     state = tr.save_state()
     tr2 = _build(subject_dir, str(tmp_path / "run2"), max_steps=6)

@@ -31,19 +31,25 @@ pytestmark = pytest.mark.slow
 D = 64
 
 
-def test_zs_trainer_recon_and_compos(tmp_path):
+def make_subject_dir(path) -> str:
+    """Tiny 2-image subject folder with square fg masks."""
     from PIL import Image
 
-    d = tmp_path / "subj"
-    d.mkdir()
+    path.mkdir(exist_ok=True)
     rng = np.random.default_rng(0)
     for i in range(2):
         Image.fromarray(rng.integers(0, 255, (48, 48, 3)).astype(np.uint8)
-                        ).save(d / f"{i}.jpg")
+                        ).save(path / f"{i}.jpg")
         m = np.zeros((48, 48), np.uint8)
         m[10:38, 10:38] = 255
-        Image.fromarray(m).save(d / f"{i}_mask.png")
+        Image.fromarray(m).save(path / f"{i}_mask.png")
+    return str(path)
 
+
+def build_zs_trainer(tmp_path, cfg_kw=None, plan_kw=None) -> ZeroShotTrainer:
+    """Tiny-config ZeroShotTrainer over a synthetic subject (shared by the
+    zs integration tests here and the wds battery in test_wds.py)."""
+    subj = make_subject_dir(tmp_path / "subj")
     tok = HashTokenizer()
     pipe = StableDiffusionPipeline.from_random(
         jax.random.PRNGKey(0), tok,
@@ -82,13 +88,20 @@ def test_zs_trainer_recon_and_compos(tmp_path):
                        jnp.zeros((1, 16, D)),
                        inverse_template_ids=inv_ids)["params"]
 
-    ds = PersonalizedDataset([SubjectSpec("s", str(d))], size=32, seed=0)
-    log = str(tmp_path / "log")
-    tr = ZeroShotTrainer(
-        pipe, ds, ext, {"z": gen}, {"z": gparams}, arc_enc, arc_params,
-        TrainerConfig(max_steps=4, batch_size=1, use_prodigy=True,
-                      ckpt_every_steps=100, log_every_steps=100, logdir=log),
-        plan_cfg=IterPlanConfig(composition_regs_iter_gap=1, max_steps=4))
+    ds = PersonalizedDataset([SubjectSpec("s", subj)], size=32, seed=0)
+    cfg = TrainerConfig(max_steps=4, batch_size=1, use_prodigy=True,
+                        ckpt_every_steps=100, log_every_steps=100,
+                        logdir=str(tmp_path / "log"), **(cfg_kw or {}))
+    plan_cfg = IterPlanConfig(**{"composition_regs_iter_gap": 1,
+                                 "max_steps": cfg.max_steps,
+                                 **(plan_kw or {})})
+    return ZeroShotTrainer(pipe, ds, ext, {"z": gen}, {"z": gparams},
+                           arc_enc, arc_params, cfg, plan_cfg=plan_cfg)
+
+
+def test_zs_trainer_recon_and_compos(tmp_path):
+    tr = build_zs_trainer(tmp_path)
+    log = tr.cfg.logdir
     before = jax.device_get(tr.gen_params)
     tr.fit()
     assert tr.global_step == 4
