@@ -23,15 +23,23 @@ def masked_recon_loss(
     fg_mask: Optional[jnp.ndarray] = None,  # [B, H, W, 1] in latent space
     bg_weight: float = 0.0,
     fg_weight: float = 1.0,
+    img_mask: Optional[jnp.ndarray] = None,  # [B, H, W, 1] aug valid area
 ) -> jnp.ndarray:
     """Masked MSE eps-reconstruction (`calc_recon_loss`, `ddpm.py:3567`):
     foreground pixels weight `fg_weight`, background `bg_weight`
-    (0 / 0.1 / 0.05 depending on iteration flavor, `ddpm.py:2917-2946`).
+    (0 / 0.1 / 0.05 depending on iteration flavor, `ddpm.py:2917-2946`);
+    `img_mask` (the augmentation valid-area mask, `aug_mask`) zeroes the
+    empty margins created by scale/shift augmentation out of the loss.
     Returns a scalar averaged over the weighted pixel count."""
     err = jnp.square(eps_pred.astype(jnp.float32) - eps_target.astype(jnp.float32))
-    if fg_mask is None:
+    if fg_mask is None and img_mask is None:
         return err.mean()
-    w = fg_mask * fg_weight + (1.0 - fg_mask) * bg_weight
+    if fg_mask is not None:
+        w = fg_mask * fg_weight + (1.0 - fg_mask) * bg_weight
+    else:
+        w = jnp.ones(err.shape[:-1] + (1,), jnp.float32)
+    if img_mask is not None:
+        w = w * img_mask
     w = jnp.broadcast_to(w, err.shape)
     return jnp.sum(err * w) / jnp.maximum(jnp.sum(w), 1e-6)
 

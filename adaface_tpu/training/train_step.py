@@ -58,6 +58,13 @@ class ReconBatch(NamedTuple):
     fg_mask: Optional[jnp.ndarray]  # [B, h, w, 1] or None
     timesteps: jnp.ndarray  # [B] host-sampled (annealed upward, ddpm.py:2847)
     noise: jnp.ndarray  # [B, h, w, 4]
+    # augmentation valid-area mask at latent res (`img_mask`,
+    # `ddpm.py:1681-1685`): masks self-attention keys + the recon loss
+    img_mask: Optional[jnp.ndarray] = None  # [B, h, w, 1]
+    # per-instance 1/0: instance has a real fg mask (`batch_have_fg_mask`;
+    # instances without one run the recon loss on an all-1 fg_mask but are
+    # excluded from the complementary battery, `ddpm.py:3478,3533`)
+    have_fg_mask: Optional[jnp.ndarray] = None  # [B]
     # annealed embedding noise (host-sampled std, 0 disables; applied
     # in-graph to the subject embeddings, `embedding_manager.py:1528-1538`)
     emb_noise_std: Optional[jnp.ndarray] = None  # scalar
@@ -138,6 +145,7 @@ def _recon_complem_terms(
     xlayer_weight: float,
     wds_extra_token_mask: Optional[jnp.ndarray] = None,
     wds_complem_weight: float = 0.0,
+    instance_mask: Optional[jnp.ndarray] = None,  # [B] batch_have_fg_mask
 ):
     """The recon-iteration complementary-loss battery
     (`calc_recon_and_complem_losses`, `ddpm.py:3457-3565`, + the xlayer
@@ -174,14 +182,16 @@ def _recon_complem_terms(
     if complem_weight > 0 and fg_mask is not None:
         if bg_mask is not None:
             comple, subj_mb, bg_mf, contrast = fg_bg_complementary_loss(
-                scores, subj_mask, bg_mask, fg_mask, fg_grad_scale=0.1)
+                scores, subj_mask, bg_mask, fg_mask, fg_grad_scale=0.1,
+                instance_mask=instance_mask)
             comple_scale = 0.2 if do_zero_shot else 1.0
             loss = loss + (comple * comple_scale + subj_mb + bg_mf
                            + contrast) * complem_weight
             metrics.update(fg_bg_complem=comple, subj_mb_suppress=subj_mb,
                            bg_mf_suppress=bg_mf, fg_bg_mask_contrast=contrast)
         else:
-            subj_mb = fg_mb_suppress_loss(scores, subj_mask, fg_mask)
+            subj_mb = fg_mb_suppress_loss(scores, subj_mask, fg_mask,
+                                          instance_mask=instance_mask)
             loss = loss + subj_mb * complem_weight
             metrics.update(subj_mb_suppress=subj_mb)
     if (wds_complem_weight > 0 and wds_extra_token_mask is not None
@@ -191,7 +201,8 @@ def _recon_complem_terms(
         # prompts are much longer than a bg token set (`ddpm.py:3533-3536`)
         w_comple, w_subj_mb, w_align, w_contrast = fg_bg_complementary_loss(
             scores, subj_mask, wds_extra_token_mask, fg_mask,
-            fg_grad_scale=0.1, do_sqrt_norm=True)
+            fg_grad_scale=0.1, do_sqrt_norm=True,
+            instance_mask=instance_mask)
         loss = loss + (w_comple + w_align + w_subj_mb
                        + w_contrast) * wds_complem_weight
         metrics.update(fg_wds_complem=w_comple, wds_mask_align=w_align)
@@ -255,11 +266,15 @@ def make_recon_train_step(
             # the backward pass for nothing
             eps, aux = unet.apply({"params": fz["unet"]}, x_noisy,
                                   batch.timesteps, ctx, capture=True,
+                                  img_mask=batch.img_mask,
                                   capture_keys=("attnscore",))
         else:
             eps, aux = unet.apply({"params": fz["unet"]}, x_noisy,
-                                  batch.timesteps, ctx), None
-        recon = masked_recon_loss(eps, batch.noise, batch.fg_mask, bg_weight=bg_weight)
+                                  batch.timesteps, ctx,
+                                  img_mask=batch.img_mask), None
+        recon = masked_recon_loss(eps, batch.noise, batch.fg_mask,
+                                  bg_weight=bg_weight,
+                                  img_mask=batch.img_mask)
         reg = sum(embedding_norm_loss(e) for e in subj.values()) / max(len(subj), 1)
         loss = recon + emb_reg_weight * reg
         metrics = {"recon": recon, "emb_reg": reg}
@@ -272,7 +287,8 @@ def make_recon_train_step(
             complem, cm = _recon_complem_terms(
                 aux, batch.slot_maps, batch.fg_mask, bg_placeholders,
                 use_bg_token, do_zero_shot, complem_weight, xlayer_weight,
-                batch.wds_extra_token_mask, wds_complem_weight)
+                batch.wds_extra_token_mask, wds_complem_weight,
+                instance_mask=batch.have_fg_mask)
             loss = loss + complem
             metrics.update(cm)
         metrics["loss"] = loss
@@ -578,6 +594,9 @@ class Arc2FaceBatch(NamedTuple):
     noises: jnp.ndarray  # [S, B, h, w, 4] per-step noise
     relative_ts: jnp.ndarray  # [S-1, B] uniforms for earlier-t sampling
     fg_mask: Optional[jnp.ndarray]
+    # aug valid-area mask at latent res (None for random faces,
+    # `ddpm.py:1799-1800`)
+    img_mask: Optional[jnp.ndarray] = None  # [B, h, w, 1]
     # per-iteration clip-skip weights ([2], host-sampled Dirichlet when
     # randomize_clip_skip_weights; None = the configured constant)
     skip_weights: Optional[jnp.ndarray] = None
@@ -647,12 +666,14 @@ def make_arc2face_distill_step(
         for s in range(loss_start, S):
             x0_s = batch.latents if s == 0 else x_starts[s]
             x_noisy = sched.q_sample(x0_s, ts[s], batch.noises[s])
-            student = unet.apply({"params": fz["unet"]}, x_noisy, ts[s], ctx)
+            student = unet.apply({"params": fz["unet"]}, x_noisy, ts[s], ctx,
+                                 img_mask=batch.img_mask)
             if use_fg_mask and batch.fg_mask is not None:
                 # distill only on fg (bg suppressed by the teacher,
                 # bg_pixel_weight=0, `:3017-3024`)
                 l = masked_recon_loss(student, noise_preds[s], batch.fg_mask,
-                                      bg_weight=0.0)
+                                      bg_weight=0.0,
+                                      img_mask=batch.img_mask)
             else:
                 l = jnp.mean(jnp.square(student - noise_preds[s]))
             losses.append(l)
@@ -687,6 +708,8 @@ class ZeroShotArc2FaceBatch(NamedTuple):
     clip_fg: jnp.ndarray  # [B, N_tok, D_img]
     clip_bg: jnp.ndarray
     id_embs: jnp.ndarray  # [B, 512]
+    # aug valid-area mask at latent res (None for random faces)
+    img_mask: Optional[jnp.ndarray] = None  # [B, h, w, 1]
     dropout_key: Optional[jnp.ndarray] = None  # generator attn dropout
     # per-iteration clip-skip weights ([2], host-sampled Dirichlet when
     # randomize_clip_skip_weights; None = the configured constant)
@@ -781,10 +804,12 @@ def make_zero_shot_arc2face_step(
         for s in range(loss_start, S):
             x0_s = batch.latents if s == 0 else x_starts[s]
             x_noisy = sched.q_sample(x0_s, ts[s], batch.noises[s])
-            student = unet.apply({"params": fz["unet"]}, x_noisy, ts[s], ctx)
+            student = unet.apply({"params": fz["unet"]}, x_noisy, ts[s], ctx,
+                                 img_mask=batch.img_mask)
             if use_fg_mask and batch.fg_mask is not None:
                 l = masked_recon_loss(student, noise_preds[s], batch.fg_mask,
-                                      bg_weight=0.0)
+                                      bg_weight=0.0,
+                                      img_mask=batch.img_mask)
             else:
                 l = jnp.mean(jnp.square(student - noise_preds[s]))
             losses.append(l)
@@ -882,6 +907,9 @@ class ZeroShotReconBatch(NamedTuple):
     # 4-type delta-prompt battery (see ReconBatch.delta_token_ids)
     delta_token_ids: Optional[jnp.ndarray] = None  # [4B, T]
     delta_slot_maps: Optional[Dict[str, jnp.ndarray]] = None
+    # aug valid-area + per-instance mask availability (see ReconBatch)
+    img_mask: Optional[jnp.ndarray] = None  # [B, h, w, 1]
+    have_fg_mask: Optional[jnp.ndarray] = None  # [B]
     # per-iteration clip-skip weights ([2], host-sampled Dirichlet when
     # randomize_clip_skip_weights; None = the configured constant)
     skip_weights: Optional[jnp.ndarray] = None
@@ -966,12 +994,15 @@ def make_zero_shot_recon_step(
             # only attnscore feeds the battery (see make_recon_train_step)
             eps, aux = unet.apply({"params": fz["unet"]}, x_noisy,
                                   batch.timesteps, ctx, capture=True,
+                                  img_mask=batch.img_mask,
                                   capture_keys=("attnscore",))
         else:
             eps, aux = unet.apply({"params": fz["unet"]}, x_noisy,
-                                  batch.timesteps, ctx), None
+                                  batch.timesteps, ctx,
+                                  img_mask=batch.img_mask), None
         recon = masked_recon_loss(eps, batch.noise, batch.fg_mask,
-                                  bg_weight=bg_weight)
+                                  bg_weight=bg_weight,
+                                  img_mask=batch.img_mask)
         loss = recon
         metrics = {"recon": recon}
         if prompt_delta_weight > 0 and batch.delta_token_ids is not None:
@@ -987,7 +1018,8 @@ def make_zero_shot_recon_step(
             complem, cm = _recon_complem_terms(
                 aux, batch.slot_maps, batch.fg_mask, bg_placeholders,
                 use_bg_token, True, complem_weight, xlayer_weight,
-                batch.wds_extra_token_mask, wds_complem_weight)
+                batch.wds_extra_token_mask, wds_complem_weight,
+                instance_mask=batch.have_fg_mask)
             loss = loss + complem
             metrics.update(cm)
         metrics["loss"] = loss

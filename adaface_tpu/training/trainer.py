@@ -508,6 +508,10 @@ class Trainer:
             timesteps=jnp.asarray(t, jnp.int32),
             noise=jnp.asarray(self.rng.standard_normal(latents.shape),
                               jnp.float32),
+            img_mask=jnp.asarray(
+                self._mask_to_latent(batch_np["aug_mask"], lh, lw)),
+            have_fg_mask=jnp.asarray(
+                [float(e.get("has_fg_mask", True)) for e in ex], jnp.float32),
             **self._skip_weights_kw(), **noise_kw)
         step = self._get_recon_step(plan.use_background_token, use_wds)
         self.mgr.embedders, self.opt_state, metrics = step(
@@ -642,6 +646,12 @@ class Trainer:
         latents = self._latents(e["image"][None])
         lh, lw = latents.shape[1:3]
         fg_latent = self._mask_to_latent(e["fg_mask"][None], lh, lw)
+        if not e.get("has_fg_mask", True):
+            # filtered_fg_mask semantics (`ddpm.py:2648-2650`): a maskless
+            # instance must not "preserve" its all-1 default mask (that
+            # would force-remember the background); zeroing also disables
+            # fg-init via the sum() gate below
+            fg_latent = np.zeros_like(fg_latent)
         latents, fg_latent, prompts, prev_t, _ = self._compos_x_start(
             plan, e, latents, fg_latent, prompts)
         # tokenize AFTER the cache check: a reuse-init iter restores the
@@ -814,6 +824,11 @@ class Trainer:
         ids, slots = self._prompt_batch(ex, "caption")
         t = sample_timesteps(self.rng, plan, B, self.plan_cfg)
         teacher_ctx = teacher_ctx_fn(ex, plan)
+        img_kw = {}
+        if not plan.gen_arc2face_rand_face:
+            # random-face iters carry no masks (`ddpm.py:1799-1800`)
+            img_kw["img_mask"] = jnp.asarray(
+                self._mask_to_latent(batch_np["aug_mask"], lh, lw))
         batch = Arc2FaceBatch(
             latents=latents,
             teacher_context=jnp.asarray(teacher_ctx, jnp.float32),
@@ -824,7 +839,7 @@ class Trainer:
             relative_ts=jnp.asarray(self.rng.uniform(size=(max(S - 1, 1), B)),
                                     jnp.float32),
             fg_mask=jnp.asarray(self._mask_to_latent(batch_np["fg_mask"], lh, lw)),
-            **self._skip_weights_kw())
+            **img_kw, **self._skip_weights_kw())
         frozen = dict(self._frozen)
         frozen["teacher"] = teacher_params
         self.mgr.embedders, self.opt_state, metrics = self._a2f_steps[key](

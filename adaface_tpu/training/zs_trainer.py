@@ -220,6 +220,9 @@ class ZeroShotTrainer(Trainer):
         latents = self._latents(e["image"][None])
         lh, lw = latents.shape[1:3]
         fg_latent = self._mask_to_latent(e["fg_mask"][None], lh, lw)
+        if not e.get("has_fg_mask", True):
+            # filtered_fg_mask semantics (`ddpm.py:2648-2650`)
+            fg_latent = np.zeros_like(fg_latent)
         latents, fg_latent, prompts, prev_t, entry = self._compos_x_start(
             plan, e, latents, fg_latent, prompts)
         # tokenize AFTER the cache check (reuse restores the cached
@@ -300,6 +303,21 @@ class ZeroShotTrainer(Trainer):
             {**self._frozen, "arc": self._arc_frozen, "gen0": self._gen0})
         return metrics
 
+    def _noise_id_embs(self, id_embs: jnp.ndarray) -> jnp.ndarray:
+        """Norm-preserving ID-embedding noising
+        (`anneal_add_noise_to_embedding` + `add_noise_to_tensor`,
+        `ldm/util.py:2364-2401`): noise std is U(0.02, 0.06) relative to
+        the batch-mean per-row std (Bessel-corrected, dim -1), and each
+        row is rescaled back to its original L2 norm (keep_norm=True)."""
+        e = np.asarray(id_embs, np.float32)
+        std_mean = float(e.std(axis=-1, ddof=1).mean())
+        noise_std = float(self.rng.uniform(0.02, 0.06)) * std_mean
+        noised = e + self.rng.standard_normal(e.shape).astype(
+            np.float32) * noise_std
+        orig_norm = np.linalg.norm(e, axis=-1, keepdims=True)
+        new_norm = np.linalg.norm(noised, axis=-1, keepdims=True)
+        return jnp.asarray(noised * orig_norm / (new_norm + 1e-8))
+
     def _run_zs_arc2face(self, plan, teacher):
         """Zero-shot arc2face distillation iteration: the generators train
         against the frozen teacher's multi-step trajectory, with the
@@ -337,8 +355,10 @@ class ZeroShotTrainer(Trainer):
             jnp.broadcast_to(feats.clip_fg, (B,) + feats.clip_fg.shape[1:])
         bbg = feats.clip_bg if feats.clip_bg.shape[0] == B else \
             jnp.broadcast_to(feats.clip_bg, (B,) + feats.clip_bg.shape[1:])
+        img_kw = {}
         if plan.gen_arc2face_rand_face:
-            # random identities + pure-noise x_start (`:1714-1718`)
+            # random identities + pure-noise x_start (`:1714-1718`); no
+            # masks on random faces (`ddpm.py:1799-1800`)
             id_embs = jnp.asarray(
                 self.rng.standard_normal((B, 512)), jnp.float32)
             latents = jnp.asarray(self.rng.standard_normal(
@@ -350,6 +370,24 @@ class ZeroShotTrainer(Trainer):
             latents = self._latents(batch_np["image"])
             lh, lw = latents.shape[1:3]
             fg = jnp.asarray(self._mask_to_latent(batch_np["fg_mask"], lh, lw))
+            img_kw["img_mask"] = jnp.asarray(
+                self._mask_to_latent(batch_np["aug_mask"], lh, lw))
+            if plan.add_noise_to_real_id_embs:
+                # Collapse the batch to the first subject, then perturb its
+                # ID embedding per instance (`ddpm.py:1749-1779`): similar
+                # embeddings (first subject + noise) against one x_start
+                # teach the model to resolve tiny embedding differences.
+                # x_start/masks/CLIP features all become instance 0;
+                # captions stay as drawn (shared placeholder).
+                latents = jnp.broadcast_to(latents[:1], latents.shape)
+                fg = jnp.broadcast_to(fg[:1], fg.shape)
+                img_kw["img_mask"] = jnp.broadcast_to(
+                    img_kw["img_mask"][:1], img_kw["img_mask"].shape)
+                bfg = jnp.broadcast_to(bfg[:1], bfg.shape)
+                bbg = jnp.broadcast_to(bbg[:1], bbg.shape)
+                id_embs = jnp.broadcast_to(id_embs[:1], (B,)
+                                           + id_embs.shape[1:])
+                id_embs = self._noise_id_embs(id_embs)
         ids, slots = self._prompt_batch(ex, "caption")
         t = sample_timesteps(self.rng, plan, B, self.plan_cfg)
         batch = ZeroShotArc2FaceBatch(
@@ -362,7 +400,8 @@ class ZeroShotTrainer(Trainer):
             fg_mask=fg, clip_fg=bfg, clip_bg=bbg,
             id_embs=id_embs / (jnp.linalg.norm(id_embs, axis=-1,
                                                keepdims=True) + 1e-12),
-            dropout_key=self._dropout_key(), **self._skip_weights_kw())
+            dropout_key=self._dropout_key(), **img_kw,
+            **self._skip_weights_kw())
         self.gen_params, self.opt_state, metrics = self._zs_a2f_steps[key](
             self.gen_params, self.opt_state, batch,
             {**self._frozen, "arc": self._arc_frozen,
@@ -427,6 +466,11 @@ class ZeroShotTrainer(Trainer):
                 timesteps=jnp.asarray(t, jnp.int32),
                 noise=jnp.asarray(self.rng.standard_normal(latents.shape),
                                   jnp.float32),
+                img_mask=jnp.asarray(
+                    self._mask_to_latent(batch_np["aug_mask"], lh, lw)),
+                have_fg_mask=jnp.asarray(
+                    [float(e.get("has_fg_mask", True)) for e in ex],
+                    jnp.float32),
                 clip_fg=feats.clip_fg if feats.clip_fg.shape[0] == B
                 else jnp.broadcast_to(feats.clip_fg,
                                       (B,) + feats.clip_fg.shape[1:]),

@@ -332,3 +332,30 @@ def test_prompt_emb_mask_excludes_padding():
     ids = jnp.asarray([[BOS_ID, 5, 7, EOS_ID, EOS_ID]])
     np.testing.assert_array_equal(np.asarray(_prompt_emb_mask(ids))[0],
                                   [0, 1, 1, 0, 0])
+
+
+def test_masked_recon_loss_img_mask():
+    """`img_mask` (the aug valid-area mask) zeroes the augmentation margins
+    out of the recon loss (`calc_recon_loss`, `ddpm.py:3567-3590`)."""
+    from adaface_tpu.training.losses import masked_recon_loss
+
+    rng = np.random.default_rng(0)
+    pred = rng.standard_normal((1, 4, 4, 2)).astype(np.float32)
+    tgt = rng.standard_normal((1, 4, 4, 2)).astype(np.float32)
+    img = np.ones((1, 4, 4, 1), np.float32)
+    img[:, 3:] = 0.0  # bottom row = empty aug margin
+    fg = np.ones((1, 4, 4, 1), np.float32)
+    base = float(masked_recon_loss(pred, tgt, fg, bg_weight=0.0,
+                                   img_mask=img))
+    # corrupting predictions inside the masked margin changes nothing
+    pred2 = pred.copy()
+    pred2[:, 3:] += 100.0
+    corrupted = float(masked_recon_loss(pred2, tgt, fg, bg_weight=0.0,
+                                        img_mask=img))
+    assert base == pytest.approx(corrupted, rel=1e-6)
+    # matches the plain mean over the valid area
+    manual = float(np.mean((pred[:, :3] - tgt[:, :3]) ** 2))
+    assert base == pytest.approx(manual, rel=1e-5)
+    # img_mask alone (no fg weighting) also works
+    only_img = float(masked_recon_loss(pred, tgt, None, img_mask=img))
+    assert only_img == pytest.approx(manual, rel=1e-5)
