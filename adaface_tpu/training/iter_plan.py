@@ -42,8 +42,13 @@ class IterPlanConfig:
     num_timesteps: int = 1000
     max_steps: int = 2000
     do_zero_shot: bool = True
-    # multi-step arc2face distillation: 1/3/5/7 teacher steps (`:1835-1878`)
+    # multi-step arc2face distillation: 1/3/5/7 teacher steps drawn with
+    # p=[0.4, 0.3, 0.2, 0.1] (`:1835-1851`); candidates above
+    # max_num_denoising_steps are dropped and the probs renormalized
+    # (CLI default 7, `main.py:272`)
     arc2face_denoising_steps: tuple = (1, 3, 5, 7)
+    arc2face_denoising_step_probs: tuple = (0.4, 0.3, 0.2, 0.1)
+    max_num_denoising_steps: int = 7
     # annealed embedding-noise injection (`v1-finetune-ada.yaml:96-101`,
     # `anneal_add_noise_to_embedding`, `ldm/util.py:2384-2399`)
     emb_noise_begin_std_range: tuple = (0.02, 0.04)
@@ -155,8 +160,12 @@ def plan_iteration(rng: np.random.Generator, global_step: int,
         if not plan.gen_arc2face_rand_face:
             plan.add_noise_to_real_id_embs = (
                 rng.random() < cfg.p_add_noise_to_real_id_embs)
+        cand = [s for s in cfg.arc2face_denoising_steps
+                if s <= cfg.max_num_denoising_steps]
+        p = np.asarray(cfg.arc2face_denoising_step_probs[:len(cand)],
+                       np.float64)
         plan.num_denoising_steps = int(
-            rng.choice(np.asarray(cfg.arc2face_denoising_steps)))
+            rng.choice(np.asarray(cand), p=p / p.sum()))
         plan.emb_noise_std = sample_emb_noise_std(rng, plan, cfg)
         return plan
 

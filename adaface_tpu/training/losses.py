@@ -406,6 +406,100 @@ def embedding_norm_loss(emb: jnp.ndarray, target_norm: float = 1.0) -> jnp.ndarr
     return jnp.mean(jnp.square(norms - target_norm))
 
 
+def ortho_l2loss(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """MSE of the ortho residual of `a` against `b`
+    (`ortho_l2loss`, `ldm/util.py:387-396`)."""
+    r = ortho_subtract(a, b)
+    return jnp.mean(r * r)
+
+
+def dyn_loss_scale(loss, loss_base: float, loss_scale_base: float,
+                   min_scale_base_ratio: float = 1.0,
+                   max_scale_base_ratio: float = 2.0) -> jnp.ndarray:
+    """Traced dynamic loss scale (`calc_dyn_loss_scale`,
+    `ldm/util.py:2333-2341`): the reference reads `.item()` (a detached
+    constant); stop_gradient is the traced equivalent."""
+    s = jax.lax.stop_gradient(loss) * loss_scale_base / loss_base
+    return jnp.clip(s, loss_scale_base * min_scale_base_ratio,
+                    loss_scale_base * max_scale_base_ratio)
+
+
+def convert_attn_to_spatial_weight(flat_attn: jnp.ndarray, out_hw,
+                                   reverse: bool = True) -> jnp.ndarray:
+    """Attention-derived spatial weight (`convert_attn_to_spatial_weight`,
+    `ldm/util.py:649-683`): head-mean the (stop-grad) summed subject
+    attention, un-flatten to its own grid, bilinear-resize to `out_hw`,
+    normalize by per-instance mean/std (std floored at mean/2), exp(-x)
+    when `reverse` (high subject attention -> low weight, emphasizing the
+    compositional context), clamp at 1, renormalize to unit spatial mean.
+    flat_attn: [B, h, Q] -> weight [B, H, W, 1]."""
+    a = jax.lax.stop_gradient(flat_attn.astype(jnp.float32))
+    B = a.shape[0]
+    s = int(round(a.shape[-1] ** 0.5))
+    attn = a.mean(axis=1).reshape(B, s, s, 1)
+    if (s, s) != tuple(out_hw):
+        attn = jax.image.resize(attn, (B, out_hw[0], out_hw[1], 1),
+                                "bilinear")
+    mean = attn.mean(axis=(1, 2), keepdims=True)
+    std = attn.std(axis=(1, 2), keepdims=True, ddof=1)
+    denom = jnp.maximum(std + 0.001, mean / 2)
+    sign = -1.0 if reverse else 1.0
+    w = jnp.minimum(jnp.exp(sign * (attn - mean) / denom), 1.0)
+    return w / w.mean(axis=(1, 2), keepdims=True)
+
+
+# 8/16 px feature maps pool 4-stride-2; 32/64 px pool 8-stride-4
+# (`feat_size2pooler_spec`, `ddpm.py:3758`)
+FEAT_SIZE2POOLER_SPEC = {8: (4, 2), 16: (4, 2), 32: (8, 4), 64: (8, 4)}
+
+
+def prompt_mix_layer_losses(outfeat: jnp.ndarray, subj_attn: jnp.ndarray):
+    """One layer of `calc_prompt_mix_loss` (`ddpm.py:3710-3928`) over the
+    4-type batch. outfeat: [4B, H, W, C]; subj_attn: [4B, h, Q] (scores
+    summed over the subject-token slots, the reference's K_fg sum).
+    Returns (feat_delta_align, subj_attn_delta_align, subj_attn_norm):
+
+    - attn delta align: per-head ortho deltas (subj_single - 0.05·gs
+      mix_single) vs (subj_comp - 0.05·gs mix_comp), cosine exponent 3,
+      feat_to_ref only (`:3815-3827`);
+    - attn norm distill: L1 of the spatial-mean per-head attention,
+      subj_comp vs gs(mix_comp) AND subj_single vs gs(mix_single)
+      (`:3849-3857`);
+    - feat delta align: outfeat spatially reweighted by the reversed
+      attention weights of mix_comp and subj_comp (averaged), avg-pooled
+      per `FEAT_SIZE2POOLER_SPEC`, flattened; ortho deltas with 0.1-gs'ed
+      mix halves; MSE between the comp and single deltas (`:3865-3925`).
+    """
+    B4 = outfeat.shape[0]
+    B = B4 // 4
+    a4 = subj_attn.reshape(4, B, *subj_attn.shape[1:])
+    ss_a, sc_a, ms_a, mc_a = a4[0], a4[1], a4[2], a4[3]
+    mix_attn_gs = 0.05
+
+    src = ortho_subtract(ss_a, grad_scale(ms_a, mix_attn_gs))
+    tgt = ortho_subtract(sc_a, grad_scale(mc_a, mix_attn_gs))
+    attn_delta = ref_cosine_loss(tgt, src, exponent=3.0,
+                                 do_demean_first=False, ref_grad_scale=1.0)
+
+    attn_norm = (jnp.abs(sc_a.mean(-1)
+                         - grad_scale(mc_a, mix_attn_gs).mean(-1)).mean()
+                 + jnp.abs(ss_a.mean(-1)
+                           - grad_scale(ms_a, mix_attn_gs).mean(-1)).mean())
+
+    H, W, C = outfeat.shape[1:]
+    sw = 0.5 * (convert_attn_to_spatial_weight(mc_a, (H, W))
+                + convert_attn_to_spatial_weight(sc_a, (H, W)))  # [B,H,W,1]
+    f4 = outfeat.reshape(4, B, H, W, C) * sw[None]
+    k, s = FEAT_SIZE2POOLER_SPEC.get(W, (4, 2))
+    pooled = _avg_pool_nc(f4.reshape(4 * B, H, W, C).transpose(0, 3, 1, 2),
+                          k, s)
+    f2d = pooled.reshape(4, B, -1)
+    comp_delta = ortho_subtract(f2d[1], grad_scale(f2d[3], 0.1))
+    single_delta = ortho_subtract(f2d[0], grad_scale(f2d[2], 0.1))
+    feat_delta = ortho_l2loss(comp_delta, single_delta)
+    return feat_delta, attn_delta, attn_norm
+
+
 def elastic_matching_loss(ca_q: jnp.ndarray, ca_outfeat: jnp.ndarray,
                           fg_mask: jnp.ndarray,
                           fg_bg_cutoff_prob: float = 0.25,

@@ -125,8 +125,13 @@ class Trainer:
         self.cfg = cfg
         self.plan_cfg = dataclasses.replace(plan_cfg, max_steps=cfg.max_steps)
         self.rng = np.random.default_rng(cfg.seed)
-        self.sampler = SubjectSampler(dataset, skip_non_faces=False,
-                                      seed=cfg.seed)
+        # Multi-subject (corpus) datasets skip non-face subjects — the
+        # reference only builds a SubjectSampler when num_subjects > 1 and
+        # then hardcodes skip_non_faces=True (`main.py:498-507`); a single
+        # (possibly non-face) subject is plain shuffling, never skipped.
+        self.sampler = SubjectSampler(
+            dataset, skip_non_faces=len(dataset.subjects) > 1,
+            seed=cfg.seed)
         self.mgr: EmbeddingManager = pipeline.embedding_manager
         self.global_step = 0
         self._sig_ckpt_requested = False
@@ -320,8 +325,13 @@ class Trainer:
 
     # ----------------------------------------------------------- batch prep
     def _draw_examples(self, n: int):
-        subj = self.sampler.sample()
-        return [self.dataset[(subj, True)] for _ in range(n)]
+        # One subject drawn per INSTANCE (`SubjectSampler.__iter__`,
+        # `personalized.py:1039-1041` yields a fresh subject per dataset
+        # fetch) — batches MIX subjects in corpus (zero-shot) training;
+        # single-subject fine-tuning has one subject so this is identity.
+        # Compos iters pass n=1 and repeat it, matching the reference's
+        # `same_subject_in_batch` collapse (`ddpm.py:1700-1710`).
+        return [self.dataset[(self.sampler.sample(), True)] for _ in range(n)]
 
     def _latents(self, images: np.ndarray) -> jnp.ndarray:
         mean, logvar = self._encode_vae(self.pipe.vae_params,
@@ -816,7 +826,10 @@ class Trainer:
                 teacher_unet, teacher_params, p.base_sched, self.optimizer,
                 num_denoising_steps=S,
                 use_fg_mask=not plan.gen_arc2face_rand_face))
-        B = max(self.cfg.batch_size // 2, 1)  # HALF_BS (`ddpm.py:1853-1878`)
+        # multi-step iters shrink the batch to HALF_BS = ceil(BS/S)
+        # (`torch.arange(BS).chunk(S)[0]`, `ddpm.py:1853-1878`);
+        # single-step iters keep the full batch
+        B = -(-self.cfg.batch_size // S) if S > 1 else self.cfg.batch_size
         ex = self._draw_examples(B)
         batch_np = collate_examples(ex)
         latents = self._latents(batch_np["image"])

@@ -213,8 +213,16 @@ class ZeroShotTrainer(Trainer):
             return [f"subj_prompt_single{suffix}", f"subj_prompt_comp{suffix}",
                     f"cls_prompt_single{suffix}", f"cls_prompt_comp{suffix}"]
 
-        suffix = "_bg" if (plan.use_background_token
-                           and all(k in e for k in keys_for("_bg"))) else ""
+        # same richest-suffix cascade as the static path: fp_bg > fp > bg
+        # > plain (`ddpm.py:1588-1612`); zs corpora are faces, so the _fp
+        # battery exists and the fp trick applies on compos iters too
+        bg, fp = plan.use_background_token, plan.use_fp_trick
+        suffix = ""
+        for cand in (["_fp_bg"] if (fp and bg) else []) + \
+                (["_fp"] if fp else []) + (["_bg"] if bg else []) + [""]:
+            if all(k in e for k in keys_for(cand)):
+                suffix = cand
+                break
         prompts = [e[k].split("|")[0] for k in keys_for(suffix)]
         prompts = self._wds_comp_prompts(plan, e, prompts)
         latents = self._latents(e["image"][None])
@@ -345,7 +353,10 @@ class ZeroShotTrainer(Trainer):
                 arcface_token_id=self._arc_tid,
                 num_denoising_steps=S, skip_weights=p.skip_weights,
                 use_fg_mask=not plan.gen_arc2face_rand_face))
-        B = max(self.cfg.batch_size // 2, 1)  # HALF_BS (`ddpm.py:1853-1878`)
+        # multi-step iters shrink the batch to HALF_BS = ceil(BS/S)
+        # (`torch.arange(BS).chunk(S)[0]`, `ddpm.py:1853-1878`);
+        # single-step iters keep the full batch
+        B = -(-self.cfg.batch_size // S) if S > 1 else self.cfg.batch_size
         ex = self._draw_examples(B)
         batch_np = collate_examples(ex)
         feats = self.extractor.encode([e["image_unnorm"] for e in ex],

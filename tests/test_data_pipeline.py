@@ -184,3 +184,22 @@ def test_style_template_set(subjects):
         assert "in the style of" in ds[i]["subj_prompt_single"]
     with pytest.raises(ValueError):
         PersonalizedDataset(subjects, size=16, template_set="nope")
+
+def test_draw_examples_mix_subjects_per_instance(subjects):
+    # The reference sampler yields a fresh subject per dataset fetch
+    # (`personalized.py:1039-1041`), so a batch MIXES subjects in corpus
+    # (zero-shot) training — `Trainer._draw_examples` must redraw per
+    # instance, not once per batch.
+    from adaface_tpu.training.trainer import Trainer
+
+    ds = PersonalizedDataset(subjects, size=16, seed=3)
+
+    class Stub:
+        pass
+
+    stub = Stub()
+    stub.dataset = ds
+    stub.sampler = SubjectSampler(ds, skip_non_faces=False, seed=1)
+    ex = Trainer._draw_examples(stub, 16)
+    names = {e["subject_name"] for e in ex}
+    assert len(names) > 1

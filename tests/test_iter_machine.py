@@ -56,6 +56,19 @@ def test_plan_arc2face_flags():
     rand_faces = [p.gen_arc2face_rand_face for p in plans]
     assert 0.2 < np.mean(rand_faces) < 0.6  # p = 0.4
     assert all(p.num_denoising_steps in (1, 3, 5, 7) for p in plans)
+    # weighted draw p=[0.4,0.3,0.2,0.1] (`ddpm.py:1835-1851`): 1-step is
+    # the mode; 7-step the rarest
+    plans = [plan_iteration(rng, 1, cfg) for _ in range(400)]
+    counts = {s: sum(p.num_denoising_steps == s for p in plans)
+              for s in (1, 3, 5, 7)}
+    assert counts[1] > counts[7]
+    assert 0.28 < counts[1] / 400 < 0.52
+    # max_num_denoising_steps truncates + renormalizes (`:1844-1848`)
+    cfg5 = IterPlanConfig(composition_regs_iter_gap=0,
+                          arc2face_distill_iter_prob=1.0,
+                          max_num_denoising_steps=5)
+    plans5 = [plan_iteration(rng, 1, cfg5) for _ in range(100)]
+    assert all(p.num_denoising_steps in (1, 3, 5) for p in plans5)
 
 
 def test_sample_timesteps_ranges():

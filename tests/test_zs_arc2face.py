@@ -20,15 +20,13 @@ def zs_tr(tmp_path_factory):
 
 
 def _plan(S, rand_face, add_noise=False):
-    class Plan:
-        num_denoising_steps = S
-        gen_arc2face_rand_face = rand_face
-        add_noise_to_real_id_embs = add_noise
-        training_percent = 0.1
-        iter_type = "arc2face_distill"
-        use_background_token = False
+    # a REAL IterPlan (a stub class silently drifts when new fields like
+    # use_wds_comp are added to the plan machine)
+    from adaface_tpu.training.iter_plan import ARC2FACE_DISTILL, IterPlan
 
-    return Plan()
+    return IterPlan(iter_type=ARC2FACE_DISTILL, training_percent=0.1,
+                    num_denoising_steps=S, gen_arc2face_rand_face=rand_face,
+                    add_noise_to_real_id_embs=add_noise)
 
 
 def test_rand_face_iteration_updates_generators(zs_tr):
