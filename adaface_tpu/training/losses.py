@@ -418,7 +418,11 @@ def dyn_loss_scale(loss, loss_base: float, loss_scale_base: float,
                    max_scale_base_ratio: float = 2.0) -> jnp.ndarray:
     """Traced dynamic loss scale (`calc_dyn_loss_scale`,
     `ldm/util.py:2333-2341`): the reference reads `.item()` (a detached
-    constant); stop_gradient is the traced equivalent."""
+    constant); stop_gradient is the traced equivalent. This is the in-jit
+    twin of `calc_dyn_loss_scale` above (which needs concrete floats)."""
+    if loss_base == 0:
+        # a disabled loss must not divide by zero (`ldm/util.py:2333-2335`)
+        return jnp.asarray(0.0)
     s = jax.lax.stop_gradient(loss) * loss_scale_base / loss_base
     return jnp.clip(s, loss_scale_base * min_scale_base_ratio,
                     loss_scale_base * max_scale_base_ratio)
@@ -436,6 +440,11 @@ def convert_attn_to_spatial_weight(flat_attn: jnp.ndarray, out_hw,
     a = jax.lax.stop_gradient(flat_attn.astype(jnp.float32))
     B = a.shape[0]
     s = int(round(a.shape[-1] ** 0.5))
+    # the reference derives the grid from out_spatial_shape via spatial_scale
+    # (`ldm/util.py:663-665`); all SD feature maps here are square, so a
+    # square grid is asserted rather than silently mis-reshaped
+    assert s * s == a.shape[-1], (
+        f"non-square attention grid: Q={a.shape[-1]}")
     attn = a.mean(axis=1).reshape(B, s, s, 1)
     if (s, s) != tuple(out_hw):
         attn = jax.image.resize(attn, (B, out_hw[0], out_hw[1], 1),
@@ -490,7 +499,9 @@ def prompt_mix_layer_losses(outfeat: jnp.ndarray, subj_attn: jnp.ndarray):
     sw = 0.5 * (convert_attn_to_spatial_weight(mc_a, (H, W))
                 + convert_attn_to_spatial_weight(sc_a, (H, W)))  # [B,H,W,1]
     f4 = outfeat.reshape(4, B, H, W, C) * sw[None]
-    k, s = FEAT_SIZE2POOLER_SPEC.get(W, (4, 2))
+    # strict indexing like the reference (`ddpm.py:3889`): an unexpected
+    # feature size must surface as an error, not a silent pooling change
+    k, s = FEAT_SIZE2POOLER_SPEC[W]
     pooled = _avg_pool_nc(f4.reshape(4 * B, H, W, C).transpose(0, 3, 1, 2),
                           k, s)
     f2d = pooled.reshape(4, B, -1)
@@ -574,14 +585,18 @@ def _avg_pool_nc(x: jnp.ndarray, k: int, s: int) -> jnp.ndarray:
 
 def comp_fg_bg_preserve_loss(ca_outfeats: dict, ca_qs: dict,
                              ca_attnscores: dict,
-                             fg_mask: jnp.ndarray,  # [1, H, W, 1] latent res
-                             subj_token_mask: jnp.ndarray,  # [4, T]
-                             pool_kernel: int = 4, pool_stride: int = 2):
+                             fg_mask: jnp.ndarray,  # [B, H, W, 1] latent res
+                             subj_token_mask: jnp.ndarray,  # [4B, T]
+                             pool_kernel: int = 4, pool_stride: int = 2,
+                             mix_attn_grad_scale: float = 0.02):
     """Per-layer elastic-matching battery (`calc_comp_fg_bg_preserve_loss`,
     `ddpm.py:4385-4549`) over the 4-type compositional batch. Inputs are
-    captured activations: outfeat [4, H, W, C], q [4, heads, N, d],
-    attnscore [4, heads, N, T]. Returns (map_align, sc_ss_fg_match,
-    sc_mc_bg_match, subj_bg_attn_suppress, mix_bg_attn_suppress)."""
+    captured activations: outfeat [4B, H, W, C], q [4B, heads, N, d],
+    attnscore [4B, heads, N, T]; fg_mask carries the B per-instance masks
+    (the reference ships BLOCK_SIZE=1; B>1 vmaps the per-instance elastic
+    matching and averages — each instance matches against its OWN mask).
+    Returns (map_align, sc_ss_fg_match, sc_mc_bg_match,
+    subj_bg_attn_suppress, mix_bg_attn_suppress)."""
     weights = _normalize_weights(ATTN_ALIGN_LAYER_WEIGHTS)
     l_map, l_fg, l_bg, l_subj_sup, l_mix_sup = [], [], [], [], []
     for idx, outfeat in ca_outfeats.items():
@@ -589,11 +604,12 @@ def comp_fg_bg_preserve_loss(ca_outfeats: dict, ca_qs: dict,
             continue
         w = weights[idx]
         B4, H, W, C = outfeat.shape
-        q = ca_qs[idx]  # [4, heads, N, d]
+        B = B4 // 4
+        q = ca_qs[idx]  # [4B, heads, N, d]
         qh = int(round(q.shape[2] ** 0.5))
-        # [4, heads*d, h, w] like the reference's channel-fold (`:4434-4439`)
+        # [4B, heads*d, h, w] like the reference's channel-fold (`:4434-4439`)
         q_img = q.transpose(0, 1, 3, 2).reshape(B4, -1, qh, qh)
-        feat_img = outfeat.transpose(0, 3, 1, 2)  # [4, C, H, W]
+        feat_img = outfeat.transpose(0, 3, 1, 2)  # [4B, C, H, W]
         if (H, W) != (qh, qh):
             feat_img = jax.image.resize(feat_img, (B4, C, qh, qh), "bilinear")
         # LayerNorm over channels (the reference's ca_outfeat_lns)
@@ -603,30 +619,40 @@ def comp_fg_bg_preserve_loss(ca_outfeats: dict, ca_qs: dict,
         if qh > 8:
             q_img = _avg_pool_nc(q_img, pool_kernel, pool_stride)
             feat_img = _avg_pool_nc(feat_img, pool_kernel, pool_stride)
-        q_flat = q_img.reshape(B4, q_img.shape[1], -1)
-        feat_flat = feat_img.reshape(B4, C, -1)
-        fg_small = _resize_fg_mask_to_q(fg_mask, q_img.shape[-1] ** 2)
-        m_align, m_fg, m_bg, (sc_bg, mc_bg) = elastic_matching_loss(
-            q_flat, feat_flat, fg_small[:1])
-        l_map.append(w * m_align)
-        l_fg.append(w * m_fg)
-        l_bg.append(w * m_bg)
+        Np = q_img.shape[-2] * q_img.shape[-1]
+        q_grp = q_img.reshape(4, B, q_img.shape[1], Np)
+        feat_grp = feat_img.reshape(4, B, C, Np)
+        fg_small = _resize_fg_mask_to_q(fg_mask, Np)  # [B, Np]
+        # per-instance elastic matching over the B block instances
+        m_align, m_fg, m_bg, (sc_bg, mc_bg) = jax.vmap(
+            lambda q4, f4, m: elastic_matching_loss(q4, f4, m[None]),
+            in_axes=(1, 1, 0))(q_grp, feat_grp, fg_small)
+        l_map.append(w * m_align.mean())
+        l_fg.append(w * m_fg.mean())
+        l_bg.append(w * m_bg.mean())
 
         if idx in ca_attnscores:
-            score = ca_attnscores[idx]  # [4, heads, N, T]
+            score = ca_attnscores[idx]  # [4B, heads, N, T]
             subj_attn = jnp.einsum("bhnt,bt->bhn", score.astype(jnp.float32),
                                    subj_token_mask.astype(jnp.float32))
             n = subj_attn.shape[-1]
-            if n != sc_bg.shape[-1]:
+            if n != Np:
                 s = int(round(n ** 0.5))
-                grid = subj_attn.reshape(4, -1, s, s, 1)
-                ph2 = int(round(sc_bg.shape[-1] ** 0.5))
-                grid = jax.image.resize(grid, (4, grid.shape[1], ph2, ph2, 1),
+                grid = subj_attn.reshape(B4, -1, s, s, 1)
+                ph2 = int(round(Np ** 0.5))
+                grid = jax.image.resize(grid, (B4, grid.shape[1], ph2, ph2, 1),
                                         "bilinear")
-                subj_attn = grid.reshape(4, grid.shape[1], ph2 * ph2)
-            # suppress subject attention on soft-bg comp tokens (`:4500-4549`)
-            l_subj_sup.append(w * masked_mean(subj_attn[1:2] ** 2, sc_bg[:, None]))
-            l_mix_sup.append(w * masked_mean(subj_attn[3:4] ** 2, mc_bg[:, None]))
+                subj_attn = grid.reshape(B4, grid.shape[1], ph2 * ph2)
+            a4 = subj_attn.reshape(4, B, *subj_attn.shape[1:])  # [4,B,h,Np]
+            # suppress subject attention on soft-bg comp tokens
+            # (`:4500-4549`): clamp(min=0), bg-prob-weighted mean; the mix
+            # branch is 0.02-grad-scaled like the reference's mix_grad_scaler
+            subj_pos = jnp.maximum(a4[1], 0.0)  # subj-comp rows
+            mix_pos = jnp.maximum(grad_scale(a4[3], mix_attn_grad_scale), 0.0)
+            sc_w = jnp.broadcast_to(sc_bg, subj_pos.shape)  # [B,1,Np]->[B,h,Np]
+            mc_w = jnp.broadcast_to(mc_bg, mix_pos.shape)
+            l_subj_sup.append(w * masked_mean(subj_pos, sc_w))
+            l_mix_sup.append(w * masked_mean(mix_pos, mc_w))
     return (normalized_sum(l_map), normalized_sum(l_fg), normalized_sum(l_bg),
             normalized_sum(l_subj_sup), normalized_sum(l_mix_sup))
 

@@ -336,6 +336,10 @@ class ComposBatch(NamedTuple):
     # per-iteration clip-skip weights ([2], host-sampled Dirichlet when
     # randomize_clip_skip_weights; None = the configured constant)
     skip_weights: Optional[jnp.ndarray] = None
+    # scalar scale of the elastic-matching preserve battery
+    # (`ddpm.py:3284-3363`): 0 unless comp_init_fg_from_training_image;
+    # 0.5 fresh, 0.25 on reuse-init iters. None = the 0.5 default.
+    preserve_loss_scale: Optional[jnp.ndarray] = None
 
 
 def make_compos_distill_step(
@@ -347,9 +351,7 @@ def make_compos_distill_step(
     optimizer: optax.GradientTransformation,
     skip_weights=(0.5, 0.5),
     prompt_delta_weight: float = 2e-4,
-    feat_align_weight: float = 1e-3,
-    attn_align_weight: float = 1e-3,
-    attn_norm_distill_weight: float = 1e-2,
+    mix_prompt_distill_weight: float = 1e-4,
     fg_bg_weight: float = 1.0,
     comp_fg_bg_preserve_weight: float = 1e-3,
     xlayer_weight: float = 5e-5,
@@ -372,7 +374,7 @@ def make_compos_distill_step(
     """
     core = _make_compos_loss_core(
         clip, unet, sched, skip_weights, prompt_delta_weight,
-        feat_align_weight, attn_align_weight, attn_norm_distill_weight,
+        mix_prompt_distill_weight,
         fg_bg_weight, comp_fg_bg_preserve_weight, xlayer_weight,
         do_zero_shot, bg_placeholders)
 
@@ -403,8 +405,7 @@ def make_compos_distill_step(
 
 
 def _make_compos_loss_core(clip, unet, sched, skip_weights,
-                           prompt_delta_weight, feat_align_weight,
-                           attn_align_weight, attn_norm_distill_weight,
+                           prompt_delta_weight, mix_prompt_distill_weight,
                            fg_bg_weight, comp_fg_bg_preserve_weight,
                            xlayer_weight=5e-5, do_zero_shot=True,
                            bg_placeholders: frozenset = frozenset()):
@@ -414,11 +415,15 @@ def _make_compos_loss_core(clip, unet, sched, skip_weights,
     static-embedder and the zero-shot (generator-trained) compos steps."""
     from adaface_tpu.models.unet import DISTILL_LAYER_INDICES
     from adaface_tpu.training.losses import (
+        ATTN_ALIGN_LAYER_WEIGHTS,
+        _normalize_weights,
         comp_fg_bg_preserve_loss,
-        delta_alignment_loss,
+        dyn_loss_scale,
         fg_bg_xlayer_consist_loss,
         fg_mb_suppress_loss,
+        normalized_sum,
         prompt_delta_loss,
+        prompt_mix_layer_losses,
     )
     from adaface_tpu.training.mixing import mix_static_vk_embeddings
 
@@ -484,13 +489,18 @@ def _make_compos_loss_core(clip, unet, sched, skip_weights,
         t4 = jnp.tile(batch.timesteps, (4,))
         n4 = jnp.tile(batch.noise, (4, 1, 1, 1))
         x_noisy = sched.q_sample(x4, t4, n4)
+        # `q` is required by the elastic-matching preserve battery below
+        # (`ddpm.py:3301-3305` captures it; `calc_comp_fg_bg_preserve_loss`
+        # consumes it) — all 12 distill layers carry ATTN_ALIGN weights
         eps, aux = unet.apply({"params": fz["unet"]}, x_noisy, t4,
                               ctx_v, context_k=ctx_k, capture=True,
-                              capture_keys=("outfeat", "attnscore"))
+                              capture_keys=("outfeat", "attnscore", "q"))
 
-        # feat/attn delta alignment (`calc_prompt_mix_loss`, `ddpm.py:3710`)
-        loss_feat, loss_attn, loss_attn_norm = 0.0, 0.0, 0.0
-        n_layers = 0
+        # feat/attn delta alignment (`calc_prompt_mix_loss`, `ddpm.py:3710`):
+        # per-layer spatial-reweighted pooled feat deltas + per-head attn
+        # deltas + attn norm distillation, ATTN_ALIGN layer weights
+        layer_w = _normalize_weights(ATTN_ALIGN_LAYER_WEIGHTS)
+        l_feat, l_attn, l_attn_norm = [], [], []
         # All four rows share the subject rows' token layout: the mix rows'
         # contexts carry (mixed) subject embeddings at the SAME slot
         # positions (prompts are token-aligned, `ddpm.py:1971-2141`).
@@ -498,34 +508,19 @@ def _make_compos_loss_core(clip, unet, sched, skip_weights,
             [subj_tok_single, subj_tok_comp, subj_tok_single, subj_tok_comp],
             axis=0)
         for idx in DISTILL_LAYER_INDICES:
-            if idx not in aux:
+            if idx not in aux or idx not in layer_w:
                 continue
             feat = aux[idx]["outfeat"]  # [4B, H, W, C]
-            f = feat.reshape(4, B, -1, feat.shape[-1]).mean(axis=2)  # [4,B,C]
-            d = delta_alignment_loss(f[0], f[1], f[2], f[3],
-                                     ref_grad_scale=0.1,
-                                     feat_base_grad_scale=0.05)
-            loss_feat = loss_feat + d["ex_to_base"] + d["feat_to_ref"]
-
             score = aux[idx]["attnscore"]  # [4B, h, Q, T]
             subj_attn = jnp.einsum("bhqt,bt->bhq", score.astype(jnp.float32),
                                    subj_mask4)
-            a = subj_attn.reshape(4, B, *subj_attn.shape[1:])
-            a = a.mean(axis=2)  # [4, B, Q] head-averaged
-            da = delta_alignment_loss(a[0], a[1], a[2], a[3],
-                                      ref_grad_scale=0.05,
-                                      feat_base_grad_scale=-1)
-            loss_attn = loss_attn + da["ex_to_base"] + da["feat_to_ref"]
-            # attention norm distillation: student comp attn magnitude
-            # matches the (stop-grad) teacher's (`ddpm.py:3876-3926`)
-            loss_attn_norm = loss_attn_norm + jnp.mean(
-                jnp.square(jnp.linalg.norm(a[1], axis=-1)
-                           - jax.lax.stop_gradient(
-                               jnp.linalg.norm(a[3], axis=-1))))
-            n_layers += 1
-        denom = max(n_layers, 1)
-        loss_feat, loss_attn = loss_feat / denom, loss_attn / denom
-        loss_attn_norm = loss_attn_norm / denom
+            fd, ad, an = prompt_mix_layer_losses(feat, subj_attn)
+            l_feat.append(layer_w[idx] * fd)
+            l_attn.append(layer_w[idx] * ad)
+            l_attn_norm.append(layer_w[idx] * an)
+        loss_feat = normalized_sum(l_feat)
+        loss_attn = normalized_sum(l_attn)
+        loss_attn_norm = normalized_sum(l_attn_norm)
 
         # cross-layer attention consistency over the subject sub-batch
         # (rows ss, sc; SSB_SIZE=2·BLOCK_SIZE on compos iters,
@@ -562,20 +557,42 @@ def _make_compos_loss_core(clip, unet, sched, skip_weights,
             outfeats = {i: aux[i]["outfeat"] for i in aux if "outfeat" in aux[i]}
             qs = {i: aux[i]["q"] for i in aux if "q" in aux[i]}
             scores4 = {i: aux[i]["attnscore"] for i in aux if "attnscore" in aux[i]}
-            pl = comp_fg_bg_preserve_loss(outfeats, qs, scores4,
-                                          batch.fg_mask[:1], subj_mask4)
-            loss_preserve = sum(pl)
+            p_map, p_fg, p_bg, p_subj_sup, p_mix_sup = comp_fg_bg_preserve_loss(
+                outfeats, qs, scores4, batch.fg_mask, subj_mask4)
+            # combination scales (`ddpm.py:3322-3345`): map_align x1,
+            # sc_mc_bg_match gets a dynamic scale (base 0.2 -> x2, capped
+            # x3), both attention suppressions x0.02
+            sc_mc_scale = dyn_loss_scale(p_bg, 0.2, 2.0, 1.0, 3.0)
+            loss_preserve = (p_map + p_fg + p_bg * sc_mc_scale
+                             + (p_subj_sup + p_mix_sup) * 0.02)
+
+        # `ddpm.py:3404-3436`: attn delta x0.1; attn norm x1 zero-shot /
+        # dynamic (base 5 -> x0.2) otherwise; feat delta x0.5 zero-shot / x2
+        attn_delta_scale = 0.1
+        attn_norm_scale = (1.0 if do_zero_shot
+                           else dyn_loss_scale(loss_attn_norm, 5.0, 0.2))
+        feat_delta_scale = 0.5 if do_zero_shot else 2.0
+        loss_mix_distill = (loss_attn * attn_delta_scale
+                            + loss_attn_norm * attn_norm_scale
+                            + loss_feat * feat_delta_scale)
+        # preserve supersedes mix distill: halve the latter when the
+        # elastic battery is active (`ddpm.py:3434-3441`)
+        mix_scale = jnp.where(jax.lax.stop_gradient(loss_preserve) > 0,
+                              0.5, 1.0) if batch.fg_mask is not None else 1.0
+        # 0.5 base preserve scale, 0.25 on reuse-init iters, 0 when x_start
+        # was not fg-initialized (`ddpm.py:3284,3356-3363`)
+        preserve_scale = (batch.preserve_loss_scale
+                          if batch.preserve_loss_scale is not None else 0.5)
 
         loss = (prompt_delta_weight * loss_delta
-                + feat_align_weight * loss_feat
-                + attn_align_weight * loss_attn
-                + attn_norm_distill_weight * loss_attn_norm
+                + mix_prompt_distill_weight * mix_scale * loss_mix_distill
                 + fg_bg_weight * loss_fg_bg
-                + comp_fg_bg_preserve_weight * loss_preserve
+                + comp_fg_bg_preserve_weight * preserve_scale * loss_preserve
                 + xlayer_weight * loss_xlayer)
         metrics = {"loss": loss, "prompt_delta": loss_delta,
                    "feat_align": loss_feat, "attn_align": loss_attn,
                    "attn_norm_distill": loss_attn_norm,
+                   "mix_prompt_distill": loss_mix_distill,
                    "fg_bg": loss_fg_bg, "comp_fg_bg_preserve": loss_preserve,
                    "xlayer_consist": loss_xlayer}
         return loss, metrics
@@ -1064,6 +1081,8 @@ class ZeroShotComposBatch(NamedTuple):
     # per-iteration clip-skip weights ([2], host-sampled Dirichlet when
     # randomize_clip_skip_weights; None = the configured constant)
     skip_weights: Optional[jnp.ndarray] = None
+    # scalar elastic-matching preserve scale — see ComposBatch
+    preserve_loss_scale: Optional[jnp.ndarray] = None
 
 
 def make_zero_shot_compos_step(
@@ -1084,9 +1103,7 @@ def make_zero_shot_compos_step(
     frozen_blend: float = 0.9,
     out_id_embs_scale: float = 1.0,
     prompt_delta_weight: float = 2e-4,
-    feat_align_weight: float = 1e-3,
-    attn_align_weight: float = 1e-3,
-    attn_norm_distill_weight: float = 1e-2,
+    mix_prompt_distill_weight: float = 1e-4,
     fg_bg_weight: float = 1.0,
     comp_fg_bg_preserve_weight: float = 1e-3,
     xlayer_weight: float = 5e-5,
@@ -1103,7 +1120,7 @@ def make_zero_shot_compos_step(
 
     core = _make_compos_loss_core(
         clip, unet, sched, skip_weights, prompt_delta_weight,
-        feat_align_weight, attn_align_weight, attn_norm_distill_weight,
+        mix_prompt_distill_weight,
         fg_bg_weight, comp_fg_bg_preserve_weight, xlayer_weight,
         do_zero_shot=True, bg_placeholders=bg_placeholders)
 
