@@ -210,17 +210,17 @@ class UNetCrossAttention(nn.Module):
 
         use_conv = (self.conv_attn_ks > 1 and subj_slot_map is not None
                     and is_cross and infeat_hw is not None)
-        import os as _os
-        min_lk = int(_os.environ.get("ADAFACE_FLASH_MIN_LK", "0"))
+        from adaface_tpu import knobs
+        min_lk = int(knobs.get("ADAFACE_FLASH_MIN_LK", "0"))
         if (self.use_flash and not capture and not use_conv
                 and ctx_k.shape[1] >= min_lk):
             key_bias = None
             if key_mask is not None:
                 key_bias = jnp.where(key_mask, 0.0, -1e30).astype(jnp.float32)
-            packed_min_l = int(_os.environ.get("ADAFACE_FLASH_PACKED_MIN_L",
+            packed_min_l = int(knobs.get("ADAFACE_FLASH_PACKED_MIN_L",
                                                "256"))
             if (not is_cross and lq >= packed_min_l
-                    and _os.environ.get("ADAFACE_FLASH_PACKED") != "0"):
+                    and knobs.get("ADAFACE_FLASH_PACKED") != "0"):
                 # packed [B, L, H*D] path: the kernel's BlockSpecs lane-slice
                 # heads straight out of the projection GEMM output — no
                 # [B, H, L, D] relayout copies in HBM (round-3 xprof: those
@@ -237,7 +237,7 @@ class UNetCrossAttention(nn.Module):
                 return nn.Dense(x.shape[-1], dtype=self.dtype,
                                 name="to_out")(out), None
             if (is_cross and lq >= packed_min_l
-                    and _os.environ.get("ADAFACE_FLASH_PACKED") != "0"):
+                    and knobs.get("ADAFACE_FLASH_PACKED") != "0"):
                 # cross-attention: q/k/v are already packed [B, L, H*D] GEMM
                 # outputs; the short-Lk panel path inside flash_attention_blc
                 # keeps the [B, H, Lq, 77] score slab out of HBM (xprof: the
@@ -318,10 +318,10 @@ class TransformerBlock(nn.Module):
                                                    infeat_hw=infeat_hw, kv=kv)
         x = x + a2
         c = x.shape[-1]
-        import os as _os
+        from adaface_tpu import knobs
 
         if (self.use_flash and not capture
-                and _os.environ.get("ADAFACE_FUSED_FF") == "1"):
+                and knobs.get("ADAFACE_FUSED_FF") == "1"):
             # one-kernel LN + GEGLU FF + residual (ops/fused_ff.py); params
             # keep the nn.LayerNorm / nn.Dense checkpoint paths
             from adaface_tpu.ops.fused_ff import ln_geglu_ff
@@ -351,13 +351,13 @@ class SpatialTransformer(nn.Module):
     @nn.compact
     def __call__(self, x, ctx_v, ctx_k, img_mask=None, capture=False,
                  subj_slot_map=None, kv=None):
-        import os as _os
+        from adaface_tpu import knobs
 
         b, hh, ww, c = x.shape
         head_dim = c // self.num_heads
         # on-chip A/B: dead even (48.52 vs 48.48 ms B8) — XLA's layout
         # assignment was not the bottleneck here; kept as an A/B arm
-        proj_dense = _os.environ.get("ADAFACE_PROJ_DENSE") == "1"
+        proj_dense = knobs.get("ADAFACE_PROJ_DENSE") == "1"
         h = group_norm(x, self.param("norm_scale", nn.initializers.ones, (c,)),
                        self.param("norm_bias", nn.initializers.zeros, (c,)), 32, 1e-6)
         if proj_dense:
@@ -417,10 +417,10 @@ class Upsample(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        import os as _os
+        from adaface_tpu import knobs
 
         b, h, w, c = x.shape
-        if _os.environ.get("ADAFACE_SUBPIXEL_UP") != "0":
+        if knobs.get("ADAFACE_SUBPIXEL_UP") != "0":
             # phase-decomposed upsample+conv (ops/subpixel.py): 0.44x the
             # flops of conv-on-upsampled, no HBM upsampled intermediate
             from adaface_tpu.ops.subpixel import (

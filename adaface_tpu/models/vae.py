@@ -166,10 +166,10 @@ class Upsample(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        import os as _os
+        from adaface_tpu import knobs
 
         b, h, w, c = x.shape
-        if _os.environ.get("ADAFACE_SUBPIXEL_UP") != "0":
+        if knobs.get("ADAFACE_SUBPIXEL_UP") != "0":
             # phase-decomposed upsample+conv (ops/subpixel.py): 0.44x the
             # flops of conv-on-upsampled, no HBM upsampled intermediate
             from adaface_tpu.ops.subpixel import (

@@ -59,9 +59,9 @@ def group_norm(
     for dd in x.shape[1:-1]:
         n_spatial *= dd
     n_per_group = n_spatial * (c // g)
-    import os as _os
+    from adaface_tpu import knobs
 
-    if _os.environ.get("ADAFACE_GN_BARRIER") == "1":
+    if knobs.get("ADAFACE_GN_BARRIER") == "1":
         # A/B knob: keep the stats reduction OUT of the producer conv's
         # fusion (xprof r3: convs with fused stats epilogues run at 62-85%
         # of roofline) at the cost of one extra HBM read of the slab
@@ -81,7 +81,7 @@ def group_norm(
     # numerics) is the default and ADAFACE_GN_SHIFT=1 opts into the
     # probe-shifted moments, whose shift cancels analytically
     # (stop_gradient keeps autodiff identical to the unshifted formula).
-    if _os.environ.get("ADAFACE_GN_SHIFT") == "1":
+    if knobs.get("ADAFACE_GN_SHIFT") == "1":
         bshape = (b,) + (1,) * (x.ndim - 2) + (c,)
         probe = xf.reshape(b, -1, c)[:, 0]               # [B, C]
         shift = jax.lax.stop_gradient(

@@ -24,7 +24,7 @@ einsum` restores the einsum-recomputation arm for A/B.
 from __future__ import annotations
 
 import functools
-import os
+from adaface_tpu import knobs
 from typing import Optional
 
 import jax
@@ -80,7 +80,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, block_k: int,
     # mid-attention runs its own chunked-einsum path in models/vae.py),
     # so here the guarded recurrence stays the default;
     # ADAFACE_FLASH_MAXFREE=1 opts in.
-    maxfree = os.environ.get("ADAFACE_FLASH_MAXFREE") == "1"
+    maxfree = knobs.get("ADAFACE_FLASH_MAXFREE") == "1"
 
     def one_block(i, acc, m, l):
         ks = k_ref[0, pl.ds(i * block_k, block_k), :]
@@ -171,7 +171,7 @@ def _flash_forward(q, k, v, bias, block_q: int, block_k: int, scale: float):
 
     # default pending the on-chip A/B (scripts/perf_r3_flash.py); the
     # online kernel is the measured round-2 configuration
-    mode = os.environ.get("ADAFACE_FLASH_MODE", "online")
+    mode = knobs.get("ADAFACE_FLASH_MODE", "online")
     use_row = (mode == "row" and lk <= _ROW_MAX_LK
                and lq % min(_ROW_BLOCK_Q, lq) == 0)
     if use_row:
@@ -189,7 +189,7 @@ def _flash_forward(q, k, v, bias, block_q: int, block_k: int, scale: float):
     # declaring them lets Mosaic pipeline block fetches across programs
     # (ADAFACE_FLASH_SEMANTICS=arbitrary reverts for A/B)
     sem = (pltpu.GridDimensionSemantics.ARBITRARY
-           if os.environ.get("ADAFACE_FLASH_SEMANTICS") == "arbitrary"
+           if knobs.get("ADAFACE_FLASH_SEMANTICS") == "arbitrary"
            else pltpu.GridDimensionSemantics.PARALLEL)
     out = pl.pallas_call(
         kernel,
@@ -404,7 +404,7 @@ def _flash_backward(q, k, v, bias, o, do, scale,
 
 def _use_einsum_bwd() -> bool:
 
-    return os.environ.get("ADAFACE_FLASH_BWD") == "einsum"
+    return knobs.get("ADAFACE_FLASH_BWD") == "einsum"
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
@@ -494,7 +494,7 @@ def _flash_kernel_heads(q_ref, k_ref, v_ref, bias_ref, o_ref, kh_s, vh_s, *,
     # is mathematically the same softmax (softmax is shift-invariant; here
     # the shift is simply 0). ADAFACE_FLASH_MAXFREE=0 restores the
     # numerically-guarded recurrence for arbitrary-scale inputs.
-    maxfree = os.environ.get("ADAFACE_FLASH_MAXFREE") != "0"
+    maxfree = knobs.get("ADAFACE_FLASH_MAXFREE") != "0"
 
     for hh in range(heads):
         q = q_ref[0, :, hh * d:(hh + 1) * d]
@@ -598,8 +598,8 @@ def _flash_kernel_heads_pvt(q_ref, k_ref, v_ref, bias_ref, o_ref, kh_s, vt_s,
     #    computes [o^T; l] in one MXU pass ([d+1, lk] @ [lk, bq]) and the
     #    per-panel VPU reduction disappears (d+1 rows pad to the same
     #    48-sublane granule as d=40+8).
-    exp_bf16 = os.environ.get("ADAFACE_FLASH_EXP_BF16") == "1"
-    mxu_sum = os.environ.get("ADAFACE_FLASH_MXU_SUM") == "1"
+    exp_bf16 = knobs.get("ADAFACE_FLASH_EXP_BF16") == "1"
+    mxu_sum = knobs.get("ADAFACE_FLASH_MXU_SUM") == "1"
 
     @pl.when(j == 0)
     def _():
@@ -678,18 +678,18 @@ def _flash_forward_blc(q, k, v, heads, d, bias, block_q, block_k, scale):
     bias2 = (bias.reshape(b, 1, lk) if have_bias
              else jnp.zeros((b, 1, 1), jnp.float32))
 
-    maxfree = os.environ.get("ADAFACE_FLASH_MAXFREE") != "0"
-    use_pvt = maxfree and os.environ.get("ADAFACE_FLASH_PVT") != "0"
+    maxfree = knobs.get("ADAFACE_FLASH_MAXFREE") != "0"
+    use_pvt = maxfree and knobs.get("ADAFACE_FLASH_PVT") != "0"
     # pvt2 (batched head transposes) wins only where the per-head transpose
     # overhead is large relative to the GEMMs: on-chip sweep (bit-exact
     # parity): L256/D160 0.187 -> 0.117 ms, but L4096/D40 4.458 -> 4.568
     # and L1024/D80 0.276 -> 0.315 (exp2+GEMM-bound; the extra scratch
     # write loses). Default: small panels only.
-    pvt2_env = os.environ.get("ADAFACE_FLASH_PVT2")
+    pvt2_env = knobs.get("ADAFACE_FLASH_PVT2")
     pvt2 = (lq <= 256) if pvt2_env is None else pvt2_env == "1"
     use_short = (maxfree and lk <= 256
-                 and os.environ.get("ADAFACE_FLASH_SHORT") != "0")
-    unroll = int(os.environ.get("ADAFACE_FLASH_PACKED_UNROLL", "8"))
+                 and knobs.get("ADAFACE_FLASH_SHORT") != "0")
+    unroll = int(knobs.get("ADAFACE_FLASH_PACKED_UNROLL", "8"))
     if use_short:
         kernel = functools.partial(
             _flash_kernel_heads_short, heads=heads, d=d, scale=scale,
@@ -736,7 +736,7 @@ def _flash_forward_blc(q, k, v, heads, d, bias, block_q, block_k, scale):
                         pltpu.VMEM(
                             (heads,
                              d + (1 if use_pvt and not pvt2 and
-                                  os.environ.get("ADAFACE_FLASH_MXU_SUM")
+                                  knobs.get("ADAFACE_FLASH_MXU_SUM")
                                   == "1" else 0),
                              lk) if use_pvt and not use_short
                             else (heads, lk, d), v.dtype)]
@@ -853,7 +853,7 @@ def flash_attention_blc(
     # opts in for A/B.
     short_lk = lk < min_pallas_len
     if lq < min_pallas_len or (
-            short_lk and os.environ.get("ADAFACE_FLASH_CROSS") != "1"):
+            short_lk and knobs.get("ADAFACE_FLASH_CROSS") != "1"):
         out = _reference_attention(
             _blh_to_bhld(q, num_heads, d), _blh_to_bhld(k, num_heads, d),
             _blh_to_bhld(v, num_heads, d), key_bias, scale)
@@ -872,16 +872,16 @@ def flash_attention_blc(
     # transposed-PV kernel at L4096 (4.39 ms vs 5.23 at bq 1024, B16 D40),
     # 256 for the others; at Lq <= 1024 the full-panel q block wins too
     # (0.395 vs 0.444 ms at L1024 D80 — scripts/perf_r3_pvt_sweep.py).
-    pvt = (os.environ.get("ADAFACE_FLASH_MAXFREE") != "0"
-           and os.environ.get("ADAFACE_FLASH_PVT") != "0")
+    pvt = (knobs.get("ADAFACE_FLASH_MAXFREE") != "0"
+           and knobs.get("ADAFACE_FLASH_PVT") != "0")
     bq_default = ("1024" if lq <= 1024 else "512") if pvt else "256"
     if lk <= 256:
         # single-K-panel (short-Lk) kernel: no recurrence, and per-program
         # overhead dominates — the full q panel wins (0.550 vs 0.767 ms at
         # bq 512, B16 Lq4096 Lk77 D40)
         bq_default = str(lq)
-    bq = _pick_block(int(os.environ.get("ADAFACE_FLASH_PACKED_BQ", bq_default)), lq)
-    bk = _pick_block(int(os.environ.get("ADAFACE_FLASH_PACKED_BK", "4096")), lk)
+    bq = _pick_block(int(knobs.get("ADAFACE_FLASH_PACKED_BQ", bq_default)), lq)
+    bk = _pick_block(int(knobs.get("ADAFACE_FLASH_PACKED_BK", "4096")), lk)
     bias = None if key_bias is None else key_bias.astype(jnp.float32)
     return _flash_core_blc3(q, k, v, bias, num_heads, d, bq, bk, scale)
 
@@ -907,7 +907,7 @@ def flash_attention(
             q, k, v, None if key_bias is None else key_bias, scale)
 
 
-    if os.environ.get("ADAFACE_FLASH_HOST_PAD") == "1":
+    if knobs.get("ADAFACE_FLASH_HOST_PAD") == "1":
         # legacy arm: materialize lane-padded q/k/v in HBM. The xprof
         # batch-8 diagnosis showed these pads+copies scaling 3-4x with
         # batch (347 ms/run at CFG batch 16); the default now ships the

@@ -23,7 +23,7 @@ enables it for A/B.
 from __future__ import annotations
 
 import functools
-import os
+from adaface_tpu import knobs
 
 import jax
 import jax.numpy as jnp
@@ -136,7 +136,7 @@ def ln_geglu_ff(
     block_q: int = 256,
 ) -> jnp.ndarray:
     """x + FF(LN(x)) with the GEGLU feed-forward fused into one kernel."""
-    if os.environ.get("ADAFACE_FUSED_FF") != "1":
+    if knobs.get("ADAFACE_FUSED_FF") != "1":
         # measured on-chip (round 3): the fused kernel is ~0.9 ms SLOWER per
         # B8 UNet forward (53.5 vs 52.7 ms) — the GEGLU gate's VPU work
         # serializes against the MXU inside each program, while XLA's big

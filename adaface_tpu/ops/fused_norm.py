@@ -55,13 +55,13 @@ def _pick_num_chunks(n: int, c: int) -> int:
 # slab the plain XLA path is FASTER (1.04 vs 1.30 ms inside a ResBlock) --
 # XLA fuses the norm+silu into the adjacent convs, while the opaque Pallas
 # call serializes; at 1024x640 the kernel still wins (0.80 vs 1.48 ms).
-import os as _os
+from adaface_tpu import knobs
 # Default 0 = Pallas GN OFF: after the round-3 stats-first rewrite of the
 # XLA group_norm (ops/basic.py), the plain path BEATS this kernel
 # end-to-end (1.3402 vs 1.2827 img/s at the batch-8 bench point) — XLA
 # fuses the affine into adjacent convs and no longer materializes fp32
 # copies. Set ADAFACE_GN_MAX_ELEMS=700000 to restore the round-2 cutover.
-_MAX_BLOCK_ELEMS = int(_os.environ.get('ADAFACE_GN_MAX_ELEMS', 0))
+_MAX_BLOCK_ELEMS = int(knobs.get('ADAFACE_GN_MAX_ELEMS', 0))
 
 
 def _gn_silu_kernel(x_ref, scale_ref, bias_ref, gmat_ref, o_ref, *,

@@ -47,7 +47,7 @@ the XLA path).
 from __future__ import annotations
 
 import functools
-import os
+from adaface_tpu import knobs
 
 import jax
 import jax.numpy as jnp
@@ -228,20 +228,20 @@ _DEF_VMEM_BUDGET = 72 * 1024 * 1024
 
 
 def winograd_eligible(x_shape, cout: int, itemsize: int = 2) -> bool:
-    mode = os.environ.get("ADAFACE_WINOGRAD", "0")
+    mode = knobs.get("ADAFACE_WINOGRAD", "0")
     if mode not in ("1", "auto"):
         return False
     b, h, w, cin = x_shape
     if h % 2 or w % 2:
         return False
     forced = mode == "1"
-    min_tiles = int(os.environ.get("ADAFACE_WINOGRAD_MIN_TILES",
+    min_tiles = int(knobs.get("ADAFACE_WINOGRAD_MIN_TILES",
                                    str(_DEF_MIN_TILES)))
     if not forced and (h // 2) * (w // 2) < min_tiles:
         return False
     if not forced and (cin < 128 or cout < 128):  # lanes too thin
         return False
-    budget = int(os.environ.get("ADAFACE_WINOGRAD_VMEM",
+    budget = int(knobs.get("ADAFACE_WINOGRAD_VMEM",
                                 str(_DEF_VMEM_BUDGET)))
     return _vmem_estimate(h, w, cin, cout, itemsize) <= budget
 
