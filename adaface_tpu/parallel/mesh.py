@@ -66,6 +66,65 @@ def replicate_params(mesh: Mesh, params):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), params)
 
 
+# per-iteration host-sampled knobs that must replicate even when their
+# leading dim happens to divide dp (cls_mix_ranges is [4], skip_weights [2],
+# a PRNG key [2], ...)
+_REPLICATED_BATCH_FIELDS = frozenset({
+    "skip_weights", "emb_noise_key", "emb_noise_std", "dropout_key",
+    "training_percent", "compel_level", "cls_mix_ranges",
+    "preserve_loss_scale",
+})
+# leading dim is the denoising-step axis S, batch rides dim 1
+# (Arc2FaceBatch.noises [S, B, h, w, 4] / relative_ts [S-1, B])
+_DIM1_BATCH_FIELDS = frozenset({"noises", "relative_ts"})
+
+
+def train_batch_shardings(mesh: Mesh, batch):
+    """NamedSharding tree for a train-step batch NamedTuple (ReconBatch /
+    ComposBatch / Arc2FaceBatch / the zero-shot twins): batch-dim leaves
+    shard over `dp`, per-iteration scalars/knobs replicate. The batch dim
+    is recognized structurally — dim 0 (dim 1 for the per-step-noise
+    fields) when it divides dp and isn't the degenerate 1 (the zs compos
+    batch carries [1, ...] block-level conditioning that must replicate).
+
+    Returns a pytree of NamedShardings matching `batch`, suitable for
+    `jax.device_put(batch, shardings)`; jit then propagates the dp layout
+    through the step (computation follows data — no in_shardings needed).
+    """
+    dp = mesh.shape["dp"]
+    rep = replicated(mesh)
+    bs0 = NamedSharding(mesh, P("dp"))
+    bs1 = NamedSharding(mesh, P(None, "dp"))
+
+    def leaf_rule(x, dim1=False):
+        if not hasattr(x, "ndim") or x.ndim == 0:
+            return rep
+        if dim1:
+            ok = x.ndim >= 2 and x.shape[1] % dp == 0 and x.shape[1] > 1
+            return bs1 if ok else rep
+        ok = x.shape[0] % dp == 0 and x.shape[0] > 1
+        return bs0 if ok else rep
+
+    out = {}
+    for name, val in batch._asdict().items():
+        if name in _REPLICATED_BATCH_FIELDS:
+            out[name] = jax.tree_util.tree_map(lambda _: rep, val)
+        elif hasattr(val, "_asdict"):
+            # nested batch (DreamBoothBatch.train/.reg): recurse so the
+            # inner per-iteration knobs keep their replication rules
+            out[name] = train_batch_shardings(mesh, val)
+        else:
+            dim1 = name in _DIM1_BATCH_FIELDS
+            out[name] = jax.tree_util.tree_map(
+                lambda x: leaf_rule(x, dim1), val)
+    return type(batch)(**out)
+
+
+def shard_train_batch(mesh: Mesh, batch):
+    """Device-put a train-step batch with `train_batch_shardings`."""
+    return jax.device_put(batch, train_batch_shardings(mesh, batch))
+
+
 # ----------------------------------------------------------- tensor parallel
 
 def _match(path: str, *subs: str) -> bool:

@@ -39,20 +39,20 @@ def _cfg_dedup_on(unet_cfg=None) -> bool:
     ADAFACE_CFG_DEDUP=0 reverts to the doubled-batch stem for A/B. Requires an attention block at level 0 to tile at — pass
     the UNetConfig so configs without one fall back to the doubled-batch
     stem instead of tripping the model's ValueError."""
-    import os
+    from adaface_tpu import knobs
 
     if unet_cfg is not None and 0 not in unet_cfg.attention_levels:
         return False
-    return os.environ.get("ADAFACE_CFG_DEDUP") != "0"
+    return knobs.get("ADAFACE_CFG_DEDUP") != "0"
 
 
 def _cross_kv_on() -> bool:
     """Hoist the loop-invariant cross-attention K/V projections out of the
     sampling scan (`models.unet.precompute_cross_kv`). Numerically identical
     (same bf16 GEMMs, computed once); ADAFACE_CROSS_KV=0 reverts for A/B."""
-    import os
+    from adaface_tpu import knobs
 
-    return os.environ.get("ADAFACE_CROSS_KV") != "0"
+    return knobs.get("ADAFACE_CROSS_KV") != "0"
 
 # The predefined negative prompt of `stable_txt2img.py:349-352`.
 DEFAULT_NEGATIVE_PROMPT = (
@@ -84,6 +84,48 @@ class StableDiffusionPipeline:
         self._encode_jit = jax.jit(self._encode_device)
         self._encode_plain_jit = jax.jit(self._encode_plain_device)
         self._sample_cache: dict = {}
+        self.mesh = None  # serving mesh, set via use_mesh()
+
+    # ------------------------------------------------------------ multi-chip
+    def use_mesh(self, n_devices: Optional[int] = None, dp: Optional[int] = None,
+                 tp: int = 1, mesh=None):
+        """Shard serving over a device mesh (BASELINE north star:
+        "n_samples sharded data-parallel across chips"): `generate`'s batch
+        shards over `dp`; `tp` > 1 additionally Megatron-shards the UNet's
+        attention/MLP matmuls (`parallel/mesh.py:param_sharding_rules`) —
+        the latency lever for small batches. Params are placed once here
+        (UNet per the tp rules, everything else replicated); the compiled
+        sampler cache resets so programs re-lower with mesh shardings.
+
+        The reference has no serving-parallelism analog (one GPU per
+        `stable_txt2img.py` process); this is the jit/NamedSharding
+        re-design of that gap."""
+        from adaface_tpu.parallel.mesh import (
+            make_mesh, replicate_params, shard_params,
+        )
+
+        self.mesh = mesh if mesh is not None else make_mesh(
+            n_devices=n_devices, dp=dp, tp=tp)
+        self.unet_params = shard_params(self.mesh, self.unet_params)
+        self.clip_params = replicate_params(self.mesh, self.clip_params)
+        self.vae_params = replicate_params(self.mesh, self.vae_params)
+        if self.embedding_manager.embedders:
+            self.embedding_manager.embedders = replicate_params(
+                self.mesh, self.embedding_manager.embedders)
+        self._sample_cache.clear()
+        return self.mesh
+
+    def _jit_sampler(self, fn, batch: int):
+        """jit a sampling program; over a mesh, pin the image output to
+        batch-dim dp sharding — GSPMD propagates the layout backward
+        through the VAE decode and the DDIM scan, so the whole program
+        runs data-parallel (plus tensor-parallel wherever the UNet params
+        carry tp shardings)."""
+        if self.mesh is None or batch % self.mesh.shape["dp"] != 0:
+            return jax.jit(fn)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.jit(fn, out_shardings=NamedSharding(self.mesh, P("dp")))
 
     # ----------------------------------------------------------- construction
     @classmethod
@@ -335,16 +377,19 @@ class StableDiffusionPipeline:
     # ------------------------------------------------------------- sampling
     def _get_sampler_fn(self, batch: int, latent_hw: Tuple[int, int], steps: int,
                         guidance, sampler: str):
+        from adaface_tpu import knobs
+
+        # knobs.fingerprint(): any flipped ADAFACE_* env retraces instead
+        # of silently reusing a stale compiled arm
         sig = (batch, latent_hw, steps,
                tuple(guidance) if isinstance(guidance, (tuple, list)) else guidance,
-               sampler, _cfg_dedup_on(self.unet.cfg), _cross_kv_on())
+               sampler, knobs.fingerprint())
         if sig in self._sample_cache:
             return self._sample_cache[sig]
         sched = make_ddim_schedule(self.base_sched, steps, guidance_scale=guidance)
 
         dedup = _cfg_dedup_on(self.unet.cfg)
 
-        @jax.jit
         def run_impl(unet_params, vae_params, ctx_c, ctx_u, x_T, slot_map):
             def unet_apply(x, t, ctx, ctx_k, cross_kv=None):
                 return self.unet.apply({"params": unet_params}, x, t, ctx,
@@ -364,6 +409,8 @@ class StableDiffusionPipeline:
                                   method=AutoencoderKL.decode)
             return jnp.clip((imgs + 1.0) / 2.0, 0.0, 1.0)
 
+        run_impl = self._jit_sampler(run_impl, batch)
+
         def run(ctx_c, ctx_u, x_T, slot_map):
             return run_impl(self.unet_params, self.vae_params, ctx_c, ctx_u,
                             x_T, slot_map)
@@ -381,13 +428,14 @@ class StableDiffusionPipeline:
         The encode runs on `n_uniq` deduplicated prompt rows (gathered back
         to `batch` by `gather`); the negative prompt encodes ONCE and
         broadcasts."""
+        from adaface_tpu import knobs
+
         # env knobs read at trace time are part of the compiled program —
-        # include them in the key so in-process A/B toggles retrace
-        # instead of silently reusing the stale arm
+        # knobs.fingerprint() keys the cache on ALL of them so in-process
+        # A/B toggles retrace instead of silently reusing the stale arm
         sig = ("fused", batch, n_uniq, latent_hw, steps,
                tuple(guidance) if isinstance(guidance, (tuple, list)) else guidance,
-               sampler, has_slots, _cfg_dedup_on(self.unet.cfg),
-               _cross_kv_on())
+               sampler, has_slots, knobs.fingerprint())
         if sig in self._sample_cache:
             return self._sample_cache[sig]
         sched = make_ddim_schedule(self.base_sched, steps, guidance_scale=guidance)
@@ -396,7 +444,6 @@ class StableDiffusionPipeline:
         in_ch = self.unet.cfg.in_channels
         dedup = _cfg_dedup_on(self.unet.cfg)
 
-        @jax.jit
         def run_full(clip_params, unet_params, vae_params, embedders,
                      ids, neg_ids, slot_maps, gather, seed, slot_map):
             # x_T from the seed ON DEVICE (identical stream to the host-side
@@ -435,6 +482,8 @@ class StableDiffusionPipeline:
                                   method=AutoencoderKL.decode)
             imgs = jnp.clip((imgs + 1.0) / 2.0, 0.0, 1.0)
             return (imgs * 255).astype(jnp.uint8)
+
+        run_full = self._jit_sampler(run_full, batch)
 
         def run(ids, neg_ids, slot_maps, gather, seed, slot_map):
             return run_full(self.clip_params, self.unet_params,

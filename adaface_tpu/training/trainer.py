@@ -70,7 +70,13 @@ class TrainerConfig:
     # (`main.py:1201-1209`, scale_lr default True); applies to the AdamW
     # path only — Prodigy runs at LR 1 with adapted d (`ddpm.py:5192-5209`)
     scale_lr: bool = True
-    num_devices: int = 1  # dp mesh size for LR scaling (the `ngpu` analog)
+    # dp mesh size (the `--gpus` analog, `main.py:862` DDP): >1 builds a
+    # jax.sharding.Mesh; batches shard over dp, the frozen backbone +
+    # trainables replicate, optimizer state shards ZeRO-1, and `batch_size`
+    # keeps the reference's PER-DEVICE meaning (global batch = bs x dp,
+    # which is exactly what the LR scaling above assumes). -1 = all
+    # available devices.
+    num_devices: int = 1
     use_prodigy: bool = True  # zero-shot default (`ddpm.py:5192-5209`)
     d_coef: float = 10.0
     ckpt_every_steps: int = 500
@@ -122,7 +128,19 @@ class Trainer:
                  plan_cfg: IterPlanConfig = IterPlanConfig()):
         self.pipe = pipeline
         self.dataset = dataset
+        if cfg.num_devices == -1:
+            cfg = dataclasses.replace(cfg, num_devices=len(jax.devices()))
         self.cfg = cfg
+        # dp mesh (the Lightning-DDP analog, `main.py:862`): one jitted
+        # program over all chips, batches sharded on the batch dim, XLA
+        # all-reducing grads over ICI (SURVEY §2.8). num_devices==1 keeps
+        # everything on the default device with zero overhead.
+        self.mesh = None
+        self._dp = max(cfg.num_devices, 1)
+        if cfg.num_devices > 1:
+            from adaface_tpu.parallel.mesh import make_mesh
+
+            self.mesh = make_mesh(cfg.num_devices)
         self.plan_cfg = dataclasses.replace(plan_cfg, max_steps=cfg.max_steps)
         self.rng = np.random.default_rng(cfg.seed)
         # Multi-subject (corpus) datasets skip non-face subjects — the
@@ -172,16 +190,9 @@ class Trainer:
                          * delta_scale)
         self._emb_reg_w = (0.0 if self.plan_cfg.do_zero_shot
                            else 2e-4 * (0.5 if cfg.use_prodigy else 1.0))
-        self._steps = {
-            COMPOS_DISTILL: jax.jit(make_compos_distill_step(
-                p.clip, p.clip_params, p.unet, p.unet_params, p.base_sched,
-                self.optimizer, skip_weights=p.skip_weights,
-                prompt_delta_weight=self._delta_w,
-                do_zero_shot=self.plan_cfg.do_zero_shot,
-                bg_placeholders=self._bg_placeholders)),
-        }
+        self._steps: Dict[tuple, object] = {}
         self._recon_steps: Dict[tuple, object] = {}
-        self._a2f_steps: Dict[int, object] = {}
+        self._a2f_steps: Dict[tuple, object] = {}
         # frozen backbone as explicit jit ARGUMENTS (closed-over params
         # would embed as HLO constants — oversized programs for the
         # remote-compile transport on real chips)
@@ -211,6 +222,50 @@ class Trainer:
         # SIGUSR2 -> debugger at the next safe point (the reference drops
         # into pudb, `main.py:1217-1234`)
         signal.signal(signal.SIGUSR2, self._on_sigusr2)
+        self._mesh_place_state()
+
+    # ------------------------------------------------------------- multi-chip
+    def _mesh_place_state(self):
+        """Pin training state to the dp mesh: trainables + frozen backbone
+        replicated, optimizer state ZeRO-1-sharded (`parallel/mesh.py`).
+        jit propagates these layouts through every step — batches arrive
+        dp-sharded via `_call_step`, so XLA inserts the grad all-reduce
+        (the NCCL analog, SURVEY §2.8) and keeps the optimizer update
+        sharded. No-op on a single device."""
+        if self.mesh is None:
+            return
+        from adaface_tpu.parallel.mesh import replicate_params, shard_opt_state
+
+        self.mgr.embedders = replicate_params(self.mesh, self.mgr.embedders)
+        self.opt_state = shard_opt_state(self.mesh, self.opt_state)
+        self._frozen = replicate_params(self.mesh, self._frozen)
+        if self.ema_state is not None:
+            self.ema_state = replicate_params(self.mesh, self.ema_state)
+        self._teacher_r = None  # lazily-replicated arc2face teacher params
+
+    def _replicated_teacher(self, teacher_params):
+        """Replicate the (user-supplied) arc2face teacher UNet params over
+        the mesh once; single-device committed arrays can't mix with
+        mesh-sharded arguments in one jit call."""
+        if self.mesh is None:
+            return teacher_params
+        if getattr(self, "_teacher_r", None) is None:
+            from adaface_tpu.parallel.mesh import replicate_params
+
+            self._teacher_r = replicate_params(self.mesh, teacher_params)
+        return self._teacher_r
+
+    def _call_step(self, step, trainables, opt_state, batch, frozen=None):
+        """Invoke a jitted train step, dp-sharding the batch first when a
+        mesh is active (computation follows data — the one compiled step
+        serves both the single-chip and mesh layouts per batch shape)."""
+        if self.mesh is not None:
+            from adaface_tpu.parallel.mesh import shard_train_batch
+
+            batch = shard_train_batch(self.mesh, batch)
+        if frozen is None:
+            return step(trainables, opt_state, batch)
+        return step(trainables, opt_state, batch, frozen)
 
     def set_teacher_filter(self, clip_scorer, **filter_kw):
         """Enable CLIP teacher filtering + reuse-init caching for
@@ -320,6 +375,7 @@ class Trainer:
 
             self.ema_state = EmaState(*jax.tree_util.tree_map(
                 jnp.asarray, tuple(state["ema_state"])))
+        self._mesh_place_state()
         print(f"resumed from {path} at step {self.global_step}", flush=True)
         return self
 
@@ -365,11 +421,32 @@ class Trainer:
         return jnp.asarray(ids), {k: jnp.asarray(v) for k, v in slot_maps.items()}
 
     # ---------------------------------------------------------------- steps
+    def _get_compos_step(self):
+        """Jitted compositional step, keyed (like every trainer step cache)
+        on knobs.fingerprint() so an in-process ADAFACE_* flip retraces
+        instead of reusing the arm baked in at first trace."""
+        from adaface_tpu import knobs
+
+        key = (COMPOS_DISTILL, knobs.fingerprint())
+        if key not in self._steps:
+            p = self.pipe
+            self._steps[key] = jax.jit(make_compos_distill_step(
+                p.clip, p.clip_params, p.unet, p.unet_params, p.base_sched,
+                self.optimizer, skip_weights=p.skip_weights,
+                prompt_delta_weight=self._delta_w,
+                mix_prompt_distill_weight=(
+                    self.plan_cfg.mix_prompt_distill_weight),
+                do_zero_shot=self.plan_cfg.do_zero_shot,
+                bg_placeholders=self._bg_placeholders))
+        return self._steps[key]
+
     def _get_recon_step(self, use_bg_token: bool, use_wds: bool):
         """Jitted recon-step variant per (bg-token, wds) combination — each
         changes the static loss battery (`calc_recon_and_complem_losses`
         dispatch, `ddpm.py:2917-2946,3457-3565`)."""
-        key = (use_bg_token, use_wds)
+        from adaface_tpu import knobs
+
+        key = (use_bg_token, use_wds, knobs.fingerprint())
         if key not in self._recon_steps:
             p, cfg = self.pipe, self.cfg
             self._recon_steps[key] = jax.jit(make_recon_train_step(
@@ -489,7 +566,9 @@ class Trainer:
         return plan, use_wds, use_wds_cls
 
     def _run_recon(self, plan: IterPlan):
-        B = self.cfg.batch_size
+        # batch_size is PER-DEVICE (the reference's Lightning DDP meaning);
+        # the global batch spans the dp mesh and shards on the batch dim
+        B = self.cfg.batch_size * self._dp
         ex = self._draw_examples(B)
         plan, use_wds, use_wds_cls = self._wds_recon_swap(plan, ex)
         batch_np = collate_examples(ex)
@@ -524,8 +603,8 @@ class Trainer:
                 [float(e.get("has_fg_mask", True)) for e in ex], jnp.float32),
             **self._skip_weights_kw(), **noise_kw)
         step = self._get_recon_step(plan.use_background_token, use_wds)
-        self.mgr.embedders, self.opt_state, metrics = step(
-            self.mgr.embedders, self.opt_state, batch, self._frozen)
+        self.mgr.embedders, self.opt_state, metrics = self._call_step(
+            step, self.mgr.embedders, self.opt_state, batch, self._frozen)
         return metrics
 
     def _compos_x_start(self, plan: IterPlan, e: dict, latents, fg_latent,
@@ -728,10 +807,21 @@ class Trainer:
             training_percent=jnp.asarray(plan.training_percent, jnp.float32),
             compel_level=compel_level, compel_batch_mask=compel_mask,
             cls_mix_ranges=jnp.asarray(self._cls_mix_ranges(plan)),
+            preserve_loss_scale=jnp.asarray(
+                self._preserve_scale(plan), jnp.float32),
             **self._skip_weights_kw(), **noise_kw)
-        self.mgr.embedders, self.opt_state, metrics = self._steps[COMPOS_DISTILL](
-            self.mgr.embedders, self.opt_state, batch, self._frozen)
+        self.mgr.embedders, self.opt_state, metrics = self._call_step(
+            self._get_compos_step(), self.mgr.embedders, self.opt_state,
+            batch, self._frozen)
         return metrics
+
+    def _preserve_scale(self, plan: IterPlan) -> float:
+        """Elastic-matching preserve battery scale (`ddpm.py:3284,
+        3356-3363`): active only when x_start was fg-initialized from the
+        training image; halved again on reuse-init iters (noisier)."""
+        if not plan.comp_init_fg_from_training_image:
+            return 0.0
+        return 0.25 if plan.reuse_init_conds else 0.5
 
     def _cls_mix_ranges(self, plan: IterPlan) -> np.ndarray:
         """[k_lb, k_ub, v_lb, v_ub] class-mix scale ranges for the V/K
@@ -816,9 +906,11 @@ class Trainer:
         }
 
     def _run_arc2face(self, plan: IterPlan, teacher):
+        from adaface_tpu import knobs
+
         teacher_unet, teacher_params, teacher_ctx_fn = teacher
         S = plan.num_denoising_steps
-        key = (S, plan.gen_arc2face_rand_face)
+        key = (S, plan.gen_arc2face_rand_face, knobs.fingerprint())
         if key not in self._a2f_steps:
             p = self.pipe
             self._a2f_steps[key] = jax.jit(make_arc2face_distill_step(
@@ -828,8 +920,9 @@ class Trainer:
                 use_fg_mask=not plan.gen_arc2face_rand_face))
         # multi-step iters shrink the batch to HALF_BS = ceil(BS/S)
         # (`torch.arange(BS).chunk(S)[0]`, `ddpm.py:1853-1878`);
-        # single-step iters keep the full batch
-        B = -(-self.cfg.batch_size // S) if S > 1 else self.cfg.batch_size
+        # single-step iters keep the full batch. Per-device, like recon.
+        B = (-(-self.cfg.batch_size // S) if S > 1
+             else self.cfg.batch_size) * self._dp
         ex = self._draw_examples(B)
         batch_np = collate_examples(ex)
         latents = self._latents(batch_np["image"])
@@ -854,9 +947,10 @@ class Trainer:
             fg_mask=jnp.asarray(self._mask_to_latent(batch_np["fg_mask"], lh, lw)),
             **img_kw, **self._skip_weights_kw())
         frozen = dict(self._frozen)
-        frozen["teacher"] = teacher_params
-        self.mgr.embedders, self.opt_state, metrics = self._a2f_steps[key](
-            self.mgr.embedders, self.opt_state, batch, frozen)
+        frozen["teacher"] = self._replicated_teacher(teacher_params)
+        self.mgr.embedders, self.opt_state, metrics = self._call_step(
+            self._a2f_steps[key], self.mgr.embedders, self.opt_state,
+            batch, frozen)
         return metrics
 
     # ------------------------------------------------------------------ run

@@ -70,17 +70,46 @@ class ZeroShotTrainer(Trainer):
         # (`make_frozen_copy_of_subj_basis_generators`,
         # `embedding_manager.py:2055-2062`)
         self._gen0 = jax.tree_util.tree_map(jnp.asarray, generator_params)
-        self._zs_compos_step = jax.jit(make_zero_shot_compos_step(
-            p.clip, p.clip_params, p.unet, p.unet_params, p.base_sched,
-            self.optimizer, generators=self.generators,
-            prompt_delta_weight=self._delta_w,
-            bg_placeholders=self.bg_placeholders,
-            arc2face_encoder=arc2face_encoder,
-            arc2face_params=arc2face_params,
-            forward_template_ids=self._fwd_ids,
-            inverse_template_ids=self._inv_ids,
-            arcface_token_id=self._arc_tid,
-            skip_weights=p.skip_weights))
+        self._zs_compos_steps: Dict[tuple, object] = {}
+        self._zs_mesh_place()
+
+    def _get_zs_compos_step(self):
+        """Jitted zs compositional step, keyed on knobs.fingerprint() like
+        every trainer step cache (in-process ADAFACE_* flips retrace)."""
+        from adaface_tpu import knobs
+
+        key = knobs.fingerprint()
+        if key not in self._zs_compos_steps:
+            p = self.pipe
+            self._zs_compos_steps[key] = jax.jit(make_zero_shot_compos_step(
+                p.clip, p.clip_params, p.unet, p.unet_params, p.base_sched,
+                self.optimizer, generators=self.generators,
+                prompt_delta_weight=self._delta_w,
+                bg_placeholders=self.bg_placeholders,
+                arc2face_encoder=self._arc_encoder,
+                arc2face_params=self._arc_frozen,
+                forward_template_ids=self._fwd_ids,
+                inverse_template_ids=self._inv_ids,
+                arcface_token_id=self._arc_tid,
+                skip_weights=p.skip_weights,
+                mix_prompt_distill_weight=(
+                    self.plan_cfg.mix_prompt_distill_weight)))
+        return self._zs_compos_steps[key]
+
+    def _zs_mesh_place(self):
+        """Mesh placement for the zero-shot trainables: generators + frozen
+        anchors replicate; the Prodigy optimizer state — the 4x-params fp32
+        slab that OOMs a single chip at the zs batch-6 point (PERF.md) —
+        shards ZeRO-1 over dp (`parallel/mesh.py:zero1_sharding_rules`).
+        No-op on a single device."""
+        if self.mesh is None:
+            return
+        from adaface_tpu.parallel.mesh import replicate_params, shard_opt_state
+
+        self.gen_params = replicate_params(self.mesh, self.gen_params)
+        self.opt_state = shard_opt_state(self.mesh, self.opt_state)
+        self._arc_frozen = replicate_params(self.mesh, self._arc_frozen)
+        self._gen0 = replicate_params(self.mesh, self._gen0)
 
     def _dropout_key(self):
         """Per-step PRNG key for the generators' attention dropout
@@ -93,7 +122,9 @@ class ZeroShotTrainer(Trainer):
         changes the static loss battery (`calc_recon_and_complem_losses`,
         `ddpm.py:2917-2946,3457-3565`; wds instances use the discounted bg
         recon weight + the fg↔wds-extra complementary variant)."""
-        key = (use_bg_token, use_wds)
+        from adaface_tpu import knobs
+
+        key = (use_bg_token, use_wds, knobs.fingerprint())
         if key not in self._zs_recon_steps:
             p, cfg = self.pipe, self.cfg
             self._zs_recon_steps[key] = jax.jit(
@@ -143,6 +174,7 @@ class ZeroShotTrainer(Trainer):
                 ckpt["opt_state"])
         if "rng_state" in ckpt:
             self.rng.bit_generator.state = ckpt["rng_state"]
+        self._zs_mesh_place()
         print(f"resumed zs training from {path} at step {self.global_step}")
         return self
 
@@ -305,9 +337,11 @@ class ZeroShotTrainer(Trainer):
             id_embs=id_embs[:1],
             cls_mix_ranges=jnp.asarray(self._cls_mix_ranges(plan)),
             dropout_key=self._dropout_key(),
+            preserve_loss_scale=jnp.asarray(
+                self._preserve_scale(plan), jnp.float32),
             **self._skip_weights_kw(), **noise_kw)
-        self.gen_params, self.opt_state, metrics = self._zs_compos_step(
-            self.gen_params, self.opt_state, batch,
+        self.gen_params, self.opt_state, metrics = self._call_step(
+            self._get_zs_compos_step(), self.gen_params, self.opt_state, batch,
             {**self._frozen, "arc": self._arc_frozen, "gen0": self._gen0})
         return metrics
 
@@ -336,7 +370,9 @@ class ZeroShotTrainer(Trainer):
 
         teacher_unet, teacher_params = teacher[0], teacher[1]
         S = plan.num_denoising_steps
-        key = (S, plan.gen_arc2face_rand_face)
+        from adaface_tpu import knobs
+
+        key = (S, plan.gen_arc2face_rand_face, knobs.fingerprint())
         if not hasattr(self, "_zs_a2f_steps"):
             self._zs_a2f_steps = {}
         if key not in self._zs_a2f_steps:
@@ -355,8 +391,9 @@ class ZeroShotTrainer(Trainer):
                 use_fg_mask=not plan.gen_arc2face_rand_face))
         # multi-step iters shrink the batch to HALF_BS = ceil(BS/S)
         # (`torch.arange(BS).chunk(S)[0]`, `ddpm.py:1853-1878`);
-        # single-step iters keep the full batch
-        B = -(-self.cfg.batch_size // S) if S > 1 else self.cfg.batch_size
+        # single-step iters keep the full batch. Per-device, like recon.
+        B = (-(-self.cfg.batch_size // S) if S > 1
+             else self.cfg.batch_size) * self._dp
         ex = self._draw_examples(B)
         batch_np = collate_examples(ex)
         feats = self.extractor.encode([e["image_unnorm"] for e in ex],
@@ -413,10 +450,10 @@ class ZeroShotTrainer(Trainer):
                                                keepdims=True) + 1e-12),
             dropout_key=self._dropout_key(), **img_kw,
             **self._skip_weights_kw())
-        self.gen_params, self.opt_state, metrics = self._zs_a2f_steps[key](
-            self.gen_params, self.opt_state, batch,
+        self.gen_params, self.opt_state, metrics = self._call_step(
+            self._zs_a2f_steps[key], self.gen_params, self.opt_state, batch,
             {**self._frozen, "arc": self._arc_frozen,
-             "teacher": teacher_params})
+             "teacher": self._replicated_teacher(teacher_params)})
         return metrics
 
     def fit(self, num_steps: Optional[int] = None, face_embed_fn=None,
@@ -424,7 +461,8 @@ class ZeroShotTrainer(Trainer):
         from adaface_tpu.training.iter_plan import ARC2FACE_DISTILL
 
         n = num_steps or self.cfg.max_steps
-        B = self.cfg.batch_size
+        # per-device batch like the static trainer (`_run_recon`)
+        B = self.cfg.batch_size * self._dp
         while self.global_step < n:
             plan = plan_iteration(self.rng, self.global_step, self.plan_cfg)
             if plan.iter_type == COMPOS_DISTILL:
@@ -491,8 +529,8 @@ class ZeroShotTrainer(Trainer):
                 id_embs=id_embs, dropout_key=self._dropout_key(),
                 **self._skip_weights_kw(), **noise_kw)
             step = self._get_zs_recon_step(plan.use_background_token, use_wds)
-            self.gen_params, self.opt_state, metrics = step(
-                self.gen_params, self.opt_state, batch,
+            self.gen_params, self.opt_state, metrics = self._call_step(
+                step, self.gen_params, self.opt_state, batch,
                 {**self._frozen, "arc": self._arc_frozen})
             self._log(metrics, plan)
             self.global_step += 1

@@ -68,6 +68,10 @@ def parse_args(argv=None):
                         "(main.py --embedding_manager_ckpt)")
     p.add_argument("--max_steps", type=int, default=2000)
     p.add_argument("--batch_size", type=int, default=3)
+    p.add_argument("--num_devices", type=int, default=1,
+                   help="dp mesh size (the reference's --gpus / DDP analog,"
+                        " main.py:862): batches shard over the chips,"
+                        " batch_size stays per-device; -1 = all devices")
     p.add_argument("--accumulate_grad_batches", type=int, default=2)
     p.add_argument("--lr", type=float, default=7e-4)
     p.add_argument("--optimizer", choices=("prodigy", "adamw"), default="prodigy")
@@ -299,7 +303,8 @@ def main(opt):
     cli_handled = {"max_steps", "batch_size", "accumulate_grad_batches",
                    "ckpt_every_steps", "use_prodigy", "learning_rate",
                    "seed", "logdir", "randomize_clip_skip_weights",
-                   "clip_skip_weights_alpha", "wds_background_string"}
+                   "clip_skip_weights_alpha", "wds_background_string",
+                   "num_devices"}
     # precedence: explicit CLI flag > config file > argparse default —
     # the file's learning_rate/use_prodigy win only when the CLI flag was
     # left at its default
@@ -314,6 +319,7 @@ def main(opt):
         **dataclass_cfg(TrainerConfig, "trainer", skip=cli_handled),
         **dataclass_cfg(TrainerConfig, "data", skip=cli_handled),
         max_steps=opt.max_steps, batch_size=opt.batch_size,
+        num_devices=opt.num_devices,
         accumulate_grad_batches=opt.accumulate_grad_batches,
         learning_rate=lr, use_prodigy=use_prodigy,
         ckpt_every_steps=opt.ckpt_every_steps, seed=opt.seed,

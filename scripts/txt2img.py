@@ -67,6 +67,13 @@ def parse_args(argv=None):
     p.add_argument("--init_img_weight", type=float, default=0.1,
                    help="img2img strength for --use_first_gt_img_as_init")
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--num_devices", type=int, default=1,
+                   help="serving mesh size: n_samples shards data-parallel "
+                        "across the chips (BASELINE north star); -1 = all")
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel factor within --num_devices "
+                        "(Megatron-sharded UNet matmuls; the per-image "
+                        "LATENCY lever for small batches)")
     p.add_argument("--tiny", action="store_true",
                    help="tiny random models (CPU smoke/verify mode)")
     return p.parse_args(argv)
@@ -132,6 +139,15 @@ def build_pipeline(opt):
             num_vectors=opt.num_vectors_per_subj_token,
             init_key=jax.random.PRNGKey(7),
             emb_dim=pipe.clip.cfg.hidden_size)
+    nd = getattr(opt, "num_devices", 1)
+    tp = getattr(opt, "tp", 1)
+    if nd != 1 or tp > 1:
+        import jax
+
+        if nd == -1:
+            nd = len(jax.devices())
+        mesh = pipe.use_mesh(nd, dp=nd // tp, tp=tp)
+        print(f"serving mesh: dp{mesh.shape['dp']} x tp{mesh.shape['tp']}")
     return pipe, tok
 
 

@@ -89,9 +89,10 @@ def build_zs_trainer(tmp_path, cfg_kw=None, plan_kw=None) -> ZeroShotTrainer:
                        inverse_template_ids=inv_ids)["params"]
 
     ds = PersonalizedDataset([SubjectSpec("s", subj)], size=32, seed=0)
-    cfg = TrainerConfig(max_steps=4, batch_size=1, use_prodigy=True,
-                        ckpt_every_steps=100, log_every_steps=100,
-                        logdir=str(tmp_path / "log"), **(cfg_kw or {}))
+    cfg = TrainerConfig(**{**dict(max_steps=4, batch_size=1, use_prodigy=True,
+                                  ckpt_every_steps=100, log_every_steps=100,
+                                  logdir=str(tmp_path / "log")),
+                           **(cfg_kw or {})})
     plan_cfg = IterPlanConfig(**{"composition_regs_iter_gap": 1,
                                  "max_steps": cfg.max_steps,
                                  **(plan_kw or {})})
