@@ -20,6 +20,7 @@ from typing import Dict, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from adaface_tpu.data.tokenizer import CLIP_VOCAB_SIZE
@@ -357,6 +358,8 @@ def make_compos_distill_step(
     xlayer_weight: float = 5e-5,
     do_zero_shot: bool = True,
     bg_placeholders: frozenset = frozenset(),
+    padding_embs_align_weight: float = 0.0,
+    subj_comp_ortho_weight: float = 0.0,
 ):
     """Compositional (mix-prompt) distillation step (`p_losses` compos
     branch, `ddpm.py:2545-3453` + `calc_prompt_mix_loss:3710`):
@@ -376,7 +379,9 @@ def make_compos_distill_step(
         clip, unet, sched, skip_weights, prompt_delta_weight,
         mix_prompt_distill_weight,
         fg_bg_weight, comp_fg_bg_preserve_weight, xlayer_weight,
-        do_zero_shot, bg_placeholders)
+        do_zero_shot, bg_placeholders,
+        padding_embs_align_weight=padding_embs_align_weight,
+        subj_comp_ortho_weight=subj_comp_ortho_weight)
 
     def loss_fn(embedders, batch: ComposBatch, fz):
         from adaface_tpu.ops.grad import add_noise_to_tensor
@@ -408,22 +413,34 @@ def _make_compos_loss_core(clip, unet, sched, skip_weights,
                            prompt_delta_weight, mix_prompt_distill_weight,
                            fg_bg_weight, comp_fg_bg_preserve_weight,
                            xlayer_weight=5e-5, do_zero_shot=True,
-                           bg_placeholders: frozenset = frozenset()):
+                           bg_placeholders: frozenset = frozenset(),
+                           padding_embs_align_weight: float = 0.0,
+                           subj_comp_ortho_weight: float = 0.0):
     """Shared compositional-distillation loss over an already-patched
     4-type prompt-embedding batch: second-half CLIP encode, V/K mixing,
     captured UNet forward, the distillation loss battery. Used by both the
-    static-embedder and the zero-shot (generator-trained) compos steps."""
+    static-embedder and the zero-shot (generator-trained) compos steps.
+
+    `padding_embs_align_weight` / `subj_comp_ortho_weight` wire the two
+    regularizers the reference defines but ships DISABLED
+    (`calc_padding_embs_align_loss`, `ddpm.py:4634-4779`;
+    `calc_subj_comp_ortho_loss`, `ddpm.py:4551-4629`) — off by default
+    here too; >0 computes them (the ortho loss additionally captures the
+    CA k/v slabs it consumes)."""
     from adaface_tpu.models.unet import DISTILL_LAYER_INDICES
     from adaface_tpu.training.losses import (
         ATTN_ALIGN_LAYER_WEIGHTS,
         _normalize_weights,
+        comp_extra_token_mask,
         comp_fg_bg_preserve_loss,
         dyn_loss_scale,
         fg_bg_xlayer_consist_loss,
         fg_mb_suppress_loss,
         normalized_sum,
+        padding_embs_align_loss,
         prompt_delta_loss,
         prompt_mix_layer_losses,
+        subj_comp_ortho_loss,
     )
     from adaface_tpu.training.mixing import mix_static_vk_embeddings
 
@@ -491,10 +508,15 @@ def _make_compos_loss_core(clip, unet, sched, skip_weights,
         x_noisy = sched.q_sample(x4, t4, n4)
         # `q` is required by the elastic-matching preserve battery below
         # (`ddpm.py:3301-3305` captures it; `calc_comp_fg_bg_preserve_loss`
-        # consumes it) — all 12 distill layers carry ATTN_ALIGN weights
+        # consumes it) — all 12 distill layers carry ATTN_ALIGN weights.
+        # The k/v slabs are only retained when the (off-by-default)
+        # subject/comp ortho regularizer actually consumes them.
+        cap_keys = ("outfeat", "attnscore", "q")
+        if subj_comp_ortho_weight > 0:
+            cap_keys = cap_keys + ("k", "v")
         eps, aux = unet.apply({"params": fz["unet"]}, x_noisy, t4,
                               ctx_v, context_k=ctx_k, capture=True,
-                              capture_keys=("outfeat", "attnscore", "q"))
+                              capture_keys=cap_keys)
 
         # feat/attn delta alignment (`calc_prompt_mix_loss`, `ddpm.py:3710`):
         # per-layer spatial-reweighted pooled feat deltas + per-head attn
@@ -566,6 +588,44 @@ def _make_compos_loss_core(clip, unet, sched, skip_weights,
             loss_preserve = (p_map + p_fg + p_bg * sc_mc_scale
                              + (p_subj_sup + p_mix_sup) * 0.02)
 
+        # --- off-by-default regularizers the reference defines but ships
+        # disabled; wired behind explicit weights for parity/testing
+        loss_pad_align = 0.0
+        if padding_embs_align_weight > 0:
+            # padding/bg embeddings pushed off the subject embedding on the
+            # subj-single + subj-comp halves (`ddpm.py:4634-4779`)
+            emb_mask2 = jnp.concatenate([single_mask, comp_mask], axis=0)
+            subj_tok2 = jnp.concatenate([subj_tok_single, subj_tok_comp],
+                                        axis=0)
+            bg_keys = sorted(k for k in batch.slot_maps
+                             if k in bg_placeholders)
+            bg2 = _slot_union_mask(
+                {k: batch.slot_maps[k][:2 * B] for k in bg_keys}, bg_keys)
+            lp, lb = padding_embs_align_loss(ctx[:, :2 * B], emb_mask2,
+                                             subj_tok2, bg2)
+            loss_pad_align = lp + lb
+        loss_ortho_k, loss_ortho_v = 0.0, 0.0
+        if subj_comp_ortho_weight > 0:
+            # instance 0 of each prompt type (the reference's BLOCK_SIZE=1
+            # layout, `ddpm.py:4551-4629`); comp-extra tokens = real tokens
+            # that are neither subject nor background slots
+            sel = np.asarray([0, B, 2 * B, 3 * B])
+            ks4 = {i: aux[i]["k"][sel] for i in aux if "k" in aux[i]}
+            vs4 = {i: aux[i]["v"][sel] for i in aux if "v" in aux[i]}
+            sc4 = {i: aux[i]["attnscore"][sel]
+                   for i in aux if "attnscore" in aux[i]}
+            sc_extra = comp_extra_token_mask(comp_mask[0], subj_tok_comp[0])
+            # class rows carry the class embedding at the SUBJECT's (prefix-
+            # aligned) slot positions after distribution
+            cc_mask = _prompt_emb_mask(batch.token_ids[3 * B:3 * B + 1])[0]
+            cc_extra = comp_extra_token_mask(cc_mask, subj_tok_comp[0])
+            loss_ortho_k, loss_ortho_v = subj_comp_ortho_loss(
+                ks4, vs4, sc4,
+                subj_comp_subj_mask=subj_tok_comp[0],
+                subj_comp_extra_mask=sc_extra,
+                cls_comp_subj_mask=subj_tok_comp[0],
+                cls_comp_extra_mask=cc_extra)
+
         # `ddpm.py:3404-3436`: attn delta x0.1; attn norm x1 zero-shot /
         # dynamic (base 5 -> x0.2) otherwise; feat delta x0.5 zero-shot / x2
         attn_delta_scale = 0.1
@@ -588,13 +648,20 @@ def _make_compos_loss_core(clip, unet, sched, skip_weights,
                 + mix_prompt_distill_weight * mix_scale * loss_mix_distill
                 + fg_bg_weight * loss_fg_bg
                 + comp_fg_bg_preserve_weight * preserve_scale * loss_preserve
-                + xlayer_weight * loss_xlayer)
+                + xlayer_weight * loss_xlayer
+                + padding_embs_align_weight * loss_pad_align
+                + subj_comp_ortho_weight * (loss_ortho_k + loss_ortho_v))
         metrics = {"loss": loss, "prompt_delta": loss_delta,
                    "feat_align": loss_feat, "attn_align": loss_attn,
                    "attn_norm_distill": loss_attn_norm,
                    "mix_prompt_distill": loss_mix_distill,
                    "fg_bg": loss_fg_bg, "comp_fg_bg_preserve": loss_preserve,
                    "xlayer_consist": loss_xlayer}
+        if padding_embs_align_weight > 0:
+            metrics["padding_embs_align"] = loss_pad_align
+        if subj_comp_ortho_weight > 0:
+            metrics["subj_comp_ortho_k"] = loss_ortho_k
+            metrics["subj_comp_ortho_v"] = loss_ortho_v
         return loss, metrics
 
     return core
@@ -1107,6 +1174,8 @@ def make_zero_shot_compos_step(
     fg_bg_weight: float = 1.0,
     comp_fg_bg_preserve_weight: float = 1e-3,
     xlayer_weight: float = 5e-5,
+    padding_embs_align_weight: float = 0.0,
+    subj_comp_ortho_weight: float = 0.0,
 ):
     """Compositional distillation with generator-produced subject
     embeddings (the zero-shot compos_distill_iter,
@@ -1122,7 +1191,9 @@ def make_zero_shot_compos_step(
         clip, unet, sched, skip_weights, prompt_delta_weight,
         mix_prompt_distill_weight,
         fg_bg_weight, comp_fg_bg_preserve_weight, xlayer_weight,
-        do_zero_shot=True, bg_placeholders=bg_placeholders)
+        do_zero_shot=True, bg_placeholders=bg_placeholders,
+        padding_embs_align_weight=padding_embs_align_weight,
+        subj_comp_ortho_weight=subj_comp_ortho_weight)
 
     def _gen_embs(params, batch, fz, arc_id_embs):
         subj = {}

@@ -163,6 +163,29 @@ def main():
     except Exception as e:
         print(f"# stage breakdown failed: {e}", file=sys.stderr)
 
+    # ---- single-request latency operating point (VERDICT r3 #6): what a
+    # batch-1 user waits, vs the batch-8 throughput point above. Costs an
+    # extra fused-program compile (~minutes through the tunnel), so it is
+    # opt-in and the measured numbers live in PERF.md's operating-point
+    # table rather than every driver run.
+    lat_point = {}
+    if os.environ.get("ADAFACE_BENCH_LATENCY") == "1":
+        try:
+            p1 = [prompts[0]]
+            pipe.generate(p1, num_steps=STEPS, guidance_scale=(10.0, 4.0),
+                          height=SIZE, width=SIZE, seed=0)  # compile
+            b1 = []
+            for i in range(3):
+                t0 = time.time()
+                pipe.generate(p1, num_steps=STEPS,
+                              guidance_scale=(10.0, 4.0),
+                              height=SIZE, width=SIZE, seed=i + 1)
+                b1.append(time.time() - t0)
+            lat_point = {"latency_b1_s": round(min(b1), 4),
+                         "p50_latency_b1_s": round(sorted(b1)[1], 4)}
+        except Exception as e:
+            print(f"# batch-1 latency point failed: {e}", file=sys.stderr)
+
     print(json.dumps({
         "metric": "images/sec/chip @512px DDIM-50 CFG bf16",
         "value": round(img_s, 4),
@@ -172,7 +195,7 @@ def main():
         "latency_img_s": round(latency_img_s, 4),
         "p50_latency_batch_s": round(p50_batch_s, 4),
         "p50_s_per_image": round(p50_batch_s / N_SAMPLES, 4),
-        **stages,
+        **stages, **lat_point,
     }))
     print(f"# compile+first: {compile_s:.1f}s; runs: {[round(t,2) for t in times]}; "
           f"pipelined {R} batches: {pipelined:.2f}s; "

@@ -179,6 +179,47 @@ def test_compos_step_all_metrics_nonzero(backbone, B):
         assert abs(float(metrics[k])) > 0, f"wired metric {k} is zero"
 
 
+@pytest.mark.parametrize("which", ["padding_embs_align", "subj_comp_ortho"])
+def test_disabled_regularizers_flow_when_enabled(backbone, which):
+    """The two regularizers the reference defines but ships DISABLED
+    (`calc_padding_embs_align_loss`, `ddpm.py:4634-4779`;
+    `calc_subj_comp_ortho_loss`, `ddpm.py:4551-4629` via k/v capture)
+    must, when their weight is switched on, produce a nonzero metric
+    through the WIRED compos step AND flow gradient into the embedders —
+    every other loss weight is zeroed so the update is attributable."""
+    clip, clip_params, unet, unet_params, sched, embedders = backbone
+    opt = optax.adamw(1e-3)
+    opt_state = opt.init(embedders)
+    kw = dict(prompt_delta_weight=0.0, mix_prompt_distill_weight=0.0,
+              fg_bg_weight=0.0, comp_fg_bg_preserve_weight=0.0,
+              xlayer_weight=0.0)
+    if which == "padding_embs_align":
+        kw["padding_embs_align_weight"] = 1.0
+    else:
+        kw["subj_comp_ortho_weight"] = 1.0
+    step = make_compos_distill_step(clip, clip_params, unet, unet_params,
+                                    sched, opt, **kw)
+    rng = np.random.default_rng(15)
+    batch = _mk_compos_batch(rng)
+    # pad the prompt tails with EOS so the padding-contrast term has
+    # padding rows to push (the toy ids otherwise never hit BOS/EOS)
+    from adaface_tpu.training.train_step import EOS_ID
+
+    ids = np.asarray(batch.token_ids).copy()
+    ids[:, 10:] = EOS_ID
+    batch = batch._replace(token_ids=jnp.asarray(ids))
+    new_emb, _, metrics = jax.jit(step)(embedders, opt_state, batch)
+    if which == "padding_embs_align":
+        assert abs(float(metrics["padding_embs_align"])) > 0
+    else:
+        assert abs(float(metrics["subj_comp_ortho_k"])) > 0
+        assert abs(float(metrics["subj_comp_ortho_v"])) > 0
+    # gradient flowed to the embedders through this loss alone
+    delta = float(jnp.abs(new_emb["z"].basis_rand_weights
+                          - embedders["z"].basis_rand_weights).max())
+    assert delta > 0, f"{which} produced no embedder gradient"
+
+
 @pytest.mark.parametrize("S", [1, 3])
 def test_arc2face_distill_step(backbone, S):
     clip, clip_params, unet, unet_params, sched, embedders = backbone

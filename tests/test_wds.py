@@ -318,6 +318,10 @@ def test_zs_trainer_wds_integration(tmp_path, shard):
     recon = [r for r in recs if r["iter_type"] == "recon"]
     assert recon and all(r.get("wds_comp") == 1.0 for r in recon)
     assert all("fg_wds_complem" in r for r in recon)
+    # the wds complementary battery actually computes (VERDICT r3 #7:
+    # weighted metrics must be NONZERO through the wired path, not just
+    # present — weight 0 in the shipped config hides wiring regressions)
+    assert all(abs(r["fg_wds_complem"]) > 0 for r in recon)
     assert all(np.isfinite(r["loss"]) for r in recs)
 
 
