@@ -46,6 +46,11 @@ def main():
             jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
         except Exception as e:  # cache is best-effort
             print(f"# bench: compile cache unavailable: {e}", file=sys.stderr)
+    # AOT executable cache (pipeline._aot_wrap): unlike the compilation
+    # cache above, this DOES remove the remote-side compile+first (~370-640s
+    # through the tunnel) once a prior run has populated it — serialized
+    # PJRT executables reload in ~0.2s (scripts/perf_aot_cold.py)
+    os.environ.setdefault("ADAFACE_AOT_CACHE", "/tmp/adaface_aot_cache")
 
     jnp.zeros(()).block_until_ready()
     print(f"# bench: device claimed in {_t.time() - t_start:.1f}s; "

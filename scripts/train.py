@@ -532,6 +532,20 @@ def run_dreambooth(opt, pipe, tok):
     optimizer = optax.chain(optax.clip_by_global_norm(0.5),
                             optax.adamw(opt.lr))
     opt_state = optimizer.init(mgr.embedders)
+    # dp mesh (the main_db.py DDP analog): one (train, reg) pair PER
+    # DEVICE, twin batches sharded on the batch dim like the Trainer
+    nd = opt.num_devices
+    if nd == -1:
+        nd = len(jax.devices())
+    mesh = None
+    if nd > 1:
+        from adaface_tpu.parallel.mesh import (
+            make_mesh, replicate_params, shard_opt_state, shard_train_batch,
+        )
+
+        mesh = make_mesh(nd)
+        mgr.embedders = replicate_params(mesh, mgr.embedders)
+        opt_state = shard_opt_state(mesh, opt_state)
     step = jax.jit(make_dreambooth_train_step(
         pipe.clip, pipe.clip_params, pipe.unet, pipe.unet_params,
         pipe.base_sched, optimizer, skip_weights=pipe.skip_weights,
@@ -541,21 +555,23 @@ def run_dreambooth(opt, pipe, tok):
     rng = np.random.default_rng(opt.seed)
     os.makedirs(opt.logdir, exist_ok=True)
 
-    def mk_recon(e, sw=None):
-        lat = encode(pipe.vae_params, jnp.asarray(e["image"][None]))[0] \
-            * SD_VAE_SCALE_FACTOR
-        ids = pipe.tokenizer([e["caption"]])
+    def mk_recon(es, sw=None):
+        lat = encode(pipe.vae_params,
+                     jnp.asarray(np.stack([e["image"] for e in es]))
+                     )[0] * SD_VAE_SCALE_FACTOR
+        ids = pipe.tokenizer([e["caption"] for e in es])
         slots = mgr.build_slot_maps(ids)
         return ReconBatch(
             latents=lat, token_ids=jnp.asarray(ids),
             slot_maps={k: jnp.asarray(v) for k, v in slots.items()},
             fg_mask=None,
-            timesteps=jnp.asarray(rng.integers(0, 1000, 1), jnp.int32),
+            timesteps=jnp.asarray(rng.integers(0, 1000, len(es)), jnp.int32),
             noise=jnp.asarray(rng.standard_normal(lat.shape), jnp.float32),
             skip_weights=sw)
 
     for i in range(opt.max_steps):
-        tr, rg = ds.draw_pair()
+        pairs = [ds.draw_pair() for _ in range(max(nd, 1))]
+        trs, rgs = [p[0] for p in pairs], [p[1] for p in pairs]
         # one Dirichlet draw per iteration, shared by both halves (the
         # reference encodes both in one get_learned_conditioning call)
         sw = None
@@ -563,7 +579,10 @@ def run_dreambooth(opt, pipe, tok):
             alpha = [float(x) for x in
                      (opt.clip_last_layers_skip_weights or (1, 1))]
             sw = jnp.asarray(rng.dirichlet(alpha), jnp.float32)
-        batch = DreamBoothBatch(train=mk_recon(tr, sw), reg=mk_recon(rg, sw))
+        batch = DreamBoothBatch(train=mk_recon(trs, sw),
+                                reg=mk_recon(rgs, sw))
+        if mesh is not None:
+            batch = shard_train_batch(mesh, batch)
         mgr.embedders, opt_state, m = step(mgr.embedders, opt_state, batch)
         if i % 10 == 0:
             print(f"[db {i}/{opt.max_steps}] loss={float(m['loss']):.4f} "

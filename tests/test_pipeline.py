@@ -59,6 +59,48 @@ def test_ab_knob_flip_retraces_and_matches(monkeypatch):
     assert np.abs(base.astype(int) - plain.astype(int)).max() <= 1
 
 
+def test_aot_executable_cache_roundtrip(tmp_path):
+    """ADAFACE_AOT_CACHE (the serving cold-start fix, pipeline._aot_wrap):
+    process 1 serializes the compiled sampling executable; process 2 loads
+    it via deserialize_and_load — skipping compilation — and produces
+    identical images. Subprocesses on a SINGLE-device CPU platform: the
+    8-virtual-device test platform trips an XLA:CPU AOT reload bug, which
+    is why the cache is gated off on cpu without ADAFACE_AOT_CACHE_FORCE."""
+    import os as _os
+    import subprocess
+    import sys as _sys
+
+    cache = str(tmp_path / "aot")
+    script = (
+        "import os, sys, numpy as np\n"
+        f"sys.path.insert(0, {repr(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))})\n"
+        "import jax\n"
+        "from tests.test_pipeline import _tiny_pipeline\n"
+        "out = _tiny_pipeline().generate(['a photo of a cat'] * 2,\n"
+        "    num_steps=2, height=64, width=64, guidance_scale=7.5, seed=5)\n"
+        "print('SUM', int(out.astype(np.int64).sum()))\n")
+    env = dict(_os.environ, JAX_PLATFORMS="cpu",
+               ADAFACE_AOT_CACHE=cache, ADAFACE_AOT_CACHE_FORCE="1")
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env.pop("XLA_FLAGS", None)  # single device — no virtual 8-device mesh
+
+    def run():
+        r = subprocess.run([_sys.executable, "-c", script], env=env,
+                           capture_output=True, text=True, timeout=500)
+        assert r.returncode == 0, r.stdout + r.stderr
+        return [l for l in r.stdout.splitlines() if l.startswith("SUM")][0]
+
+    s1 = run()
+    files = _os.listdir(cache)
+    assert any(f.endswith(".aot") for f in files), files
+    mtimes = {f: _os.path.getmtime(_os.path.join(cache, f)) for f in files}
+    s2 = run()
+    assert s1 == s2
+    # the second process LOADED (no rewrite -> cache files untouched)
+    assert all(_os.path.getmtime(_os.path.join(cache, f)) == m
+               for f, m in mtimes.items())
+
+
 def test_cfg_dedup_falls_back_without_level0_attention():
     """UNet configs with no attention block at level 0 cannot stem-dedup;
     generate() must fall back to the doubled-batch stem instead of
