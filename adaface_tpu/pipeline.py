@@ -129,86 +129,14 @@ class StableDiffusionPipeline:
 
     def _aot_wrap(self, sig, jitted):
         """On-disk PJRT-executable cache for a jitted sampling program
-        (`ADAFACE_AOT_CACHE=<dir>`): the first call per (program signature,
-        arg shapes, device kind, jax version) either loads the serialized
-        executable — skipping compilation entirely — or compiles once and
-        serializes it for every future process.
+        (`adaface_tpu.aot.aot_wrap`): the first call per (signature, arg
+        shapes) either loads the serialized executable — skipping the
+        remote-side compile entirely — or compiles once and serializes it
+        for every future process. Single-device programs only (mesh
+        lowerings bake shardings)."""
+        from adaface_tpu.aot import aot_wrap
 
-        This is the serving cold-start fix: through the axon tunnel the
-        fused program's compile+first is 370-640 s and happens REMOTE-side,
-        so jax's persistent compilation cache never helps; PJRT executable
-        serialization (`jax.experimental.serialize_executable`) measured
-        0.2 s deserialize + 0.0 s first-run on this backend
-        (scripts/perf_aot_cold.py). Params are jit ARGUMENTS everywhere, so
-        the serialized artifact is code-only (no weights inside).
-        Single-device programs only (mesh lowerings bake shardings)."""
-        import os
-
-        cache_dir = os.environ.get("ADAFACE_AOT_CACHE")
-        if not cache_dir or self.mesh is not None:
-            return jitted
-        if (jax.default_backend() == "cpu"
-                and os.environ.get("ADAFACE_AOT_CACHE_FORCE") != "1"):
-            # XLA:CPU AOT reload is unreliable under a multi-device virtual
-            # platform in this environment ("Buffer Definition Event ... not
-            # found" executing a deserialized scan program) — and the CPU
-            # compile it would skip is seconds, not the tunnel's minutes.
-            # ADAFACE_AOT_CACHE_FORCE=1 opts back in (single-device CPU
-            # round-trips fine; tests use it via subprocesses).
-            return jitted
-        state = {"fn": None}
-
-        def call(*args):
-            if state["fn"] is None:
-                import hashlib
-                import pickle
-
-                shapes = jax.tree_util.tree_map(
-                    lambda x: (getattr(x, "shape", None),
-                               str(getattr(x, "dtype", type(x).__name__))),
-                    args)
-                key_src = repr((sig, shapes, jax.__version__,
-                                jax.devices()[0].device_kind))
-                fname = (hashlib.sha256(key_src.encode()).hexdigest()[:24]
-                         + ".aot")
-                path = os.path.join(cache_dir, fname)
-                if os.path.exists(path):
-                    try:
-                        import time as _time
-
-                        from jax.experimental import serialize_executable as se
-
-                        t0 = _time.time()
-                        with open(path, "rb") as f:
-                            serialized, in_tree, out_tree = pickle.load(f)
-                        t1 = _time.time()
-                        # pin to the default device: on a multi-device
-                        # platform the default reload assigns the whole
-                        # device set and then expects N-sharded args
-                        state["fn"] = se.deserialize_and_load(
-                            serialized, in_tree, out_tree,
-                            execution_devices=[jax.devices()[0]])
-                        print(f"# AOT cache hit: read {t1 - t0:.1f}s, "
-                              f"load {_time.time() - t1:.1f}s ({path})")
-                    except Exception as e:  # stale/incompatible: recompile
-                        print(f"# AOT cache load failed ({e}); recompiling")
-                        state["fn"] = None
-                if state["fn"] is None:
-                    compiled = jitted.lower(*args).compile()
-                    try:
-                        from jax.experimental import serialize_executable as se
-
-                        os.makedirs(cache_dir, exist_ok=True)
-                        tmp = path + f".tmp{os.getpid()}"
-                        with open(tmp, "wb") as f:
-                            pickle.dump(se.serialize(compiled), f)
-                        os.replace(tmp, path)
-                    except Exception as e:  # cache is best-effort
-                        print(f"# AOT cache write failed: {e}")
-                    state["fn"] = compiled
-            return state["fn"](*args)
-
-        return call
+        return aot_wrap(sig, jitted, allow=self.mesh is None)
 
     # ----------------------------------------------------------- construction
     @classmethod
@@ -216,9 +144,19 @@ class StableDiffusionPipeline:
                     unet_cfg: Optional[UNetConfig] = None,
                     vae_cfg: Optional[VAEConfig] = None,
                     clip_cfg: Optional[CLIPTextConfig] = None,
-                    dtype=jnp.float32, num_extra_tokens: int = 8) -> "StableDiffusionPipeline":
+                    dtype=jnp.float32, num_extra_tokens: int = 8,
+                    on_device: bool = False) -> "StableDiffusionPipeline":
         """Random-weight pipeline (bench / smoke-test path; weight-file
-        loading goes through interop.sd_ckpt + from_params)."""
+        loading goes through interop.sd_ckpt + from_params).
+
+        `on_device=True` initializes all params in ONE jitted program on
+        the accelerator (flax initializers, already cast to `dtype`)
+        instead of host-init + upload: through the tunnel the ~1 GB bf16
+        upload costs 3-5 minutes at the observed 3-10 MB/s, which after the
+        AOT executable cache is the whole remaining cold start. The init
+        program is AOT-cached too, so a warm process starts in seconds.
+        Real-weight pipelines (`from_sd_checkpoint`) still pay the upload —
+        that part is physics, not compilation."""
         unet_cfg = unet_cfg or UNetConfig.sd_v1()
         vae_cfg = vae_cfg or VAEConfig.sd_v1()
         clip_cfg = clip_cfg or CLIPTextConfig.vit_l_14(num_extra_tokens=num_extra_tokens)
@@ -227,6 +165,36 @@ class StableDiffusionPipeline:
         unet = UNetModel(unet_cfg, dtype)
         vae = AutoencoderKL(vae_cfg, dtype)
         latc = unet_cfg.in_channels
+
+        if on_device:
+            from adaface_tpu.aot import aot_wrap
+
+            def init_all(k1, k2, k3):
+                cp = clip.init(
+                    k1, input_ids=jnp.zeros((1, 77), jnp.int32))["params"]
+                up = unet.init(
+                    k2, jnp.zeros((1, 8, 8, latc)), jnp.zeros((1,), jnp.int32),
+                    jnp.zeros((NUM_CA_LAYERS, 1, 77, unet_cfg.context_dim))
+                )["params"]
+                vp = vae.init(k3, jnp.zeros((1, 32, 32, 3)),
+                              jax.random.PRNGKey(0))["params"]
+                if dtype != jnp.float32:
+                    cast = lambda t: jax.tree_util.tree_map(
+                        lambda x: x.astype(dtype)
+                        if jnp.issubdtype(x.dtype, jnp.floating) else x, t)
+                    cp, up, vp = cast(cp), cast(up), cast(vp)
+                return cp, up, vp
+
+            sig = ("from_random_init", repr(unet_cfg), repr(vae_cfg),
+                   repr(clip_cfg), str(dtype))
+            clip_params, unet_params, vae_params = aot_wrap(
+                sig, jax.jit(init_all))(k1, k2, k3)
+            return cls(tokenizer=tokenizer, clip=clip,
+                       clip_params=clip_params, unet=unet,
+                       unet_params=unet_params, vae=vae,
+                       vae_params=vae_params,
+                       embedding_manager=EmbeddingManager(),
+                       base_sched=make_diffusion_schedule(), dtype=dtype)
 
         # Host-side init: build shapes abstractly (eval_shape) and fill with
         # numpy. The previous on-device init did one dispatch + one `any`

@@ -68,10 +68,12 @@ def main():
         from adaface_tpu.models.unet import UNetConfig
 
         kw["unet_cfg"] = UNetConfig.sd_v1(fuse_qkv=True)
+    # on_device: all params initialize in one jitted (AOT-cached) program
+    # on the chip, already bf16 — skips the ~1 GB host->device upload that
+    # dominates cold start once compilation is AOT-cached (bf16 weights
+    # halve the weight-side HBM traffic of every matmul/conv)
     pipe = StableDiffusionPipeline.from_random(
-        jax.random.PRNGKey(0), tok, dtype=jnp.bfloat16, **kw)
-    # bf16 weights: halves the weight-side HBM traffic of every matmul/conv
-    pipe.cast_params(jnp.bfloat16)
+        jax.random.PRNGKey(0), tok, dtype=jnp.bfloat16, on_device=True, **kw)
     tid = tok.add_placeholder("z")
     pipe.embedding_manager.add_placeholder("z", token_id=tid, num_vectors=9,
                                            init_key=jax.random.PRNGKey(7))
