@@ -84,7 +84,7 @@ class TeacherFilter:
         subj_comp_ctx: Tuple[jnp.ndarray, jnp.ndarray],  # (v, k) [L, N, T, D]
         mix_comp_ctx: Tuple[jnp.ndarray, jnp.ndarray],
         uncond_ctx: jnp.ndarray,  # [1 or L, N, T, D]
-        cls_comp_prompt: str,
+        cls_comp_prompt,  # str, or per-instance list of N strs (CB>1 blocks)
     ) -> FilterVerdict:
         N = x_start.shape[0]
         x2 = jnp.concatenate([x_start, x_start])
@@ -98,8 +98,11 @@ class TeacherFilter:
         imgs, x0 = self._denoise(x2, n2, t2, ctx_v, ctx_k, un2, scales)
         imgs255 = np.asarray((imgs * 255).astype(jnp.uint8))
 
+        pl = ([cls_comp_prompt] * N if isinstance(cls_comp_prompt, str)
+              else list(cls_comp_prompt))
+        assert len(pl) == N, f"{len(pl)} prompts for {N} candidates"
         sims = self.clip_scorer.txt_to_img_similarity(
-            [cls_comp_prompt] * 2 * N, imgs255, reduction="diag")
+            pl + pl, imgs255, reduction="diag")
         losses = 0.5 - np.asarray(sims)
         l_subj, l_mix = losses[:N], losses[N:]
         diffs = l_subj - l_mix
@@ -123,6 +126,10 @@ class CachedInits:
         use_background_token, ..."""
         self._store[subject] = {"x_start": np.asarray(x_start),
                                 "t": np.asarray(t), **extra}
+
+    def peek(self, subject: str) -> Optional[dict]:
+        """Non-destructive lookup (the CB>1 all-or-nothing reuse check)."""
+        return self._store.get(subject)
 
     def pop(self, subject: str) -> Optional[dict]:
         return self._store.pop(subject, None)

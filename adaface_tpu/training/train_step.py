@@ -1222,13 +1222,22 @@ def make_zero_shot_compos_step(
         frozen = jax.lax.stop_gradient(
             _gen_embs(fz["gen0"], batch, fz, arc_id_embs))
         B4 = batch.token_ids.shape[0]
+        CB = B4 // 4  # blocks per prompt type (dp under a mesh)
         subj = {}
         for s in live:
-            single = frozen_blend * frozen[s] + (1 - frozen_blend) * live[s]
-            # rows [subj_single, subj_comp, cls_single, cls_comp]; class
-            # rows carry slot -1 everywhere so their value is never read
-            rows = [single] + [live[s]] * (B4 - 1)
-            subj[s] = jnp.concatenate(rows, axis=1)  # [L, 4B, K, D]
+            # [L, G, K, D]: G = CB per-block identities, or 1 shared
+            # identity broadcast over the blocks
+            lv, fr = live[s], frozen[s]
+            if lv.shape[1] != CB:
+                shape = (lv.shape[0], CB) + lv.shape[2:]
+                lv = jnp.broadcast_to(lv, shape)
+                fr = jnp.broadcast_to(fr, shape)
+            single = frozen_blend * fr + (1 - frozen_blend) * lv
+            # type-major rows [subj_single(CB), subj_comp(CB), cls_single,
+            # cls_comp]; class rows carry slot -1 everywhere so their
+            # value is never read
+            subj[s] = jnp.concatenate([single, lv, lv, lv],
+                                      axis=1)  # [L, 4CB, K, D]
         if batch.emb_noise_std is not None and batch.emb_noise_key is not None:
             from adaface_tpu.ops.grad import add_noise_to_tensor
 

@@ -607,7 +607,7 @@ class Trainer:
             step, self.mgr.embedders, self.opt_state, batch, self._frozen)
         return metrics
 
-    def _compos_x_start(self, plan: IterPlan, e: dict, latents, fg_latent,
+    def _compos_x_start(self, plan: IterPlan, ex: list, latents, fg_latent,
                         prompts):
         """Reuse-init restore or fresh x_start-mode dispatch, shared by the
         static and zero-shot compos paths. On reuse the cached iteration's
@@ -616,28 +616,51 @@ class Trainer:
         fg_mask — because the cached reconstruction was denoised UNDER
         those prompts ("the 4 types of prompts have to be the same as this
         iter"); distilling it under freshly-sampled prompts would pair the
-        teacher's composition with the wrong text. Returns
-        (latents, fg_latent, prompts, prev_t, cache_entry-or-None)."""
-        prev_t, entry = None, None
-        if (self.cached_inits is not None
-                and e["subject_name"] in self.cached_inits):
+        teacher's composition with the wrong text.
+
+        `ex` is the CB-block example list (CB = 1 single-device, dp over a
+        mesh — one block per chip, the per-rank BLOCK_SIZE=1 analog).
+        Reuse-init fires only when EVERY block's subject has a cached
+        entry and the cached iteration flags agree (the flags are
+        batch-global under SPMD); otherwise all blocks run fresh and the
+        entries stay cached for a later uniform hit. Returns
+        (latents, fg_latent, prompts [4*CB type-major], prev_t,
+        cache_entries-or-None)."""
+        CB = len(ex)
+        prev_t, entries = None, None
+        flag_keys = ("use_background_token",
+                     "comp_init_fg_from_training_image", "use_wds_comp")
+        if self.cached_inits is not None:
+            cand = [self.cached_inits.peek(e["subject_name"]) for e in ex]
+            if all(c is not None for c in cand) and all(
+                    all(bool(c.get(k, False)) == bool(cand[0].get(k, False))
+                        for k in flag_keys) for c in cand):
+                entries = [self.cached_inits.pop(e["subject_name"])
+                           for e in ex]
+        if entries is not None:
             # reuse-init follow-up iteration at mid-range t (`ddpm.py:2604-2635`)
-            entry = self.cached_inits.pop(e["subject_name"])
-            latents = jnp.asarray(entry["x_start"][:1])
-            prev_t = entry["t"][:1]
-            if entry.get("fg_mask") is not None:
-                fg_latent = entry["fg_mask"]
-            if entry.get("prompts") is not None:
-                prompts = list(entry["prompts"])
+            latents = jnp.concatenate(
+                [jnp.asarray(c["x_start"][:1]) for c in entries])
+            prev_t = np.concatenate([np.asarray(c["t"][:1])
+                                     for c in entries])
+            if all(c.get("fg_mask") is not None for c in entries):
+                fg_latent = np.concatenate(
+                    [np.asarray(c["fg_mask"])[:1] for c in entries])
+            if all(c.get("prompts") is not None for c in entries):
+                # each entry caches its block's [ss, sc, cs, cc]; rebuild
+                # the type-major battery
+                per = [list(c["prompts"]) for c in entries]
+                prompts = [p[k] for k in range(4) for p in per]
+            e0 = entries[0]
             plan.reuse_init_conds = True
             plan.do_teacher_filter = False
             plan.use_background_token = bool(
-                entry.get("use_background_token", plan.use_background_token))
+                e0.get("use_background_token", plan.use_background_token))
             # the previous iter's fg-init mode carries over (`ddpm.py:2609-2612`)
             plan.comp_init_fg_from_training_image = bool(
-                entry.get("comp_init_fg_from_training_image", False))
+                e0.get("comp_init_fg_from_training_image", False))
             # ... as does use_wds_comp (`ddpm.py:1911`)
-            plan.use_wds_comp = bool(entry.get("use_wds_comp", False))
+            plan.use_wds_comp = bool(e0.get("use_wds_comp", False))
         else:
             # fresh compos iter: x_start = training-image fg scaled onto
             # noise, or pure noise (`ddpm.py:2645-2664`). wds compos iters
@@ -660,20 +683,20 @@ class Trainer:
                 plan.comp_init_fg_from_training_image = False
                 latents = jnp.asarray(
                     self.rng.standard_normal(latents.shape), jnp.float32)
-        return latents, fg_latent, prompts, prev_t, entry
+        return latents, fg_latent, prompts, prev_t, entries
 
-    def _cache_teacher_recon(self, e: dict, verdict, t, fg_latent,
+    def _cache_teacher_recon(self, e: dict, x_recon, t, fg_latent,
                              plan: IterPlan, prompts, **zs_extra):
-        """Cache the best candidate's CFG reconstruction (under the SUBJECT
+        """Cache a best candidate's CFG reconstruction (under the SUBJECT
         context, `x_recon.chunk(2)[0]`, `ddpm.py:3144-3177`) together with
-        the conditioning it was denoised under (prompts +
-        use_background_token; zs features via `zs_extra` on the zero-shot
-        path) — the follow-up reuse-init iteration restores all of it."""
+        the conditioning it was denoised under (this block's [ss, sc, cs,
+        cc] prompts + use_background_token; zs features via `zs_extra` on
+        the zero-shot path) — the follow-up reuse-init iteration restores
+        all of it."""
         if self.cached_inits is None:
             return
-        i = verdict.best_cand_idx
         self.cached_inits.put(
-            e["subject_name"], verdict.x_recons[i:i + 1], t,
+            e["subject_name"], np.asarray(x_recon), t,
             fg_mask=np.asarray(fg_latent),
             prompts=list(prompts),
             use_background_token=bool(plan.use_background_token),
@@ -682,20 +705,59 @@ class Trainer:
             use_wds_comp=bool(plan.use_wds_comp),
             **zs_extra)
 
-    def _wds_compos_swap(self, plan: IterPlan, e: dict) -> None:
+    def _filter_verdict_per_block(self, verdict, n_cand: int, CB: int):
+        """Per-block teachability from a flat candidate verdict: reshape
+        the [n_cand*CB] CLIP losses to [n_cand, CB], apply the reference's
+        thresholds per block, and pick each block's best candidate (its
+        largest teacher-student gap among its teachable candidates, or
+        its best-scoring one as fallback — at CB==1 this reduces exactly
+        to the reference's single-block behavior, `ddpm.py:3047-3131`).
+        Returns (any_teachable, best_cand [CB], teachable [CB])."""
+        tf = self.teacher_filter
+        l_subj = np.asarray(verdict.losses_subj_comp).reshape(n_cand, CB)
+        l_mix = np.asarray(verdict.losses_mix_comp).reshape(n_cand, CB)
+        diffs = l_subj - l_mix
+        teachable = ((l_mix <= tf.clip_loss_thres)
+                     & (diffs > tf.cls_subj_clip_margin))  # [n_cand, CB]
+        masked = np.where(teachable, diffs, -1e4)
+        best = np.argmax(masked, axis=0)  # [CB]
+        return bool(teachable.any()), best, teachable.any(axis=0)
+
+    def _cache_filtered_blocks(self, ex, verdict, best, block_teachable,
+                               cand_t, fg_latent, plan, prompts, n_cand,
+                               zs_extra_fn=None):
+        """Per-block reuse-init caching after teacher filtering: each
+        teachable block caches ITS best candidate's subject-context
+        reconstruction with its own 4 prompts and mask."""
+        CB = len(ex)
+        for b in range(CB):
+            if not block_teachable[b]:
+                continue
+            i = int(best[b]) * CB + b
+            extra = zs_extra_fn(b) if zs_extra_fn is not None else {}
+            self._cache_teacher_recon(
+                ex[b], verdict.x_recons[i:i + 1],
+                np.asarray(cand_t)[i:i + 1],
+                np.asarray(fg_latent)[b:b + 1],
+                plan, [prompts[k * CB + b] for k in range(4)], **extra)
+
+    def _wds_compos_swap(self, plan: IterPlan, ex: list) -> None:
         """Compos-iter wds composite (`ddpm.py:1488-1515`): 20% of compos
         iters start from the bg-ONLY wds image (subject not overlaid) kept
         intact as x_start, with `comp_init_fg_from_training_image` forced
-        on (`ddpm.py:1536-1543`). Mutates `plan` and `e` in place; the
-        comp-prompt extras swap happens in the caller (the prompts are
-        known only after suffix selection)."""
+        on (`ddpm.py:1536-1543`). Mutates `plan` and the examples in
+        place; the comp-prompt extras swap happens in the caller (the
+        prompts are known only after suffix selection). All-or-nothing
+        across the CB blocks — the plan flags are batch-global."""
         if (self.compositor is None
                 or self.rng.random() >= self.cfg.p_wds_comp_compos):
             return
-        self._composite(e)
-        if not e.get("has_wds_comp"):
+        for e in ex:
+            self._composite(e)
+        if not all(e.get("has_wds_comp") for e in ex):
             return
-        e["image"] = e["wds_image_bgonly"]
+        for e in ex:
+            e["image"] = e["wds_image_bgonly"]
         plan.use_wds_comp = True
         plan.comp_init_fg_from_training_image = True
 
@@ -710,11 +772,11 @@ class Trainer:
         return [prompts[0], prompts[0] + extra,
                 prompts[2], prompts[2] + extra]
 
-    def _run_compos(self, plan: IterPlan):
-        # BLOCK_SIZE=1 (`ddpm.py:1971-2141`): one instance per prompt type
-        ex = self._draw_examples(1)
-        e = ex[0]
-        self._wds_compos_swap(plan, e)
+    def _compos_prompt_battery(self, plan: IterPlan, ex: list):
+        """Type-major 4-type prompt battery over the CB blocks
+        ([ss_0..ss_CB-1, sc_0.., cs_0.., cc_0..], matching the step's
+        `ctx[:, :B]` slicing) with the richest suffix whose FULL battery
+        exists in EVERY block (`ddpm.py:1588-1612`)."""
         bg = plan.use_background_token
         fp = plan.use_fp_trick
 
@@ -722,62 +784,82 @@ class Trainer:
             return [f"subj_prompt_single{suffix}", f"subj_prompt_comp{suffix}",
                     f"cls_prompt_single{suffix}", f"cls_prompt_comp{suffix}"]
 
-        # pick the richest suffix whose FULL 4-type battery exists, so the
-        # prompt types stay token-aligned (`ddpm.py:1588-1612`)
         suffix = ""
         for cand in (["_fp_bg"] if (fp and bg) else []) + \
                 (["_fp"] if fp else []) + (["_bg"] if bg else []) + [""]:
-            if all(k in e for k in keys_for(cand)):
+            if all(k in e for e in ex for k in keys_for(cand)):
                 suffix = cand
                 break
-        prompts = [e[k].split("|")[0] for k in keys_for(suffix)]
-        prompts = self._wds_comp_prompts(plan, e, prompts)
-        latents = self._latents(e["image"][None])
+        per_block = [
+            self._wds_comp_prompts(
+                plan, e, [e[k].split("|")[0] for k in keys_for(suffix)])
+            for e in ex]
+        return [p[k] for k in range(4) for p in per_block]
+
+    def _run_compos(self, plan: IterPlan):
+        # BLOCK_SIZE=1 per device (`ddpm.py:1971-2141`, one instance per
+        # prompt type per rank); over a mesh one block per chip (CB = dp)
+        CB = self._dp
+        ex = self._draw_examples(CB)
+        self._wds_compos_swap(plan, ex)
+        prompts = self._compos_prompt_battery(plan, ex)
+        latents = self._latents(np.stack([e["image"] for e in ex]))
         lh, lw = latents.shape[1:3]
-        fg_latent = self._mask_to_latent(e["fg_mask"][None], lh, lw)
-        if not e.get("has_fg_mask", True):
-            # filtered_fg_mask semantics (`ddpm.py:2648-2650`): a maskless
-            # instance must not "preserve" its all-1 default mask (that
-            # would force-remember the background); zeroing also disables
-            # fg-init via the sum() gate below
-            fg_latent = np.zeros_like(fg_latent)
+        fg_latent = self._mask_to_latent(
+            np.stack([e["fg_mask"] for e in ex]), lh, lw)
+        for b, e in enumerate(ex):
+            if not e.get("has_fg_mask", True):
+                # filtered_fg_mask semantics (`ddpm.py:2648-2650`): a
+                # maskless instance must not "preserve" its all-1 default
+                # mask (that would force-remember the background); zeroing
+                # also disables fg-init via the sum() gate below
+                fg_latent[b] = 0.0
         latents, fg_latent, prompts, prev_t, _ = self._compos_x_start(
-            plan, e, latents, fg_latent, prompts)
+            plan, ex, latents, fg_latent, prompts)
         # tokenize AFTER the cache check: a reuse-init iter restores the
         # cached iteration's prompt battery
         ids = self.pipe.tokenizer(prompts)
         slots = self.mgr.build_slot_maps(ids)
         subj_string = next(s for s, info in self.mgr.placeholders.items()
                            if not info.is_background)
-        t = sample_timesteps(self.rng, plan, 1, self.plan_cfg, prev_t=prev_t)
+        t = sample_timesteps(self.rng, plan, CB, self.plan_cfg, prev_t=prev_t)
         noise = jnp.asarray(self.rng.standard_normal(latents.shape), jnp.float32)
 
         if (self.teacher_filter is not None and plan.do_teacher_filter
                 and not plan.reuse_init_conds):
             n_cand = self.plan_cfg.num_candidate_teachers
-            cand_x = jnp.concatenate([latents] * n_cand)
+            cand_x = jnp.concatenate([latents] * n_cand)  # cand-major
             cand_noise = jnp.asarray(
                 self.rng.standard_normal(cand_x.shape), jnp.float32)
             cand_t = jnp.asarray(
-                sample_timesteps(self.rng, plan, n_cand, self.plan_cfg),
+                sample_timesteps(self.rng, plan, n_cand * CB, self.plan_cfg),
                 jnp.int32)
             ctx = self._compos_contexts(ids, slots, plan, cand_t)
             verdict = self.teacher_filter.filter(
                 cand_x, cand_noise, cand_t,
                 ctx["subj_comp"], ctx["mix_comp"], ctx["uncond"],
-                prompts[3])
-            if self.image_logger is not None and                     self.image_logger.should_log(self.global_step):
-                colors = [2 if i == verdict.best_cand_idx else 1
-                          for i in range(2 * n_cand)]
+                prompts[3 * CB:] * n_cand)  # per-instance cc prompts
+            ok, best, block_ok = self._filter_verdict_per_block(
+                verdict, n_cand, CB)
+            if self.image_logger is not None \
+                    and self.image_logger.should_log(self.global_step):
+                sel = {int(best[b]) * CB + b for b in range(CB)
+                       if block_ok[b]}
+                colors = [2 if i % (n_cand * CB) in sel else 1
+                          for i in range(2 * n_cand * CB)]
                 self.image_logger.log_candidates(self.global_step,
                                                  verdict.images, colors)
-            if not verdict.is_teachable:
+            if not ok:
                 # skip the distillation loss this iter (`ddpm.py:3047-3050`)
                 return {"loss": jnp.asarray(0.0), "skipped_unteachable": 1.0}
-            i = verdict.best_cand_idx
-            noise = cand_noise[i:i + 1]
-            t = np.asarray(cand_t)[i:i + 1]
-            self._cache_teacher_recon(e, verdict, t, fg_latent, plan, prompts)
+            # gather each block's best candidate (unteachable blocks keep
+            # their best-scoring candidate — at CB==1 unreachable since
+            # `ok` implies the single block is teachable)
+            rows = np.asarray([int(best[b]) * CB + b for b in range(CB)])
+            noise = cand_noise[rows]
+            t = np.asarray(cand_t)[rows]
+            self._cache_filtered_blocks(ex, verdict, best, block_ok, cand_t,
+                                        fg_latent, plan, prompts, n_cand)
 
         compel_level, compel_mask = 0.0, None
         if self.cfg.apply_compel_cfg_prob > 0:
@@ -786,9 +868,9 @@ class Trainer:
             compel_level, compel_mask = sample_compel_cfg(
                 self.rng, self.cfg.apply_compel_cfg_prob,
                 self.cfg.compel_cfg_weight_level_range,
-                n_instances=4, is_training=True)
+                n_instances=4 * CB, is_training=True)
             if compel_mask is None:  # keep the jit signature stable
-                compel_mask = jnp.ones((4,), jnp.float32)
+                compel_mask = jnp.ones((4 * CB,), jnp.float32)
         noise_kw = {}
         if plan.emb_noise_std > 0:
             noise_kw = dict(
@@ -898,7 +980,7 @@ class Trainer:
         s_vk, m_vk = mix_static_vk_embeddings(
             sc, cc, st, plan.training_percent, t_frac,
             k_cls_scale_range=(r[0], r[1]), v_cls_scale_range=(r[2], r[3]))
-        uncond = self.pipe.encode_negative("", n_cand)
+        uncond = self.pipe.encode_negative("", n_cand * B)
         return {
             "subj_comp": (s_vk[:, :, :T], s_vk[:, :, T:]),
             "mix_comp": (m_vk[:, :, :T], m_vk[:, :, T:]),

@@ -180,8 +180,8 @@ class ZeroShotTrainer(Trainer):
 
     def _zs_subject_embs(self, feats, id_embs):
         """No-grad zero-shot subject embeddings from the LIVE generators:
-        placeholder -> [L, 1, K, D] (the filter-pass analog of
-        `_gen_embs` inside the jitted step)."""
+        placeholder -> [L, CB, K, D] over the CB blocks (the filter-pass
+        analog of `_gen_embs` inside the jitted step)."""
         from adaface_tpu.personalization.arc2face import forward_face_embs_fn
 
         enc, enc_p = self._arc_encoder, self._arc_frozen
@@ -197,7 +197,7 @@ class ZeroShotTrainer(Trainer):
         for s, gen in self.generators.items():
             f = feats.clip_bg if s in self.bg_placeholders else feats.clip_fg
             embs, _ = gen.apply(
-                {"params": self.gen_params[s]}, f[:1], None, arc_id_embs,
+                {"params": self.gen_params[s]}, f, None, arc_id_embs,
                 is_face=True, is_training=True,
                 inverse_template_ids=self._inv_ids)
             subj[s] = jnp.transpose(embs, (1, 0, 2, 3))
@@ -215,7 +215,10 @@ class ZeroShotTrainer(Trainer):
         p = self.pipe
         subj = self._zs_subject_embs(feats, id_embs)
         B4 = ids.shape[0]
-        subj4 = {s: jnp.concatenate([v] * B4, axis=1) for s, v in subj.items()}
+        # tile the [L, CB, K, D] per-block embeddings over the 4 prompt
+        # types (type-major rows: [ss(CB), sc(CB), cs(CB), cc(CB)])
+        subj4 = {s: jnp.concatenate([v] * (B4 // v.shape[1]), axis=1)
+                 for s, v in subj.items()}
         embedded = p.clip.apply({"params": p.clip_params}, jnp.asarray(ids),
                                 method=type(p.clip).embed_tokens)
         patched = EmbeddingManager.patch_prompt_embeddings(
@@ -232,90 +235,102 @@ class ZeroShotTrainer(Trainer):
             ctx, jnp.asarray(slots[subj_string]), plan, t, T)
 
     def _run_zs_compos(self, plan):
-        """Zero-shot compositional distillation iteration (BLOCK_SIZE=1,
-        same_subject_in_batch): generator-produced subject embeddings with
-        the frozen-copy blend on the subj-single block, CLIP teacher
-        filtering and reuse-init caching (`ddpm.py:3039-3180`, `:2604-2635`)
-        when `set_teacher_filter` is active."""
-        ex = self._draw_examples(1)
-        e = ex[0]
-        self._wds_compos_swap(plan, e)
-
-        def keys_for(suffix):
-            return [f"subj_prompt_single{suffix}", f"subj_prompt_comp{suffix}",
-                    f"cls_prompt_single{suffix}", f"cls_prompt_comp{suffix}"]
-
-        # same richest-suffix cascade as the static path: fp_bg > fp > bg
-        # > plain (`ddpm.py:1588-1612`); zs corpora are faces, so the _fp
-        # battery exists and the fp trick applies on compos iters too
-        bg, fp = plan.use_background_token, plan.use_fp_trick
-        suffix = ""
-        for cand in (["_fp_bg"] if (fp and bg) else []) + \
-                (["_fp"] if fp else []) + (["_bg"] if bg else []) + [""]:
-            if all(k in e for k in keys_for(cand)):
-                suffix = cand
-                break
-        prompts = [e[k].split("|")[0] for k in keys_for(suffix)]
-        prompts = self._wds_comp_prompts(plan, e, prompts)
-        latents = self._latents(e["image"][None])
+        """Zero-shot compositional distillation iteration (BLOCK_SIZE=1
+        per device, same_subject_in_batch; CB = dp blocks over a mesh):
+        generator-produced subject embeddings with the frozen-copy blend
+        on the subj-single block, CLIP teacher filtering and reuse-init
+        caching (`ddpm.py:3039-3180`, `:2604-2635`) when
+        `set_teacher_filter` is active."""
+        CB = self._dp
+        ex = self._draw_examples(CB)
+        self._wds_compos_swap(plan, ex)
+        prompts = self._compos_prompt_battery(plan, ex)
+        latents = self._latents(np.stack([e["image"] for e in ex]))
         lh, lw = latents.shape[1:3]
-        fg_latent = self._mask_to_latent(e["fg_mask"][None], lh, lw)
-        if not e.get("has_fg_mask", True):
-            # filtered_fg_mask semantics (`ddpm.py:2648-2650`)
-            fg_latent = np.zeros_like(fg_latent)
-        latents, fg_latent, prompts, prev_t, entry = self._compos_x_start(
-            plan, e, latents, fg_latent, prompts)
+        fg_latent = self._mask_to_latent(
+            np.stack([e["fg_mask"] for e in ex]), lh, lw)
+        for b, e in enumerate(ex):
+            if not e.get("has_fg_mask", True):
+                # filtered_fg_mask semantics (`ddpm.py:2648-2650`)
+                fg_latent[b] = 0.0
+        latents, fg_latent, prompts, prev_t, entries = self._compos_x_start(
+            plan, ex, latents, fg_latent, prompts)
         # tokenize AFTER the cache check (reuse restores the cached
         # iteration's prompt battery)
         ids = self.pipe.tokenizer(prompts)
         slots = self.mgr.build_slot_maps(ids)
         subj_string = next(s for s in self.generators
                            if s not in self.bg_placeholders)
-        if entry is not None and entry.get("zs_feats") is not None:
+        if entries is not None and all(
+                c.get("zs_feats") is not None for c in entries):
             # the reference also caches/restores the zs conditioning
             # (`zs_clip_features`/`zs_id_embs`, `ddpm.py:3173-3176`,
             # `:1913-1915`): the cached recon was denoised under THESE
             # reference-image features, which may differ from this draw's
-            feats, id_embs = entry["zs_feats"], entry["zs_id_embs"]
+            from adaface_tpu.personalization.zero_shot import ZeroShotFeatures
+
+            fs = [c["zs_feats"] for c in entries]
+            feats = ZeroShotFeatures(
+                clip_fg=jnp.concatenate([f.clip_fg[:1] for f in fs]),
+                clip_bg=jnp.concatenate([f.clip_bg[:1] for f in fs]),
+                id_embs=None)
+            id_embs = jnp.concatenate(
+                [jnp.asarray(c["zs_id_embs"])[:1] for c in entries])
         else:
-            feats = self.extractor.encode([e["image_unnorm"]], [e["fg_mask"]],
+            feats = self.extractor.encode([e["image_unnorm"] for e in ex],
+                                          [e["fg_mask"] for e in ex],
                                           is_face=True)
             id_embs = feats.id_embs if feats.id_embs is not None else \
-                jnp.asarray(self.rng.standard_normal((1, 512)), jnp.float32)
-        t = sample_timesteps(self.rng, plan, 1, self.plan_cfg, prev_t=prev_t)
+                jnp.asarray(self.rng.standard_normal((CB, 512)), jnp.float32)
+        t = sample_timesteps(self.rng, plan, CB, self.plan_cfg, prev_t=prev_t)
         noise = jnp.asarray(self.rng.standard_normal(latents.shape),
                             jnp.float32)
 
         if (self.teacher_filter is not None and plan.do_teacher_filter
                 and not plan.reuse_init_conds):
             n_cand = self.plan_cfg.num_candidate_teachers
-            cand_x = jnp.concatenate([latents] * n_cand)
+            cand_x = jnp.concatenate([latents] * n_cand)  # cand-major
             cand_noise = jnp.asarray(
                 self.rng.standard_normal(cand_x.shape), jnp.float32)
             cand_t = jnp.asarray(
-                sample_timesteps(self.rng, plan, n_cand, self.plan_cfg),
+                sample_timesteps(self.rng, plan, n_cand * CB, self.plan_cfg),
                 jnp.int32)
             ctx = self._zs_compos_contexts(ids, slots, plan, cand_t,
                                            feats, id_embs)
             verdict = self.teacher_filter.filter(
                 cand_x, cand_noise, cand_t,
                 ctx["subj_comp"], ctx["mix_comp"], ctx["uncond"],
-                prompts[3])
+                prompts[3 * CB:] * n_cand)
+            ok, best, block_ok = self._filter_verdict_per_block(
+                verdict, n_cand, CB)
             if self.image_logger is not None \
                     and self.image_logger.should_log(self.global_step):
-                colors = [2 if i == verdict.best_cand_idx else 1
-                          for i in range(2 * n_cand)]
+                sel = {int(best[b]) * CB + b for b in range(CB)
+                       if block_ok[b]}
+                colors = [2 if i % (n_cand * CB) in sel else 1
+                          for i in range(2 * n_cand * CB)]
                 self.image_logger.log_candidates(self.global_step,
                                                  verdict.images, colors)
-            if not verdict.is_teachable:
+            if not ok:
                 # skip the distillation loss this iter (`ddpm.py:3047-3050`)
                 return {"loss": jnp.asarray(0.0), "skipped_unteachable": 1.0}
-            i = verdict.best_cand_idx
-            noise = cand_noise[i:i + 1]
-            t = np.asarray(cand_t)[i:i + 1]
-            self._cache_teacher_recon(e, verdict, t, fg_latent, plan,
-                                      prompts, zs_feats=feats,
-                                      zs_id_embs=id_embs)
+            rows = np.asarray([int(best[b]) * CB + b for b in range(CB)])
+            noise = cand_noise[rows]
+            t = np.asarray(cand_t)[rows]
+
+            def zs_extra(b):
+                from adaface_tpu.personalization.zero_shot import (
+                    ZeroShotFeatures,
+                )
+
+                return dict(zs_feats=ZeroShotFeatures(
+                    clip_fg=feats.clip_fg[b:b + 1],
+                    clip_bg=feats.clip_bg[b:b + 1], id_embs=None),
+                    zs_id_embs=np.asarray(id_embs)[b:b + 1])
+
+            self._cache_filtered_blocks(ex, verdict, best, block_ok, cand_t,
+                                        fg_latent, plan, prompts, n_cand,
+                                        zs_extra_fn=zs_extra)
 
         noise_kw = {}
         if plan.emb_noise_std > 0:
@@ -333,8 +348,8 @@ class ZeroShotTrainer(Trainer):
             noise=noise,  # the filter-selected candidate's noise when teachable
             t_frac=jnp.asarray(t / self.plan_cfg.num_timesteps, jnp.float32),
             training_percent=jnp.asarray(plan.training_percent, jnp.float32),
-            clip_fg=feats.clip_fg[:1], clip_bg=feats.clip_bg[:1],
-            id_embs=id_embs[:1],
+            clip_fg=feats.clip_fg[:CB], clip_bg=feats.clip_bg[:CB],
+            id_embs=jnp.asarray(id_embs)[:CB],
             cls_mix_ranges=jnp.asarray(self._cls_mix_ranges(plan)),
             dropout_key=self._dropout_key(),
             preserve_loss_scale=jnp.asarray(
