@@ -34,20 +34,26 @@ def aot_wrap(sig, jitted, allow: bool = True):
     if (jax.default_backend() == "cpu"
             and os.environ.get("ADAFACE_AOT_CACHE_FORCE") != "1"):
         return jitted
-    state = {"fn": None}
+    # keyed per resolved (arg shapes + pytree) so a caller whose argument
+    # STRUCTURE changes between calls (e.g. a new placeholder embedder in
+    # the params tree) retraces like plain @jax.jit instead of invoking a
+    # baked Compiled with a mismatched pytree
+    state: dict = {}
 
     def call(*args):
-        if state["fn"] is None:
-            import hashlib
-            import pickle
+        import hashlib
+        import pickle
 
-            shapes = jax.tree_util.tree_map(
-                lambda x: (getattr(x, "shape", None),
-                           str(getattr(x, "dtype", type(x).__name__))),
-                args)
-            key_src = repr((sig, shapes, jax.__version__,
-                            jax.devices()[0].device_kind))
-            fname = hashlib.sha256(key_src.encode()).hexdigest()[:24] + ".aot"
+        shapes = jax.tree_util.tree_map(
+            lambda x: (getattr(x, "shape", None),
+                       str(getattr(x, "dtype", type(x).__name__))),
+            args)
+        key_src = repr((sig, shapes,
+                        jax.tree_util.tree_structure(args),
+                        jax.__version__, jax.devices()[0].device_kind))
+        fname = hashlib.sha256(key_src.encode()).hexdigest()[:24] + ".aot"
+        if fname not in state:
+            state[fname] = None
             path = os.path.join(cache_dir, fname)
             if os.path.exists(path):
                 try:
@@ -62,15 +68,15 @@ def aot_wrap(sig, jitted, allow: bool = True):
                     # pin to the default device: on a multi-device platform
                     # the default reload assigns the whole device set and
                     # then expects N-sharded args
-                    state["fn"] = se.deserialize_and_load(
+                    state[fname] = se.deserialize_and_load(
                         serialized, in_tree, out_tree,
                         execution_devices=[jax.devices()[0]])
                     print(f"# AOT cache hit: read {t1 - t0:.1f}s, "
                           f"load {_time.time() - t1:.1f}s ({path})")
                 except Exception as e:  # stale/incompatible: recompile
                     print(f"# AOT cache load failed ({e}); recompiling")
-                    state["fn"] = None
-            if state["fn"] is None:
+                    state[fname] = None
+            if state[fname] is None:
                 compiled = jitted.lower(*args).compile()
                 try:
                     from jax.experimental import serialize_executable as se
@@ -82,7 +88,7 @@ def aot_wrap(sig, jitted, allow: bool = True):
                     os.replace(tmp, path)
                 except Exception as e:  # cache is best-effort
                     print(f"# AOT cache write failed: {e}")
-                state["fn"] = compiled
-        return state["fn"](*args)
+                state[fname] = compiled
+        return state[fname](*args)
 
     return call

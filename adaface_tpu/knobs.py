@@ -43,8 +43,20 @@ def intval(name: str, default) -> int:
     return int(os.environ.get(name, default))
 
 
+# Host-side operational vars that can NEVER affect a traced program —
+# excluded from fingerprint() so flipping them (a different cache path, a
+# bench mode, a trace dir) doesn't invalidate every compiled-program cache
+# entry and re-pay the remote compile for byte-identical programs.
+_HOST_ONLY = frozenset({
+    "ADAFACE_AOT_CACHE", "ADAFACE_AOT_CACHE_FORCE", "ADAFACE_COMPILE_CACHE",
+    "ADAFACE_TRACE_DIR", "ADAFACE_BENCH_BATCH", "ADAFACE_BENCH_LATENCY",
+    "ADAFACE_BENCH_PIPELINE_DEPTH", "ADAFACE_TEST_JAX_CACHE",
+})
+
+
 def fingerprint() -> tuple:
-    """Resolved (name, value) pairs of every ADAFACE_* env var, sorted —
-    the cache-key component that makes in-process knob flips retrace."""
+    """Resolved (name, value) pairs of every trace-affecting ADAFACE_* env
+    var, sorted — the cache-key component that makes in-process knob flips
+    retrace."""
     return tuple(sorted((k, v) for k, v in os.environ.items()
-                        if k.startswith(_PREFIX)))
+                        if k.startswith(_PREFIX) and k not in _HOST_ONLY))

@@ -132,10 +132,15 @@ class StableDiffusionPipeline:
         (`adaface_tpu.aot.aot_wrap`): the first call per (signature, arg
         shapes) either loads the serialized executable — skipping the
         remote-side compile entirely — or compiles once and serializes it
-        for every future process. Single-device programs only (mesh
-        lowerings bake shardings)."""
+        for every future process. The model configs + dtype join the
+        signature: shape-invariant config changes (e.g. num_heads) alter
+        the program without altering any arg shape, and must not collide
+        in the on-disk cache. Single-device programs only (mesh lowerings
+        bake shardings)."""
         from adaface_tpu.aot import aot_wrap
 
+        sig = (sig, repr(self.unet.cfg), repr(self.vae.cfg),
+               repr(self.clip.cfg), str(self.dtype))
         return aot_wrap(sig, jitted, allow=self.mesh is None)
 
     # ----------------------------------------------------------- construction
@@ -167,32 +172,54 @@ class StableDiffusionPipeline:
         latc = unet_cfg.in_channels
 
         if on_device:
+            # ON-DEVICE twin of host_init below: eval_shape the param trees
+            # on host, then ONE jitted (AOT-cached) program fills every
+            # leaf with randn*0.02 / ones-for-norm-scales from a per-leaf
+            # folded key — NOT the flax module initializers, whose
+            # zero-init output convs would make a random UNet context-blind
+            # (eps == 0; the exact hazard the host-init comment documents).
+            # Skips the ~1 GB host->device upload that dominates cold start
+            # once compilation is AOT-cached (PERF.md round 4).
             from adaface_tpu.aot import aot_wrap
 
-            def init_all(k1, k2, k3):
-                cp = clip.init(
-                    k1, input_ids=jnp.zeros((1, 77), jnp.int32))["params"]
-                up = unet.init(
+            def tree_shapes(fn):
+                return jax.eval_shape(fn)["params"]
+
+            shapes = {
+                "clip": tree_shapes(lambda: clip.init(
+                    k1, input_ids=jnp.zeros((1, 77), jnp.int32))),
+                "unet": tree_shapes(lambda: unet.init(
                     k2, jnp.zeros((1, 8, 8, latc)), jnp.zeros((1,), jnp.int32),
-                    jnp.zeros((NUM_CA_LAYERS, 1, 77, unet_cfg.context_dim))
-                )["params"]
-                vp = vae.init(k3, jnp.zeros((1, 32, 32, 3)),
-                              jax.random.PRNGKey(0))["params"]
-                if dtype != jnp.float32:
-                    cast = lambda t: jax.tree_util.tree_map(
-                        lambda x: x.astype(dtype)
-                        if jnp.issubdtype(x.dtype, jnp.floating) else x, t)
-                    cp, up, vp = cast(cp), cast(up), cast(vp)
-                return cp, up, vp
+                    jnp.zeros((NUM_CA_LAYERS, 1, 77, unet_cfg.context_dim)))),
+                "vae": tree_shapes(lambda: vae.init(
+                    k3, jnp.zeros((1, 32, 32, 3)), jax.random.PRNGKey(0))),
+            }
+            paths, treedef = jax.tree_util.tree_flatten_with_path(shapes)
+
+            def init_all(key):
+                out = []
+                for i, (path, s) in enumerate(paths):
+                    kp = str(getattr(path[-1], "key", path[-1]))
+                    if "scale" in kp or ("norm" in kp and "bias" not in kp):
+                        arr = jnp.ones(s.shape, jnp.float32)
+                    elif s.ndim == 0:
+                        arr = jnp.zeros((), jnp.float32)
+                    else:
+                        arr = 0.02 * jax.random.normal(
+                            jax.random.fold_in(key, i), s.shape, jnp.float32)
+                    if dtype != jnp.float32 and jnp.issubdtype(
+                            s.dtype, jnp.floating):
+                        arr = arr.astype(dtype)
+                    out.append(arr)
+                return jax.tree_util.tree_unflatten(treedef, out)
 
             sig = ("from_random_init", repr(unet_cfg), repr(vae_cfg),
                    repr(clip_cfg), str(dtype))
-            clip_params, unet_params, vae_params = aot_wrap(
-                sig, jax.jit(init_all))(k1, k2, k3)
+            params = aot_wrap(sig, jax.jit(init_all))(key)
             return cls(tokenizer=tokenizer, clip=clip,
-                       clip_params=clip_params, unet=unet,
-                       unet_params=unet_params, vae=vae,
-                       vae_params=vae_params,
+                       clip_params=params["clip"], unet=unet,
+                       unet_params=params["unet"], vae=vae,
+                       vae_params=params["vae"],
                        embedding_manager=EmbeddingManager(),
                        base_sched=make_diffusion_schedule(), dtype=dtype)
 
@@ -573,7 +600,6 @@ class StableDiffusionPipeline:
         g = (guidance_scale[0] if isinstance(guidance_scale, (tuple, list))
              else guidance_scale)
 
-        @jax.jit
         def run(unet_params, vae_params, img, ctx_c, ctx_u, key, slot_map):
             x = img.astype(jnp.float32) / 127.5 - 1.0
             mean, _ = self.vae.apply({"params": vae_params}, x,
@@ -599,6 +625,13 @@ class StableDiffusionPipeline:
                                  method=AutoencoderKL.decode)
             return jnp.clip((out + 1.0) / 2.0, 0.0, 1.0)
 
+        from adaface_tpu import knobs
+
+        run = self._aot_wrap(("img2img", b, num_steps, strength,
+                              tuple(guidance_scale)
+                              if isinstance(guidance_scale, (tuple, list))
+                              else guidance_scale, knobs.fingerprint()),
+                             jax.jit(run))
         img = jnp.broadcast_to(jnp.asarray(init_image)[None],
                                (b,) + init_image.shape)
         out = run(self.unet_params, self.vae_params, img, ctx_c, ctx_u,

@@ -28,7 +28,11 @@ class IterPlanConfig:
     `v1-finetune-ada.yaml`)."""
 
     composition_regs_iter_gap: int = 3
-    mix_prompt_distill_weight: float = 2e-4
+    # the ada (zero-shot flagship) value, `v1-finetune-ada.yaml:40`; the
+    # static-layerwise/ti configs override to 2e-4. Since round 4 this is
+    # the ACTUAL compos mix-distill loss weight (not just the
+    # teacher-filter gate), so the default must match the reference yaml.
+    mix_prompt_distill_weight: float = 1e-4
     prompt_emb_delta_reg_weight: float = 2e-4
     arc2face_distill_iter_prob: float = 0.0
     p_gen_arc2face_rand_face: float = 0.4  # `ddpm.py:130`

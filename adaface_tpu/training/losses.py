@@ -703,9 +703,13 @@ V_ORTHO_LAYER_WEIGHTS = {7: 0.5, 8: 0.5, 12: 1.0, 16: 1.0, 17: 1.0, 18: 0.5,
 def normalized_ortho_subtract(a: jnp.ndarray, b: jnp.ndarray,
                               eps: float = 1e-6) -> jnp.ndarray:
     """Scale both sides to their mean norm before the orthogonal subtract
-    (`normalized_ortho_subtract`, `ldm/util.py:376-382`)."""
-    an = jnp.linalg.norm(a, axis=-1, keepdims=True) + eps
-    bn = jnp.linalg.norm(b, axis=-1, keepdims=True) + eps
+    (`normalized_ortho_subtract`, `ldm/util.py:376-382`). eps lives INSIDE
+    the sqrt: `jnp.linalg.norm` has a 0/0 backward at an exactly-zero
+    vector (which `_weighted_token_mean` produces whenever a token mask or
+    the clamped attention weights zero out), and the NaN would poison the
+    whole embedder update."""
+    an = jnp.sqrt(jnp.sum(jnp.square(a), axis=-1, keepdims=True) + eps * eps)
+    bn = jnp.sqrt(jnp.sum(jnp.square(b), axis=-1, keepdims=True) + eps * eps)
     mean2 = (an + bn) / 2.0
     return ortho_subtract(a * mean2 / an, b * mean2 / bn)
 

@@ -105,11 +105,34 @@ class TeacherFilter:
             pl + pl, imgs255, reduction="diag")
         losses = 0.5 - np.asarray(sims)
         l_subj, l_mix = losses[:N], losses[N:]
+        verdict = FilterVerdict(False, 0, l_subj, l_mix, imgs255,
+                                np.asarray(x0))
+        # single-block summary fields via the same thresholding the
+        # CB-block path uses (one formula, one place)
+        any_ok, best, _ = self.per_block(verdict, n_cand=N, CB=1)
+        verdict.is_teachable = any_ok
+        verdict.best_cand_idx = int(best[0])
+        return verdict
+
+    def per_block(self, verdict: "FilterVerdict", n_cand: int, CB: int):
+        """Per-block teachability over a cand-major [n_cand*CB] verdict:
+        a candidate is teachable when its teacher (mix-comp) image clears
+        `clip_loss_thres` AND beats the student by `cls_subj_clip_margin`
+        (`ddpm.py:3047-3131`); each block's chosen candidate is its
+        largest teacher-student gap among its teachable candidates, or —
+        for unteachable blocks riding along a partially-teachable CB>1
+        batch — its best-scoring candidate as fallback. Returns
+        (any_teachable, best_cand [CB], block_teachable [CB])."""
+        l_subj = np.asarray(verdict.losses_subj_comp).reshape(n_cand, CB)
+        l_mix = np.asarray(verdict.losses_mix_comp).reshape(n_cand, CB)
         diffs = l_subj - l_mix
-        teachable = (l_mix <= self.clip_loss_thres) & (diffs > self.cls_subj_clip_margin)
-        diffs_masked = np.where(teachable, diffs, -1e4)
-        return FilterVerdict(bool(teachable.any()), int(np.argmax(diffs_masked)),
-                             l_subj, l_mix, imgs255, np.asarray(x0))
+        teachable = ((l_mix <= self.clip_loss_thres)
+                     & (diffs > self.cls_subj_clip_margin))  # [n_cand, CB]
+        block_ok = teachable.any(axis=0)
+        best_teachable = np.argmax(np.where(teachable, diffs, -1e4), axis=0)
+        best_scoring = np.argmax(diffs, axis=0)
+        best = np.where(block_ok, best_teachable, best_scoring)
+        return bool(block_ok.any()), best, block_ok
 
 
 class CachedInits:

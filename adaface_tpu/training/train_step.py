@@ -635,14 +635,18 @@ def _make_compos_loss_core(clip, unet, sched, skip_weights,
         loss_mix_distill = (loss_attn * attn_delta_scale
                             + loss_attn_norm * attn_norm_scale
                             + loss_feat * feat_delta_scale)
-        # preserve supersedes mix distill: halve the latter when the
-        # elastic battery is active (`ddpm.py:3434-3441`)
-        mix_scale = jnp.where(jax.lax.stop_gradient(loss_preserve) > 0,
-                              0.5, 1.0) if batch.fg_mask is not None else 1.0
         # 0.5 base preserve scale, 0.25 on reuse-init iters, 0 when x_start
         # was not fg-initialized (`ddpm.py:3284,3356-3363`)
         preserve_scale = (batch.preserve_loss_scale
                           if batch.preserve_loss_scale is not None else 0.5)
+        # preserve supersedes mix distill: halve the latter when the
+        # elastic battery is ACTIVE (`ddpm.py:3434-3441`) — active means it
+        # contributes to the loss, i.e. scale * value > 0 (the raw value is
+        # computed whenever fg_mask rides along, unlike the reference which
+        # only computes it on fg-init iters)
+        mix_scale = (jnp.where(
+            jax.lax.stop_gradient(preserve_scale * loss_preserve) > 0,
+            0.5, 1.0) if batch.fg_mask is not None else 1.0)
 
         loss = (prompt_delta_weight * loss_delta
                 + mix_prompt_distill_weight * mix_scale * loss_mix_distill

@@ -706,22 +706,10 @@ class Trainer:
             **zs_extra)
 
     def _filter_verdict_per_block(self, verdict, n_cand: int, CB: int):
-        """Per-block teachability from a flat candidate verdict: reshape
-        the [n_cand*CB] CLIP losses to [n_cand, CB], apply the reference's
-        thresholds per block, and pick each block's best candidate (its
-        largest teacher-student gap among its teachable candidates, or
-        its best-scoring one as fallback — at CB==1 this reduces exactly
-        to the reference's single-block behavior, `ddpm.py:3047-3131`).
-        Returns (any_teachable, best_cand [CB], teachable [CB])."""
-        tf = self.teacher_filter
-        l_subj = np.asarray(verdict.losses_subj_comp).reshape(n_cand, CB)
-        l_mix = np.asarray(verdict.losses_mix_comp).reshape(n_cand, CB)
-        diffs = l_subj - l_mix
-        teachable = ((l_mix <= tf.clip_loss_thres)
-                     & (diffs > tf.cls_subj_clip_margin))  # [n_cand, CB]
-        masked = np.where(teachable, diffs, -1e4)
-        best = np.argmax(masked, axis=0)  # [CB]
-        return bool(teachable.any()), best, teachable.any(axis=0)
+        """Per-block teachability — delegates to
+        `TeacherFilter.per_block` so the thresholding formula lives in
+        exactly one place next to its thresholds."""
+        return self.teacher_filter.per_block(verdict, n_cand, CB)
 
     def _cache_filtered_blocks(self, ex, verdict, best, block_teachable,
                                cand_t, fg_latent, plan, prompts, n_cand,
