@@ -250,7 +250,7 @@ def test_wds_compos_swap_and_prompts(shard):
     tr = _stub_trainer(shard, p_wds_comp_compos=1.0)
     e = _example(np.random.default_rng(5))
     plan = IterPlan(iter_type="compos_distill")
-    tr._wds_compos_swap(plan, e)
+    tr._wds_compos_swap(plan, [e])
     assert plan.use_wds_comp and plan.comp_init_fg_from_training_image
     np.testing.assert_allclose(e["image"], e["wds_image_bgonly"])
     prompts = ["a z", "a z riding a bike", "a person", "a person riding a bike"]
@@ -261,7 +261,7 @@ def test_wds_compos_swap_and_prompts(shard):
     lat = np.random.default_rng(6).standard_normal((1, 4, 4, 4)).astype("f")
     fg = np.ones((1, 4, 4, 1), np.float32)
     lat2, fg2, p2, prev_t, entry = tr._compos_x_start(
-        plan, e, lat, fg, prompts)
+        plan, [e], lat, fg, prompts)
     np.testing.assert_allclose(np.asarray(lat2), lat)
     assert entry is None and prev_t is None
 
@@ -270,7 +270,7 @@ def test_wds_compos_swap_off(shard):
     tr = _stub_trainer(shard, p_wds_comp_compos=0.0)
     e = _example(np.random.default_rng(7))
     plan = IterPlan(iter_type="compos_distill")
-    tr._wds_compos_swap(plan, e)
+    tr._wds_compos_swap(plan, [e])
     assert not plan.use_wds_comp
     prompts = ["a z", "a z riding a bike", "a person", "a person riding a bike"]
     assert tr._wds_comp_prompts(plan, e, prompts) == prompts
