@@ -34,6 +34,11 @@ def parse_args(argv=None):
     p.add_argument("--n_samples", type=int, default=4)
     p.add_argument("--steps", type=int, default=50)
     p.add_argument("--size", type=int, default=512)
+    p.add_argument("--num_devices", type=int, default=1,
+                   help="serving mesh size forwarded to txt2img "
+                        "(n_samples shard data-parallel; -1 = all chips)")
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel factor forwarded to txt2img")
     p.add_argument("--z_prefix", default="")
     p.add_argument("--z_suffix_type", default=None,
                    help="'' | class_name | cls_delta_string | literal text "
@@ -164,6 +169,9 @@ def main(opt):
         argv = ["--from_file", tsv, "--out", out,
                 "--steps", str(opt.steps), "--size", str(opt.size),
                 "--n_samples", str(opt.n_samples)]
+        if opt.num_devices != 1 or opt.tp > 1:
+            argv += ["--num_devices", str(opt.num_devices),
+                     "--tp", str(opt.tp)]
         if os.path.isdir(gt):
             argv += ["--compare_with", gt, "--class_prompt", cls_prompts[0]]
             if int(is_face):
