@@ -635,8 +635,12 @@ class Trainer:
             if all(c is not None for c in cand) and all(
                     all(bool(c.get(k, False)) == bool(cand[0].get(k, False))
                         for k in flag_keys) for c in cand):
-                entries = [self.cached_inits.pop(e["subject_name"])
-                           for e in ex]
+                # pop once per UNIQUE subject (blocks may repeat a subject
+                # — e.g. a single-subject corpus — and share its entry)
+                popped = {e["subject_name"]: None for e in ex}
+                for name in popped:
+                    popped[name] = self.cached_inits.pop(name)
+                entries = [popped[e["subject_name"]] for e in ex]
         if entries is not None:
             # reuse-init follow-up iteration at mid-range t (`ddpm.py:2604-2635`)
             latents = jnp.concatenate(

@@ -118,6 +118,61 @@ def test_trainer_resume_keeps_mesh_placement(subject_dir, tmp_path):
     assert len(leaf.sharding.device_set) == 8
 
 
+def test_compos_teacher_filter_cb2(subject_dir, tmp_path):
+    """CB>1 teacher filtering end-to-end (static trainer, dp=2 mesh): the
+    candidate verdict resolves PER BLOCK, a partially-teachable batch
+    still distills (unteachable blocks ride their best-scoring
+    candidate), each teachable block caches its reconstruction, and the
+    follow-up reuse-init iteration restores the cache — including the
+    duplicate-subject case (both blocks draw the same single-subject
+    corpus, so the cache entry is shared, not double-popped)."""
+    from adaface_tpu.training.iter_plan import COMPOS_DISTILL, plan_iteration
+
+    tok_sims = {}
+
+    class Scorer:
+        # cand-major rows: 2 cands x 2 blocks, subject rows then mix rows
+        sims = [0.2, 0.2, 0.2, 0.2, 0.3, 0.3, 0.3, 0.3]
+
+        def txt_to_img_similarity(self, prompts, images, reduction="diag"):
+            assert reduction == "diag"
+            assert len(prompts) == len(self.sims)
+            tok_sims["n"] = len(prompts)
+            return jnp.asarray(np.asarray(self.sims, np.float32))
+
+    tr = _build(subject_dir, str(tmp_path / "f"), num_devices=2, max_steps=8)
+    tr.set_teacher_filter(Scorer())
+
+    def compos_plan():
+        for step in range(30):
+            plan = plan_iteration(tr.rng, step, tr.plan_cfg)
+            if plan.iter_type == COMPOS_DISTILL:
+                plan.do_teacher_filter = True
+                plan.use_background_token = False
+                plan.use_fp_trick = False
+                return plan
+        raise AssertionError("no compos plan in 30 steps")
+
+    # phase 1: all candidates teachable -> distills + caches per block
+    m = tr._run_compos(compos_plan())
+    assert "skipped_unteachable" not in m
+    assert np.isfinite(float(m["loss"]))
+    assert tok_sims["n"] == 8  # 2 cands x CB=2, subject+mix rows
+    assert "s" in tr.cached_inits  # single-subject corpus: shared entry
+
+    # phase 2: reuse-init consumes the (shared) cache without double-pop
+    plan2 = compos_plan()
+    m2 = tr._run_compos(plan2)
+    assert plan2.reuse_init_conds
+    assert np.isfinite(float(m2["loss"]))
+    assert "s" not in tr.cached_inits
+
+    # phase 3: nothing teachable -> iteration skipped
+    Scorer.sims = [0.4, 0.4, 0.4, 0.4, 0.1, 0.1, 0.1, 0.1]
+    m3 = tr._run_compos(compos_plan())
+    assert m3.get("skipped_unteachable") == 1.0
+
+
 def test_zs_trainer_fit_dp8(tmp_path):
     """ZeroShotTrainer.fit over dp=8: generator training (recon + compos
     iters) with the Prodigy state ZeRO-1-sharded where leaves are large
