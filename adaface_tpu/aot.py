@@ -23,11 +23,24 @@ import os
 import jax
 
 
+def default_cache_dir() -> str:
+    """Per-user default cache location. Deliberately NOT a shared /tmp
+    path: a cache hit `pickle.load`s the file, so the directory must be
+    owned/trusted by the user — a world-writable shared dir would let any
+    local user plant a pickle payload that executes on load (and sticky-bit
+    /tmp also breaks the atomic-replace publish for a second user)."""
+    return os.path.join(os.path.expanduser("~"), ".cache", "adaface_aot")
+
+
 def aot_wrap(sig, jitted, allow: bool = True):
     """Wrap `jitted` so its first call per (sig, arg shapes) either loads
     the serialized executable from `$ADAFACE_AOT_CACHE` — skipping
     compilation entirely — or compiles once and serializes it for every
-    future process. Returns `jitted` unchanged when the cache is off."""
+    future process. Returns `jitted` unchanged when the cache is off.
+
+    Point `ADAFACE_AOT_CACHE` only at a TRUSTED, user-owned directory
+    (`default_cache_dir()` is the sanctioned default): cache hits unpickle
+    the file contents."""
     cache_dir = os.environ.get("ADAFACE_AOT_CACHE")
     if not cache_dir or not allow:
         return jitted
@@ -37,24 +50,33 @@ def aot_wrap(sig, jitted, allow: bool = True):
     # keyed per resolved (arg shapes + pytree) so a caller whose argument
     # STRUCTURE changes between calls (e.g. a new placeholder embedder in
     # the params tree) retraces like plain @jax.jit instead of invoking a
-    # baked Compiled with a mismatched pytree
+    # baked Compiled with a mismatched pytree. The expensive full-tree
+    # shape walk runs once per STRUCTURE (a cheap C-level treedef is the
+    # per-call key) — leaf-shape variation with an unchanged structure
+    # must be captured by `sig`, which every in-repo caller does (batch /
+    # latent size / steps in the sampler sigs, configs + dtype appended
+    # by pipeline._aot_wrap).
     state: dict = {}
+    fname_by_struct: dict = {}
 
     def call(*args):
         import hashlib
         import pickle
 
-        shapes = jax.tree_util.tree_map(
-            lambda x: (getattr(x, "shape", None),
-                       str(getattr(x, "dtype", type(x).__name__))),
-            args)
-        key_src = repr((sig, shapes,
-                        jax.tree_util.tree_structure(args),
-                        jax.__version__, jax.devices()[0].device_kind))
-        fname = hashlib.sha256(key_src.encode()).hexdigest()[:24] + ".aot"
+        struct = jax.tree_util.tree_structure(args)
+        fname = fname_by_struct.get(struct)
+        if fname is None:
+            shapes = jax.tree_util.tree_map(
+                lambda x: (getattr(x, "shape", None),
+                           str(getattr(x, "dtype", type(x).__name__))),
+                args)
+            key_src = repr((sig, shapes, struct, jax.__version__,
+                            jax.devices()[0].device_kind))
+            fname = hashlib.sha256(key_src.encode()).hexdigest()[:24] + ".aot"
+            fname_by_struct[struct] = fname
         if fname not in state:
-            state[fname] = None
             path = os.path.join(cache_dir, fname)
+            loaded = None
             if os.path.exists(path):
                 try:
                     import time as _time
@@ -68,15 +90,19 @@ def aot_wrap(sig, jitted, allow: bool = True):
                     # pin to the default device: on a multi-device platform
                     # the default reload assigns the whole device set and
                     # then expects N-sharded args
-                    state[fname] = se.deserialize_and_load(
+                    loaded = se.deserialize_and_load(
                         serialized, in_tree, out_tree,
                         execution_devices=[jax.devices()[0]])
                     print(f"# AOT cache hit: read {t1 - t0:.1f}s, "
                           f"load {_time.time() - t1:.1f}s ({path})")
                 except Exception as e:  # stale/incompatible: recompile
                     print(f"# AOT cache load failed ({e}); recompiling")
-                    state[fname] = None
-            if state[fname] is None:
+                    loaded = None
+            if loaded is None:
+                # NOTE: the slot is only written on SUCCESS — a raised
+                # compile (e.g. transient tunnel error) leaves no entry,
+                # so a caller that catches and retries recompiles instead
+                # of crashing on a poisoned None
                 compiled = jitted.lower(*args).compile()
                 try:
                     from jax.experimental import serialize_executable as se
@@ -88,7 +114,8 @@ def aot_wrap(sig, jitted, allow: bool = True):
                     os.replace(tmp, path)
                 except Exception as e:  # cache is best-effort
                     print(f"# AOT cache write failed: {e}")
-                state[fname] = compiled
+                loaded = compiled
+            state[fname] = loaded
         return state[fname](*args)
 
     return call

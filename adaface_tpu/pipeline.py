@@ -591,47 +591,57 @@ class StableDiffusionPipeline:
         ctx_c = self.encode_prompts(prompts, ids=ids, slot_maps=sm)
         ctx_u = self.encode_negative(negative_prompt, b)
         slot_map = self._cfg_slot_map(ids, sm)
-        sched = make_ddim_schedule(self.base_sched, num_steps,
-                                   guidance_scale=guidance_scale)
-        t_enc = max(1, min(int(strength * num_steps), num_steps - 1))
-        # sched.timesteps is DESCENDING; the last t_enc sampling steps start
-        # at index num_steps - t_enc
-        start_idx = num_steps - t_enc
-        g = (guidance_scale[0] if isinstance(guidance_scale, (tuple, list))
-             else guidance_scale)
-
-        def run(unet_params, vae_params, img, ctx_c, ctx_u, key, slot_map):
-            x = img.astype(jnp.float32) / 127.5 - 1.0
-            mean, _ = self.vae.apply({"params": vae_params}, x,
-                                     method=AutoencoderKL.encode)
-            z0 = mean * SD_VAE_SCALE_FACTOR
-            t = jnp.full((z0.shape[0],), sched.timesteps[start_idx], jnp.int32)
-            z_t = stochastic_encode(self.base_sched, z0, t,
-                                    jax.random.normal(key, z0.shape))
-
-            dedup = _cfg_dedup_on(self.unet.cfg)
-
-            def unet_apply(x, tt, c, ck, cross_kv=None):
-                return self.unet.apply({"params": unet_params}, x, tt, c,
-                                       context_k=ck, cfg_dedup=dedup,
-                                       subj_slot_map=slot_map,
-                                       cross_kv=cross_kv)
-
-            eps_fn = make_cfg_eps_fn(unet_apply, ctx_c, ctx_u, dedup=dedup,
-                                     kv_fn=self._make_kv_fn(unet_params))
-            z = ddim_decode(eps_fn, sched, z_t, start_idx, guide_scale=g)
-            out = self.vae.apply({"params": vae_params},
-                                 z / SD_VAE_SCALE_FACTOR,
-                                 method=AutoencoderKL.decode)
-            return jnp.clip((out + 1.0) / 2.0, 0.0, 1.0)
-
         from adaface_tpu import knobs
 
-        run = self._aot_wrap(("img2img", b, num_steps, strength,
-                              tuple(guidance_scale)
-                              if isinstance(guidance_scale, (tuple, list))
-                              else guidance_scale, knobs.fingerprint()),
-                             jax.jit(run))
+        # memoized like the sampler paths — repeated img2img calls reuse
+        # ONE wrapped program instead of re-jitting / re-deserializing the
+        # AOT executable per call. Image size rides in the sig (it changes
+        # shapes without changing the arg pytree structure).
+        sig = ("img2img", b, tuple(init_image.shape), num_steps, strength,
+               tuple(guidance_scale)
+               if isinstance(guidance_scale, (tuple, list))
+               else guidance_scale, knobs.fingerprint())
+        if sig not in self._sample_cache:
+            sched = make_ddim_schedule(self.base_sched, num_steps,
+                                       guidance_scale=guidance_scale)
+            t_enc = max(1, min(int(strength * num_steps), num_steps - 1))
+            # sched.timesteps is DESCENDING; the last t_enc sampling steps
+            # start at index num_steps - t_enc
+            start_idx = num_steps - t_enc
+            g = (guidance_scale[0]
+                 if isinstance(guidance_scale, (tuple, list))
+                 else guidance_scale)
+
+            def run(unet_params, vae_params, img, ctx_c, ctx_u, key,
+                    slot_map):
+                x = img.astype(jnp.float32) / 127.5 - 1.0
+                mean, _ = self.vae.apply({"params": vae_params}, x,
+                                         method=AutoencoderKL.encode)
+                z0 = mean * SD_VAE_SCALE_FACTOR
+                t = jnp.full((z0.shape[0],), sched.timesteps[start_idx],
+                             jnp.int32)
+                z_t = stochastic_encode(self.base_sched, z0, t,
+                                        jax.random.normal(key, z0.shape))
+
+                dedup = _cfg_dedup_on(self.unet.cfg)
+
+                def unet_apply(x, tt, c, ck, cross_kv=None):
+                    return self.unet.apply({"params": unet_params}, x, tt, c,
+                                           context_k=ck, cfg_dedup=dedup,
+                                           subj_slot_map=slot_map,
+                                           cross_kv=cross_kv)
+
+                eps_fn = make_cfg_eps_fn(unet_apply, ctx_c, ctx_u,
+                                         dedup=dedup,
+                                         kv_fn=self._make_kv_fn(unet_params))
+                z = ddim_decode(eps_fn, sched, z_t, start_idx, guide_scale=g)
+                out = self.vae.apply({"params": vae_params},
+                                     z / SD_VAE_SCALE_FACTOR,
+                                     method=AutoencoderKL.decode)
+                return jnp.clip((out + 1.0) / 2.0, 0.0, 1.0)
+
+            self._sample_cache[sig] = self._aot_wrap(sig, jax.jit(run))
+        run = self._sample_cache[sig]
         img = jnp.broadcast_to(jnp.asarray(init_image)[None],
                                (b,) + init_image.shape)
         out = run(self.unet_params, self.vae_params, img, ctx_c, ctx_u,

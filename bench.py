@@ -49,8 +49,11 @@ def main():
     # AOT executable cache (pipeline._aot_wrap): unlike the compilation
     # cache above, this DOES remove the remote-side compile+first (~370-640s
     # through the tunnel) once a prior run has populated it — serialized
-    # PJRT executables reload in ~0.2s (scripts/perf_aot_cold.py)
-    os.environ.setdefault("ADAFACE_AOT_CACHE", "/tmp/adaface_aot_cache")
+    # PJRT executables reload in ~0.2s (scripts/perf_aot_cold.py).
+    # Per-user dir: cache hits unpickle, so the path must be trusted.
+    from adaface_tpu.aot import default_cache_dir
+
+    os.environ.setdefault("ADAFACE_AOT_CACHE", default_cache_dir())
 
     jnp.zeros(()).block_until_ready()
     print(f"# bench: device claimed in {_t.time() - t_start:.1f}s; "

@@ -146,9 +146,11 @@ def build_pipeline(opt):
 
         if nd == -1:
             nd = len(jax.devices())
-        # `--tp N` alone means an N-chip tp-only mesh (dp=1)
-        nd = max(nd, tp)
-        if nd % tp:
+        if nd == 1 and tp > 1:
+            # `--tp N` alone means an N-chip tp-only mesh (dp=1); an
+            # EXPLICIT smaller --num_devices must not be silently bumped
+            nd = tp
+        if nd % tp or nd < tp:
             raise SystemExit(f"--num_devices {nd} not divisible by --tp {tp}")
         mesh = pipe.use_mesh(nd, dp=nd // tp, tp=tp)
         print(f"serving mesh: dp{mesh.shape['dp']} x tp{mesh.shape['tp']}")
@@ -212,8 +214,11 @@ def main(opt):
 
     # serving cold start: cache compiled sampling programs on disk
     # (adaface_tpu/aot.py) — the remote-side compile is paid once per
-    # shape ever (638 -> 40 s warm, PERF.md round 4)
-    os.environ.setdefault("ADAFACE_AOT_CACHE", "/tmp/adaface_aot_cache")
+    # shape ever (638 -> 40 s warm, PERF.md round 4). Per-user dir: cache
+    # hits unpickle, so the path must be trusted/user-owned.
+    from adaface_tpu.aot import default_cache_dir
+
+    os.environ.setdefault("ADAFACE_AOT_CACHE", default_cache_dir())
     pipe, tok = build_pipeline(opt)
     neg = opt.neg_prompt if opt.neg_prompt is not None else DEFAULT_NEGATIVE_PROMPT
     guidance = tuple(opt.scale) if len(opt.scale) > 1 else opt.scale[0]

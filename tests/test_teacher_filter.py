@@ -9,7 +9,11 @@ import jax.numpy as jnp
 from adaface_tpu.models.unet import UNetConfig, UNetModel
 from adaface_tpu.models.vae import AutoencoderKL, VAEConfig
 from adaface_tpu.ops.schedule import make_diffusion_schedule
-from adaface_tpu.training.teacher_filter import CachedInits, TeacherFilter
+from adaface_tpu.training.teacher_filter import (
+    CachedInits,
+    FilterVerdict,
+    TeacherFilter,
+)
 
 # oracle-parity / integration battery: minutes of compile; run with -m slow
 pytestmark = pytest.mark.slow
@@ -118,3 +122,31 @@ def test_cached_inits():
     entry = c.pop("alice")
     assert entry["x_start"].shape == (4, 8, 8, 4)
     assert "alice" not in c  # consumed (`ddpm.py:2616-2618`)
+
+
+def test_teacher_filter_per_block_thresholds():
+    """`TeacherFilter.per_block`: teachability thresholds + per-block best
+    candidate with the best-scoring fallback for unteachable blocks."""
+    tf = TeacherFilter.__new__(TeacherFilter)  # thresholds only, no models
+    tf.clip_loss_thres = 0.28
+    tf.cls_subj_clip_margin = 0.002
+
+    # cand-major [n_cand=2, CB=2]: block 0 teachable via cand 1 (bigger
+    # gap), block 1 unteachable (mix loss over threshold)
+    l_mix = np.array([[0.20, 0.50],
+                      [0.10, 0.60]])
+    l_subj = np.array([[0.21, 0.58],
+                       [0.15, 0.70]])
+    v = FilterVerdict(False, 0, l_subj.reshape(-1), l_mix.reshape(-1),
+                      images=None, x_recons=None)
+    any_ok, best, block_ok = tf.per_block(v, n_cand=2, CB=2)
+    assert any_ok
+    assert list(block_ok) == [True, False]
+    assert best[0] == 1  # gap 0.05 beats 0.01
+    assert best[1] == 1  # fallback: best-scoring (gap 0.10 beats 0.08)
+
+    # CB=1 summary reduces to the reference single-block behavior
+    v1 = FilterVerdict(False, 0, l_subj[:, 0], l_mix[:, 0],
+                       images=None, x_recons=None)
+    any_ok1, best1, ok1 = tf.per_block(v1, n_cand=2, CB=1)
+    assert any_ok1 and bool(ok1[0]) and best1[0] == 1
