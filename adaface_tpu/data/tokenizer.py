@@ -42,13 +42,24 @@ def bytes_to_unicode() -> Dict[int, str]:
     return dict(zip(bs, [chr(c) for c in cs]))
 
 
-# CLIP's pattern uses unicode \p{L}/\p{N}; stdlib `re` lacks those, so the
-# ASCII equivalent is used (CLIP prompts are overwhelmingly ASCII after the
-# lowercase+NFC cleanup; non-ASCII falls into the catch-all class).
-_PAT = re.compile(
-    r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]+",
-    re.IGNORECASE,
-)
+# CLIP's word-split pattern uses unicode \p{L}/\p{N} classes (HF
+# `tokenization_clip.py`). The `regex` module (a transformers dependency,
+# present in this env) supports them; fall back to the ASCII equivalent if
+# it is ever missing (non-ASCII then lands in the catch-all class, which
+# only diverges on accented words — BPE ids still valid, just split
+# differently).
+try:
+    import regex as _regex
+
+    _PAT = _regex.compile(
+        r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+",
+        _regex.IGNORECASE,
+    )
+except ImportError:  # pragma: no cover - regex ships with transformers
+    _PAT = re.compile(
+        r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]+",
+        re.IGNORECASE,
+    )
 
 
 def _basic_clean(text: str) -> str:

@@ -8,6 +8,7 @@ import numpy as np
 import pytest
 
 from adaface_tpu.data.compositions import expand_template, sample_compositions
+from adaface_tpu.data.tokenizer import CLIPBPETokenizer
 from adaface_tpu.data.personalized import (
     IMAGENET_TEMPLATES_SMALL,
     PersonalizedDataset,
@@ -203,3 +204,93 @@ def test_draw_examples_mix_subjects_per_instance(subjects):
     ex = Trainer._draw_examples(stub, 16)
     names = {e["subject_name"] for e in ex}
     assert len(names) > 1
+
+
+# ---------------------------------------------------------------------------
+# CLIP BPE tokenizer oracle: id-level equality vs HF `CLIPTokenizer`
+# (the exact class the reference uses, `ldm/modules/encoders/modules.py:185`),
+# instantiated from the SAME synthetic vocab/merges files — certifies the
+# byte-level BPE algorithm + pre-tokenization + special-token/pad layout
+# without needing the real 49k-entry vocab asset.
+
+
+@pytest.fixture(scope="module")
+def bpe_assets(tmp_path_factory):
+    from adaface_tpu.data.tokenizer import bytes_to_unicode
+
+    tmp = tmp_path_factory.mktemp("bpe")
+    units = list(bytes_to_unicode().values())
+    vocab = {}
+    for u in units:
+        vocab[u] = len(vocab)
+    for u in units:
+        vocab[u + "</w>"] = len(vocab)
+    # merges exercising: multi-round merge chains, </w> merges, contraction
+    # suffixes, digit/punct pieces, and a unicode (2-byte) letter merge
+    merges = [
+        "t h", "th e</w>", "i n", "in g</w>", "e r</w>", "o n</w>",
+        "' s</w>", "a n", "an d</w>", "h e", "he l", "hel l", "hell o</w>",
+        "l o", "lo n", "lon g</w>", "- -", "-- -",
+        "Ã ©",  # utf-8 bytes of 'é' mapped through bytes_to_unicode
+        "Ã© </w>",
+    ]
+    for m in merges:
+        tok = "".join(m.split())
+        if tok not in vocab:
+            vocab[tok] = len(vocab)
+    vocab["<|startoftext|>"] = len(vocab)
+    vocab["<|endoftext|>"] = len(vocab)
+    (tmp / "vocab.json").write_text(json.dumps(vocab), encoding="utf-8")
+    # HF skips the first merges line unconditionally — keep the header
+    (tmp / "merges.txt").write_text(
+        "#version: 0.2\n" + "\n".join(merges), encoding="utf-8")
+    return str(tmp / "vocab.json"), str(tmp / "merges.txt")
+
+
+TRICKY_CORPUS = [
+    "hello world",
+    "don't can't it's we're I'll you've he'd I'm",
+    "a photo of a z person",
+    "The THE the tHe",
+    "hellohellohello hellothelonghello",  # long words, repeated merges
+    "123 4567 89",  # digits split one-per-token
+    "a--b ---c -- -",
+    "what?! ... (parens) [brackets] {braces} #hash @at",
+    "café cafés éclair",  # unicode letters (é)
+    "naïve über",  # ï, ü — bytes not in merge table
+    "trailing   spaces\tand\nnewlines  ",
+    "punct,comma.period;semi:colon",
+    "emoji \U0001f600 mixed",
+    "'s 't 're alone",
+    "word's end don'ts",
+    "a" * 120,  # single very long word
+    "long longing the they their",
+]
+
+
+def test_clip_bpe_matches_hf_tokenizer(bpe_assets):
+    """Oracle: our BPE == HF CLIPTokenizer, id-for-id, incl. pad/truncation."""
+    transformers = pytest.importorskip("transformers")
+    vocab_path, merges_path = bpe_assets
+    hf = transformers.CLIPTokenizer(vocab_path, merges_path)
+    ours = CLIPBPETokenizer(vocab_path, merges_path)
+
+    got = ours(TRICKY_CORPUS, max_length=77)
+    want = hf(TRICKY_CORPUS, padding="max_length", truncation=True,
+              max_length=77, return_tensors="np")["input_ids"]
+    for i, text in enumerate(TRICKY_CORPUS):
+        assert got[i].tolist() == want[i].tolist(), (
+            f"id mismatch on {text!r}:\n ours={got[i][:20].tolist()}\n "
+            f"hf  ={want[i][:20].tolist()}")
+
+
+def test_clip_bpe_truncation_matches_hf(bpe_assets):
+    vocab_path, merges_path = bpe_assets
+    transformers = pytest.importorskip("transformers")
+    hf = transformers.CLIPTokenizer(vocab_path, merges_path)
+    ours = CLIPBPETokenizer(vocab_path, merges_path)
+    text = " ".join(["hello"] * 100)  # overflows 77
+    got = ours([text], max_length=77)[0]
+    want = hf([text], padding="max_length", truncation=True, max_length=77,
+              return_tensors="np")["input_ids"][0]
+    assert got.tolist() == want.tolist()
