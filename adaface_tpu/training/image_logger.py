@@ -65,11 +65,11 @@ class ImageLogger:
                    make_grid(list(images_u8)))
 
     def log_samples(self, global_step: int, pipeline, prompt: str,
-                    seed: int = 0):
+                    seed: int = 0, tag: str = "samples"):
         imgs = pipeline.generate([prompt] * self.num_samples,
                                  num_steps=self.sample_steps,
                                  height=self.size, width=self.size, seed=seed)
-        self._save(f"samples_gs-{global_step:06}.jpg", make_grid(list(imgs)))
+        self._save(f"{tag}_gs-{global_step:06}.jpg", make_grid(list(imgs)))
         return imgs
 
     def log_candidates(self, global_step: int, images_u8: np.ndarray,

@@ -303,6 +303,10 @@ def make_recon_train_step(
         embedders = optax.apply_updates(embedders, updates)
         return embedders, opt_state, metrics
 
+    # loss-only entry for the validation pass (`DDPM.validation_step` runs
+    # `shared_step` under no_grad, `ddpm.py:645-651`); jit this instead of
+    # `step` to get val metrics without a backward/optimizer program
+    step.loss_fn = loss_fn
     return step
 
 

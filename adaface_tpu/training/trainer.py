@@ -118,6 +118,15 @@ class TrainerConfig:
     # off by default like `v1-finetune-ada.yaml:25`)
     use_ema: bool = False
     ema_decay: float = 0.9999
+    # validation pass every N steps (0 = off): recon loss battery on batches
+    # drawn from a separate val stream over the SAME images (the reference's
+    # DataModule builds a val `PersonalizedBase` over the same folder with a
+    # smaller repeat count, `main.py:447-545` + `v1-finetune-ada.yaml:168-173`)
+    # and logs `val/`-prefixed metrics (`ddpm.py:645-651` validation_step,
+    # `ddpm.py:5528` train/validation log prefixing) + a val sample grid via
+    # the ImageLogger (`main.py:694-699` on_validation_batch_end).
+    val_every_steps: int = 0
+    val_batches: int = 2
     seed: int = 0
     logdir: str = "logs/run"
 
@@ -218,6 +227,19 @@ class Trainer:
         self.teacher_filter = None  # set via set_teacher_filter()
         self.cached_inits = None
         self.image_logger = None
+        # validation stream: the same images under an independent RNG — the
+        # reference instantiates a second PersonalizedBase over the same
+        # folder for val (`v1-finetune-ada.yaml:168-173`, repeats 10 vs 100)
+        self._val_sampler = None
+        if cfg.val_every_steps > 0:
+            import copy
+
+            self._val_dataset = copy.copy(dataset)
+            self._val_dataset.rng = np.random.default_rng(cfg.seed + 1017)
+            self._val_sampler = SubjectSampler(
+                self._val_dataset, skip_non_faces=len(dataset.subjects) > 1,
+                seed=cfg.seed + 1017)
+            self._val_rng = np.random.default_rng(cfg.seed + 1017)
         signal.signal(signal.SIGUSR1, self._on_sigusr1)
         # SIGUSR2 -> debugger at the next safe point (the reference drops
         # into pudb, `main.py:1217-1234`)
@@ -465,6 +487,91 @@ class Trainer:
                 do_zero_shot=self.plan_cfg.do_zero_shot,
                 bg_placeholders=self._bg_placeholders))
         return self._recon_steps[key]
+
+    def _get_val_loss(self):
+        """Jitted loss-only recon program for the validation pass — the
+        same battery as the plain recon train step (weights included), no
+        backward/optimizer."""
+        from adaface_tpu import knobs
+
+        key = ("val", knobs.fingerprint())
+        if key not in self._steps:
+            p, cfg = self.pipe, self.cfg
+            raw = make_recon_train_step(
+                p.clip, p.clip_params, p.unet, p.unet_params, p.base_sched,
+                self.optimizer, skip_weights=p.skip_weights,
+                bg_weight=0.0,
+                emb_reg_weight=self._emb_reg_w,
+                prompt_delta_weight=0.0,
+                complem_weight=cfg.fg_bg_complementary_loss_weight,
+                xlayer_weight=cfg.fg_bg_xlayer_consist_loss_weight,
+                use_bg_token=False,
+                do_zero_shot=self.plan_cfg.do_zero_shot,
+                bg_placeholders=self._bg_placeholders)
+            self._steps[key] = jax.jit(raw.loss_fn)
+        return self._steps[key]
+
+    def _val_batch(self, B: int) -> ReconBatch:
+        ds, rng = self._val_dataset, self._val_rng
+        ex = [ds[(self._val_sampler.sample(), True)] for _ in range(B)]
+        batch_np = collate_examples(ex)
+        latents = self._latents(batch_np["image"])
+        lh, lw = latents.shape[1:3]
+        ids, slots = self._prompt_batch(ex, "caption")
+        plan = IterPlan(iter_type=RECON,
+                        training_percent=self.global_step
+                        / max(self.cfg.max_steps, 1))
+        t = sample_timesteps(rng, plan, B, self.plan_cfg)
+        return ReconBatch(
+            latents=latents, token_ids=ids, slot_maps=slots,
+            fg_mask=jnp.asarray(
+                self._mask_to_latent(batch_np["fg_mask"], lh, lw)),
+            timesteps=jnp.asarray(t, jnp.int32),
+            noise=jnp.asarray(rng.standard_normal(latents.shape),
+                              jnp.float32),
+            img_mask=jnp.asarray(
+                self._mask_to_latent(batch_np["aug_mask"], lh, lw)),
+            have_fg_mask=jnp.asarray(
+                [float(e.get("has_fg_mask", True)) for e in ex], jnp.float32))
+
+    def run_validation(self) -> Dict[str, float]:
+        """One validation pass (`DDPM.validation_step`, `ddpm.py:645-651`):
+        the recon loss battery under no-grad on `val_batches` batches from
+        the val stream, logged with the reference's `val/` prefix
+        (`ddpm.py:5528`); with EMA on, a second pass over the shadow
+        weights logs `val/*_ema` exactly like the reference's
+        `ema_scope()` arm."""
+        B = self.cfg.batch_size * self._dp
+        loss_fn = self._get_val_loss()
+        arms = [("", self.mgr.embedders)]
+        if self.ema_state is not None:
+            arms.append(("_ema", self.ema_state.shadow))
+        sums: Dict[str, float] = {}
+        for _ in range(self.cfg.val_batches):
+            batch = self._val_batch(B)
+            if self.mesh is not None:
+                from adaface_tpu.parallel.mesh import shard_train_batch
+
+                batch = shard_train_batch(self.mesh, batch)
+            for suffix, emb in arms:
+                _, metrics = loss_fn(emb, batch, self._frozen)
+                for k, v in metrics.items():
+                    sums[k + suffix] = sums.get(k + suffix, 0.0) + float(v)
+        rec: Dict = {"step": self.global_step}
+        rec.update({f"val/{k}": v / self.cfg.val_batches
+                    for k, v in sums.items()})
+        self._log_f.write(json.dumps(rec) + "\n")
+        self._log_f.flush()
+        msg = " ".join(f"{k}={v:.4f}" for k, v in rec.items() if k != "step")
+        print(f"[{self.global_step}/{self.cfg.max_steps}] val: {msg}",
+              flush=True)
+        if self.image_logger is not None:
+            # val sample grid (`main.py:694-699` on_validation_batch_end)
+            ex = self._val_dataset[(self._val_sampler.sample(), True)]
+            self.image_logger.log_samples(self.global_step, self.pipe,
+                                          ex["subj_prompt_single"],
+                                          tag="val_samples")
+        return rec
 
     def _subject_spec(self, e: dict):
         """The SubjectSpec an example was drawn from (multi-subject zs
@@ -1056,9 +1163,13 @@ class Trainer:
                 if self._sig_ckpt_requested:
                     self.save_checkpoint()
                     self._sig_ckpt_requested = False
+                if (self.cfg.val_every_steps > 0
+                        and self.global_step % self.cfg.val_every_steps == 0):
+                    self.run_validation()
                 if self.global_step % self.cfg.ckpt_every_steps == 0:
                     self.save_checkpoint()
                     self.save_state()
+                    self._log_run_summary(t0)
         except KeyboardInterrupt:
             # checkpoint on interrupt, like `main.py:559-563`
             self.save_checkpoint("interrupted")
@@ -1071,6 +1182,31 @@ class Trainer:
             raise
         self.save_checkpoint("last")
         dt = time.time() - t0
+        self._log_run_summary(t0)
         print(f"trained {self.global_step} steps in {dt:.1f}s "
               f"({self.global_step / max(dt, 1e-9):.2f} it/s)", flush=True)
         return self.mgr
+
+    def _log_run_summary(self, t_start: float):
+        """Wall-time + peak-device-memory run summary, the `CUDACallback`
+        analog (`main.py:702-722` logs per-epoch wall seconds + DDP-reduced
+        peak CUDA memory). Emitted into the metrics JSONL at checkpoint
+        boundaries (the closest thing to an epoch here) and at fit() end;
+        peak HBM via PJRT `memory_stats()` (absent on CPU backends)."""
+        dt = time.time() - t_start
+        rec: Dict = {"step": self.global_step, "run_summary": True,
+                     "elapsed_s": round(dt, 2),
+                     "steps_per_sec": round(self.global_step / max(dt, 1e-9), 4)}
+        peaks = []
+        for d in jax.local_devices()[:max(self._dp, 1)]:
+            stats = getattr(d, "memory_stats", lambda: None)()
+            if stats and "peak_bytes_in_use" in stats:
+                peaks.append(stats["peak_bytes_in_use"])
+        if peaks:
+            rec["peak_hbm_gib"] = round(max(peaks) / 2**30, 3)
+        self._log_f.write(json.dumps(rec) + "\n")
+        self._log_f.flush()
+        mem = (f", peak HBM {rec['peak_hbm_gib']:.2f} GiB"
+               if "peak_hbm_gib" in rec else "")
+        print(f"[summary] {self.global_step} steps, {dt:.1f}s "
+              f"({rec['steps_per_sec']:.2f} it/s){mem}", flush=True)

@@ -79,6 +79,11 @@ def parse_args(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--logdir", "-l", type=str, default="logs/run")
     p.add_argument("--ckpt_every_steps", type=int, default=500)
+    p.add_argument("--val_every", type=int, default=0,
+                   help="run a `val/` loss pass (+ val sample grid when the "
+                        "image logger is on) every N steps; 0 disables "
+                        "(the reference's val dataloader + validation_step, "
+                        "`main.py:447-545`, `ddpm.py:645-651`)")
     p.add_argument("--composition_regs_iter_gap", type=int, default=3)
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--tiny", action="store_true",
@@ -304,7 +309,7 @@ def main(opt):
                    "ckpt_every_steps", "use_prodigy", "learning_rate",
                    "seed", "logdir", "randomize_clip_skip_weights",
                    "clip_skip_weights_alpha", "wds_background_string",
-                   "num_devices"}
+                   "num_devices", "val_every_steps"}
     # precedence: explicit CLI flag > config file > argparse default —
     # the file's learning_rate/use_prodigy win only when the CLI flag was
     # left at its default
@@ -323,6 +328,8 @@ def main(opt):
         accumulate_grad_batches=opt.accumulate_grad_batches,
         learning_rate=lr, use_prodigy=use_prodigy,
         ckpt_every_steps=opt.ckpt_every_steps, seed=opt.seed,
+        val_every_steps=(opt.val_every if opt.val_every
+                         else int(file_trainer.get("val_every_steps", 0))),
         logdir=opt.logdir,
         randomize_clip_skip_weights=opt.randomize_clip_skip_weights,
         wds_background_string=opt.wds_background_string or "",

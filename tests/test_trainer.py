@@ -37,7 +37,7 @@ def subject_dir(tmp_path_factory):
     return str(d)
 
 
-def _build(subject_dir, logdir, max_steps=4):
+def _build(subject_dir, logdir, max_steps=4, **cfg_kw):
     tok = HashTokenizer()
     pipe = StableDiffusionPipeline.from_random(
         jax.random.PRNGKey(0), tok,
@@ -57,9 +57,10 @@ def _build(subject_dir, logdir, max_steps=4):
                         num_vectors=4, is_background=True,
                         init_key=jax.random.PRNGKey(2), emb_dim=64)
     ds = PersonalizedDataset([SubjectSpec("s", subject_dir)], size=32, seed=0)
-    cfg = TrainerConfig(max_steps=max_steps, batch_size=2,
-                        use_prodigy=True, ckpt_every_steps=100,
-                        log_every_steps=100, seed=0, logdir=logdir)
+    cfg = TrainerConfig(**{**dict(max_steps=max_steps, batch_size=2,
+                                  use_prodigy=True, ckpt_every_steps=100,
+                                  log_every_steps=100, seed=0,
+                                  logdir=logdir), **cfg_kw})
     return Trainer(pipe, ds, cfg, IterPlanConfig(composition_regs_iter_gap=3,
                                                  max_steps=max_steps))
 
@@ -83,10 +84,46 @@ def test_trainer_fit_and_resume(subject_dir, tmp_path):
     # Prodigy/zero-shot-damped weight (2e-4 * 0.5 / 5)
     import json
     recs = [json.loads(l) for l in open(tmp_path / "run" / "metrics.jsonl")]
-    recon = [r for r in recs if r["iter_type"] == "recon"]
+    recon = [r for r in recs if r.get("iter_type") == "recon"]
     assert recon and all("prompt_delta" in r for r in recon)
     assert all(np.isfinite(r["prompt_delta"]) for r in recon)
     assert tr._delta_w == pytest.approx(2e-4 * 0.5 / 5)
+    # run summary (the `CUDACallback` analog, `main.py:702-722`): wall time
+    # + steps/s (+ peak HBM on TPU backends) logged at fit() end
+    summaries = [r for r in recs if r.get("run_summary")]
+    assert summaries and summaries[-1]["step"] == 4
+    assert summaries[-1]["steps_per_sec"] > 0
+    assert summaries[-1]["elapsed_s"] > 0
+
+
+def test_trainer_validation_pass(subject_dir, tmp_path):
+    """`val_every_steps` produces `val/`-prefixed JSONL rows (the reference
+    validation loop, `main.py:447-545` DataModule val split +
+    `ddpm.py:645-651` validation_step) and a val sample grid through the
+    ImageLogger (`main.py:694-699`)."""
+    import json
+
+    tr = _build(subject_dir, str(tmp_path / "run"), max_steps=4,
+                val_every_steps=2, val_batches=2, use_ema=True)
+    tr.set_image_logger(every_steps=10**9, num_samples=2, sample_steps=2,
+                        size=32)
+    train_stream_before = tr.dataset.rng.bit_generator.state
+    tr.run_validation()  # callable standalone too
+    # the val stream must NOT perturb the training data stream
+    assert tr.dataset.rng.bit_generator.state == train_stream_before
+    tr.fit()
+    recs = [json.loads(l) for l in open(tmp_path / "run" / "metrics.jsonl")]
+    val = [r for r in recs if any(k.startswith("val/") for k in r)]
+    assert len(val) == 3  # standalone + steps 2 and 4
+    assert {r["step"] for r in val[1:]} == {2, 4}
+    for r in val:
+        assert np.isfinite(r["val/loss"]) and np.isfinite(r["val/recon"])
+        # EMA arm logged alongside (`ddpm.py:647-649` ema_scope pass)
+        assert np.isfinite(r["val/loss_ema"])
+    # val grids rendered
+    import glob
+
+    assert glob.glob(str(tmp_path / "run" / "images" / "val_samples_gs-*"))
 
     state = tr.save_state()
     tr2 = _build(subject_dir, str(tmp_path / "run2"), max_steps=6)
