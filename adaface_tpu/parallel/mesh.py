@@ -23,7 +23,23 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 def make_mesh(n_devices: Optional[int] = None, dp: Optional[int] = None,
               tp: int = 1, devices: Optional[Sequence] = None) -> Mesh:
-    """1-D (dp) or 2-D (dp, tp) mesh over the available devices."""
+    """1-D (dp) or 2-D (dp, tp) mesh over the available devices.
+
+    SINGLE-PROCESS ONLY (by design, like the reference — single-node
+    Lightning DDP, SURVEY §2.8): every sharding/IO path here assumes one
+    controller process owning all mesh devices. A multi-host pod would need
+    `jax.distributed.initialize`, `process_index()==0` guards on
+    checkpoint/log IO, and per-process batch sharding in `shard_batch` /
+    `shard_train_batch` (host arrays must become per-process shards via
+    `jax.make_array_from_process_local_data`). None of that exists — fail
+    loudly rather than silently mis-shard.
+    """
+    if jax.process_count() > 1:
+        raise NotImplementedError(
+            "adaface_tpu is single-process: multi-host meshes are out of "
+            "scope (the reference is single-node DDP too, SURVEY §2.8). "
+            "Run one process with all local devices, or shard the subject "
+            "corpus across independent runs.")
     devices = list(devices if devices is not None else jax.devices())
     n = n_devices or len(devices)
     devices = devices[:n]
