@@ -28,10 +28,24 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from scripts.txt2img import build_pipeline, pad_placeholders, parse_args  # noqa: E402
 
-# defaults mirror the reference's webui-setting-config.yaml DictI/DictT
+from adaface_tpu.webui_params import (  # noqa: E402
+    load_settings, update_settings)
+
+# fallback defaults; at runtime `App` derives these from the persisted
+# typed settings (`webui_params.InferenceSettings`, the DictI analog)
 DEFAULTS = dict(prompt="a z in a garden", neg_prompt="", steps=50,
                 scale_hi=10.0, scale_lo=4.0, seed=0, size=512,
                 n_samples=2, sampler="ddim", compel=0.0)
+
+
+def settings_to_form(s) -> dict:
+    """InferenceSettings -> the UI's form-parameter dict."""
+    return dict(prompt=s.prompt, neg_prompt=s.neg_prompt,
+                steps=int(s.ddim_steps), scale_hi=float(s.scale),
+                scale_lo=float(s.scale_min), seed=int(s.seed),
+                size=int(s.H), n_samples=int(s.n_samples),
+                sampler=("plms" if s.plms else s.sampler),
+                compel=float(s.compel))
 
 PAGE = """<!doctype html><html><head><title>adaface-tpu</title>
 <style>body{{font-family:sans-serif;max-width:780px;margin:2em auto}}
@@ -61,13 +75,21 @@ img{{max-width:100%;margin-top:1em;border:1px solid #ccc}}</style></head>
 
 
 class App:
-    def __init__(self, opt):
+    def __init__(self, opt, settings_path=None):
         self.opt = opt
         self.pipe, _ = build_pipeline(opt)
         self.lock = threading.Lock()  # one TPU program at a time
+        # typed persisted settings (`webuiParamClass.py` DictI/DictT +
+        # `webui-setting-config.yaml` round-trip): the form comes up with
+        # whatever the last session used
+        self.settings_path = settings_path
+        self.defaults = dict(DEFAULTS)
+        if settings_path:
+            inf, _tr = load_settings(settings_path)
+            self.defaults.update(settings_to_form(inf))
 
     def render(self, params, result=""):
-        p = dict(DEFAULTS, **params)
+        p = dict(self.defaults, **params)
         return PAGE.format(
             ddim_sel="selected" if p["sampler"] == "ddim" else "",
             plms_sel="selected" if p["sampler"] == "plms" else "",
@@ -76,7 +98,7 @@ class App:
                if k != "sampler"})
 
     def generate(self, p):
-        p = dict(DEFAULTS, **p)  # missing/blank fields fall back to defaults
+        p = dict(self.defaults, **p)  # missing fields fall back to defaults
         prompt = pad_placeholders(p["prompt"], self.opt.subject_string,
                                   self.opt.num_vectors_per_subj_token)
         with self.lock:
@@ -88,7 +110,23 @@ class App:
                 height=int(p["size"]), width=int(p["size"]),
                 seed=int(p["seed"]), sampler=p["sampler"],
                 compel_cfg_weight_level=float(p["compel"]))
+        self._persist(p)
         return np.concatenate(list(imgs), axis=1)  # horizontal strip
+
+    def _persist(self, p):
+        """Write the just-used parameters back (the reference saves the
+        latest seed after every generation, `app.py:51-56`; here every UI
+        field survives a restart)."""
+        if not self.settings_path:
+            return
+        self.defaults.update(p)
+        update_settings(
+            self.settings_path, prompt=p["prompt"],
+            neg_prompt=p["neg_prompt"], ddim_steps=int(p["steps"]),
+            scale=float(p["scale_hi"]), scale_min=float(p["scale_lo"]),
+            seed=int(p["seed"]), H=int(p["size"]), W=int(p["size"]),
+            n_samples=int(p["n_samples"]), plms=(p["sampler"] == "plms"),
+            sampler=p["sampler"], compel=float(p["compel"]))
 
 
 def make_handler(app: App):

@@ -58,3 +58,28 @@ def test_http_roundtrip(app):
         assert "base64," in resp  # inline PNG result
     finally:
         srv.shutdown()
+
+
+def test_settings_persist_roundtrip(app, tmp_path):
+    """Every UI field survives a restart via the typed settings file (the
+    `webuiParamClass.py` + `webui-setting-config.yaml` persistence,
+    `app.py:51-56,173-191` — the reference only writes the seed back; here
+    the whole form round-trips)."""
+    from adaface_tpu.webui_params import load_settings
+
+    from app import settings_to_form
+
+    path = str(tmp_path / "webui-settings.yaml")
+    app.settings_path = path
+    try:
+        app.generate({"prompt": "a z on a beach", "steps": 2, "size": 64,
+                      "n_samples": 1, "seed": 77, "sampler": "plms"})
+    finally:
+        app.settings_path = None
+    inf, _tr = load_settings(path)
+    assert inf.seed == 77 and inf.ddim_steps == 2 and inf.H == 64
+    assert inf.prompt == "a z on a beach" and inf.plms is True
+    # a restarted App presents the persisted values as form defaults
+    form = settings_to_form(inf)
+    assert form["seed"] == 77 and form["steps"] == 2
+    assert form["sampler"] == "plms"
