@@ -46,7 +46,8 @@ def subject_dir(tmp_path_factory):
     return str(d)
 
 
-def _build(subject_dir, logdir, num_devices=8, max_steps=4):
+def _build(subject_dir, logdir, num_devices=8, max_steps=4, batch_size=1,
+           compos_gap=3):
     tok = HashTokenizer()
     pipe = StableDiffusionPipeline.from_random(
         jax.random.PRNGKey(0), tok,
@@ -63,12 +64,13 @@ def _build(subject_dir, logdir, num_devices=8, max_steps=4):
                         num_vectors=9, init_key=jax.random.PRNGKey(1),
                         emb_dim=64)
     ds = PersonalizedDataset([SubjectSpec("s", subject_dir)], size=32, seed=0)
-    cfg = TrainerConfig(max_steps=max_steps, batch_size=1,
+    cfg = TrainerConfig(max_steps=max_steps, batch_size=batch_size,
                         num_devices=num_devices, use_prodigy=True,
                         ckpt_every_steps=100, log_every_steps=100, seed=0,
                         logdir=logdir)
-    return Trainer(pipe, ds, cfg, IterPlanConfig(composition_regs_iter_gap=3,
-                                                 max_steps=max_steps))
+    return Trainer(pipe, ds, cfg,
+                   IterPlanConfig(composition_regs_iter_gap=compos_gap,
+                                  max_steps=max_steps))
 
 
 def test_trainer_fit_dp8(subject_dir, tmp_path):
@@ -197,3 +199,26 @@ def test_zs_trainer_fit_dp8(tmp_path):
     if big:
         assert any(not l.sharding.is_fully_replicated for l in big), \
             "no large optimizer-state leaf kept its ZeRO-1 sharding"
+
+
+def test_trainer_dp8_equals_dp1(subject_dir, tmp_path):
+    """dp8 x bs1 and dp1 x bs8 `Trainer.fit` with the same seed and global
+    batch produce the same embedders within fp32 reduction tolerance —
+    the end-to-end certificate that the grad all-reduce + ZeRO-1 Prodigy
+    + per-device batch semantics compose into exactly the single-device
+    program (VERDICT r4 #3). Recon-only plans: compos iters scale CB with
+    dp by design, so they are a scale-out feature, not a dp-invariance."""
+    tr8 = _build(subject_dir, str(tmp_path / "dp8"), num_devices=8,
+                 max_steps=5, batch_size=1, compos_gap=10**6)
+    tr1 = _build(subject_dir, str(tmp_path / "dp1"), num_devices=1,
+                 max_steps=5, batch_size=8, compos_gap=10**6)
+    tr8.fit()
+    tr1.fit()
+    l8 = jax.tree_util.tree_leaves(jax.device_get(tr8.mgr.embedders))
+    l1 = jax.tree_util.tree_leaves(jax.device_get(tr1.mgr.embedders))
+    assert len(l8) == len(l1)
+    moved = max(float(np.max(np.abs(a))) for a in l8)
+    assert moved > 0
+    deltas = [float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+              for a, b in zip(l8, l1)]
+    assert max(deltas) < 3e-5, f"dp8 vs dp1 param divergence: {max(deltas)}"
