@@ -309,6 +309,7 @@ def main(opt):
     if opt.compare_with:
         scores = evaluate(opt, jobs)
         print("scores:", scores)
+        opt.scores = scores  # for in-process callers (parity_check.py)
     return 0
 
 
