@@ -1126,6 +1126,8 @@ def make_zero_shot_recon_step(
         gen_params = optax.apply_updates(gen_params, updates)
         return gen_params, opt_state, metrics
 
+    # loss-only entry for the zs validation pass (`ddpm.py:645-651`)
+    step.loss_fn = loss_fn
     return step
 
 

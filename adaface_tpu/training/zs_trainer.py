@@ -28,6 +28,7 @@ from adaface_tpu.personalization.arc2face import (
 from adaface_tpu.training.iter_plan import (
     COMPOS_DISTILL,
     RECON,
+    IterPlan,
     plan_iteration,
     sample_timesteps,
 )
@@ -117,6 +118,30 @@ class ZeroShotTrainer(Trainer):
         active; see `_gen_dropout_kwargs`)."""
         return jax.random.PRNGKey(int(self.rng.integers(2 ** 31)))
 
+    def _make_zs_recon_step(self, use_bg_token: bool, use_wds: bool = False):
+        """Raw (un-jitted) zs-recon step for a battery variant; exposes
+        `.loss_fn` for the validation pass."""
+        p, cfg = self.pipe, self.cfg
+        return make_zero_shot_recon_step(
+            p.clip, p.clip_params, p.unet, p.unet_params,
+            p.base_sched, self.optimizer, generators=self.generators,
+            bg_placeholders=self.bg_placeholders,
+            arc2face_encoder=self._arc_encoder,
+            arc2face_params=self._arc_frozen,
+            forward_template_ids=self._fwd_ids,
+            inverse_template_ids=self._inv_ids,
+            arcface_token_id=self._arc_tid,
+            skip_weights=p.skip_weights,
+            bg_weight=(cfg.wds_bg_recon_weight if use_wds
+                       else cfg.bg_recon_weight if use_bg_token
+                       else 0.0),
+            complem_weight=cfg.fg_bg_complementary_loss_weight,
+            xlayer_weight=cfg.fg_bg_xlayer_consist_loss_weight,
+            wds_complem_weight=(cfg.fg_wds_complementary_loss_weight
+                                if use_wds else 0.0),
+            prompt_delta_weight=self._delta_w,
+            use_bg_token=use_bg_token)
+
     def _get_zs_recon_step(self, use_bg_token: bool, use_wds: bool = False):
         """Jitted zs-recon variant per (bg-token, wds) combination: each
         changes the static loss battery (`calc_recon_and_complem_losses`,
@@ -126,27 +151,8 @@ class ZeroShotTrainer(Trainer):
 
         key = (use_bg_token, use_wds, knobs.fingerprint())
         if key not in self._zs_recon_steps:
-            p, cfg = self.pipe, self.cfg
             self._zs_recon_steps[key] = jax.jit(
-                make_zero_shot_recon_step(
-                    p.clip, p.clip_params, p.unet, p.unet_params,
-                    p.base_sched, self.optimizer, generators=self.generators,
-                    bg_placeholders=self.bg_placeholders,
-                    arc2face_encoder=self._arc_encoder,
-                    arc2face_params=self._arc_frozen,
-                    forward_template_ids=self._fwd_ids,
-                    inverse_template_ids=self._inv_ids,
-                    arcface_token_id=self._arc_tid,
-                    skip_weights=p.skip_weights,
-                    bg_weight=(cfg.wds_bg_recon_weight if use_wds
-                               else cfg.bg_recon_weight if use_bg_token
-                               else 0.0),
-                    complem_weight=cfg.fg_bg_complementary_loss_weight,
-                    xlayer_weight=cfg.fg_bg_xlayer_consist_loss_weight,
-                    wds_complem_weight=(cfg.fg_wds_complementary_loss_weight
-                                        if use_wds else 0.0),
-                    prompt_delta_weight=self._delta_w,
-                    use_bg_token=use_bg_token))
+                self._make_zs_recon_step(use_bg_token, use_wds))
         return self._zs_recon_steps[key]
 
     def save_checkpoint(self, tag: Optional[str] = None):
@@ -471,50 +477,32 @@ class ZeroShotTrainer(Trainer):
              "teacher": self._replicated_teacher(teacher_params)})
         return metrics
 
-    def fit(self, num_steps: Optional[int] = None, face_embed_fn=None,
-            arc2face_teacher=None):
-        from adaface_tpu.training.iter_plan import ARC2FACE_DISTILL
-
-        n = num_steps or self.cfg.max_steps
-        # per-device batch like the static trainer (`_run_recon`)
-        B = self.cfg.batch_size * self._dp
-        while self.global_step < n:
-            plan = plan_iteration(self.rng, self.global_step, self.plan_cfg)
-            if plan.iter_type == COMPOS_DISTILL:
-                metrics = self._run_zs_compos(plan)
-                self._log(metrics, plan)
-                self.global_step += 1
-                if self.global_step % self.cfg.ckpt_every_steps == 0:
-                    self.save_checkpoint()
-                continue
-            if plan.iter_type == ARC2FACE_DISTILL and arc2face_teacher is not None:
-                metrics = self._run_zs_arc2face(plan, arc2face_teacher)
-                self._log(metrics, plan)
-                self.global_step += 1
-                if self.global_step % self.cfg.ckpt_every_steps == 0:
-                    self.save_checkpoint()
-                continue
-            plan.iter_type = RECON
-            ex = self._draw_examples(B)
-            plan, use_wds, use_wds_cls = self._wds_recon_swap(plan, ex)
-            batch_np = collate_examples(ex)
-            latents = self._latents(batch_np["image"])
-            lh, lw = latents.shape[1:3]
-            ids, slots = self._prompt_batch(
-                ex, "caption_bg" if plan.use_background_token else "caption")
-            feats = self.extractor.encode(
-                [e["image_unnorm"] for e in ex],
-                [e["fg_mask"] for e in ex], is_face=True)
-            id_embs = feats.id_embs if feats.id_embs is not None else \
-                jnp.asarray(self.rng.standard_normal((B, 512)), jnp.float32)
-            t = sample_timesteps(self.rng, plan, B, self.plan_cfg)
-            noise_kw = {}
+    def _zs_recon_batch(self, ex, plan, use_wds=False, use_wds_cls=False,
+                        rng=None, with_reg_kw=True) -> ZeroShotReconBatch:
+        """Assemble one zs-recon batch from drawn examples (shared by the
+        train loop and the validation pass; `rng` defaults to the training
+        stream, the val pass passes its own)."""
+        rng = rng if rng is not None else self.rng
+        B = len(ex)
+        batch_np = collate_examples(ex)
+        latents = self._latents(batch_np["image"])
+        lh, lw = latents.shape[1:3]
+        ids, slots = self._prompt_batch(
+            ex, "caption_bg" if plan.use_background_token else "caption")
+        feats = self.extractor.encode(
+            [e["image_unnorm"] for e in ex],
+            [e["fg_mask"] for e in ex], is_face=True)
+        id_embs = feats.id_embs if feats.id_embs is not None else \
+            jnp.asarray(rng.standard_normal((B, 512)), jnp.float32)
+        t = sample_timesteps(rng, plan, B, self.plan_cfg)
+        noise_kw = {}
+        if with_reg_kw:
             if plan.emb_noise_std > 0:
                 noise_kw = dict(
                     emb_noise_std=jnp.asarray(plan.emb_noise_std,
                                               jnp.float32),
                     emb_noise_key=jax.random.PRNGKey(
-                        int(self.rng.integers(2 ** 31))))
+                        int(rng.integers(2 ** 31))))
             if use_wds and self.cfg.fg_wds_complementary_loss_weight > 0:
                 noise_kw["wds_extra_token_mask"] = jnp.asarray(
                     self._wds_extra_mask(ids, slots,
@@ -523,33 +511,117 @@ class ZeroShotTrainer(Trainer):
             if delta is not None:
                 noise_kw["delta_token_ids"], noise_kw["delta_slot_maps"] = \
                     delta
-            batch = ZeroShotReconBatch(
-                latents=latents, token_ids=ids, slot_maps=slots,
-                fg_mask=jnp.asarray(
-                    self._mask_to_latent(batch_np["fg_mask"], lh, lw)),
-                timesteps=jnp.asarray(t, jnp.int32),
-                noise=jnp.asarray(self.rng.standard_normal(latents.shape),
-                                  jnp.float32),
-                img_mask=jnp.asarray(
-                    self._mask_to_latent(batch_np["aug_mask"], lh, lw)),
-                have_fg_mask=jnp.asarray(
-                    [float(e.get("has_fg_mask", True)) for e in ex],
-                    jnp.float32),
-                clip_fg=feats.clip_fg if feats.clip_fg.shape[0] == B
-                else jnp.broadcast_to(feats.clip_fg,
-                                      (B,) + feats.clip_fg.shape[1:]),
-                clip_bg=feats.clip_bg if feats.clip_bg.shape[0] == B
-                else jnp.broadcast_to(feats.clip_bg,
-                                      (B,) + feats.clip_bg.shape[1:]),
-                id_embs=id_embs, dropout_key=self._dropout_key(),
-                **self._skip_weights_kw(), **noise_kw)
+        return ZeroShotReconBatch(
+            latents=latents, token_ids=ids, slot_maps=slots,
+            fg_mask=jnp.asarray(
+                self._mask_to_latent(batch_np["fg_mask"], lh, lw)),
+            timesteps=jnp.asarray(t, jnp.int32),
+            noise=jnp.asarray(rng.standard_normal(latents.shape),
+                              jnp.float32),
+            img_mask=jnp.asarray(
+                self._mask_to_latent(batch_np["aug_mask"], lh, lw)),
+            have_fg_mask=jnp.asarray(
+                [float(e.get("has_fg_mask", True)) for e in ex],
+                jnp.float32),
+            clip_fg=feats.clip_fg if feats.clip_fg.shape[0] == B
+            else jnp.broadcast_to(feats.clip_fg,
+                                  (B,) + feats.clip_fg.shape[1:]),
+            clip_bg=feats.clip_bg if feats.clip_bg.shape[0] == B
+            else jnp.broadcast_to(feats.clip_bg,
+                                  (B,) + feats.clip_bg.shape[1:]),
+            id_embs=id_embs, dropout_key=self._dropout_key(),
+            **self._skip_weights_kw(), **noise_kw)
+
+    def _get_val_loss(self):
+        """Loss-only zs recon program for the validation pass (overrides
+        the static trainer's: the zs trainable is the generator tree)."""
+        from adaface_tpu import knobs
+
+        key = ("zs_val", knobs.fingerprint())
+        if key not in self._steps:
+            self._steps[key] = jax.jit(
+                self._make_zs_recon_step(False, False).loss_fn)
+        return self._steps[key]
+
+    def run_validation(self):
+        """Zero-shot validation pass: the zs recon loss battery under
+        no-grad on val-stream batches, `val/`-prefixed rows
+        (`ddpm.py:645-651`)."""
+        import json as _json
+
+        B = self.cfg.batch_size * self._dp
+        loss_fn = self._get_val_loss()
+        sums: Dict[str, float] = {}
+        for _ in range(self.cfg.val_batches):
+            plan = IterPlan(iter_type=RECON,
+                            training_percent=self.global_step
+                            / max(self.cfg.max_steps, 1))
+            ex = [self._val_dataset[(self._val_sampler.sample(), True)]
+                  for _ in range(B)]
+            batch = self._zs_recon_batch(ex, plan, rng=self._val_rng,
+                                         with_reg_kw=False)
+            if self.mesh is not None:
+                from adaface_tpu.parallel.mesh import shard_train_batch
+
+                batch = shard_train_batch(self.mesh, batch)
+            _, metrics = loss_fn(
+                self.gen_params, batch,
+                {**self._frozen, "arc": self._arc_frozen})
+            for k, v in metrics.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+        rec: Dict = {"step": self.global_step}
+        rec.update({f"val/{k}": v / self.cfg.val_batches
+                    for k, v in sums.items()})
+        self._log_f.write(_json.dumps(rec) + "\n")
+        self._log_f.flush()
+        print(f"[{self.global_step}/{self.cfg.max_steps}] val: " + " ".join(
+            f"{k}={v:.4f}" for k, v in rec.items() if k != "step"),
+            flush=True)
+        return rec
+
+    def _post_step(self, t0: float):
+        """Shared per-step tail: validation cadence + checkpoint cadence +
+        run summary (mirrors `Trainer.fit`)."""
+        self.global_step += 1
+        if (self.cfg.val_every_steps > 0
+                and self.global_step % self.cfg.val_every_steps == 0):
+            self.run_validation()
+        if self.global_step % self.cfg.ckpt_every_steps == 0:
+            self.save_checkpoint()
+            self._log_run_summary(t0)
+
+    def fit(self, num_steps: Optional[int] = None, face_embed_fn=None,
+            arc2face_teacher=None):
+        import time as _time
+
+        from adaface_tpu.training.iter_plan import ARC2FACE_DISTILL
+
+        n = num_steps or self.cfg.max_steps
+        t0 = _time.time()
+        # per-device batch like the static trainer (`_run_recon`)
+        B = self.cfg.batch_size * self._dp
+        while self.global_step < n:
+            plan = plan_iteration(self.rng, self.global_step, self.plan_cfg)
+            if plan.iter_type == COMPOS_DISTILL:
+                metrics = self._run_zs_compos(plan)
+                self._log(metrics, plan)
+                self._post_step(t0)
+                continue
+            if plan.iter_type == ARC2FACE_DISTILL and arc2face_teacher is not None:
+                metrics = self._run_zs_arc2face(plan, arc2face_teacher)
+                self._log(metrics, plan)
+                self._post_step(t0)
+                continue
+            plan.iter_type = RECON
+            ex = self._draw_examples(B)
+            plan, use_wds, use_wds_cls = self._wds_recon_swap(plan, ex)
+            batch = self._zs_recon_batch(ex, plan, use_wds, use_wds_cls)
             step = self._get_zs_recon_step(plan.use_background_token, use_wds)
             self.gen_params, self.opt_state, metrics = self._call_step(
                 step, self.gen_params, self.opt_state, batch,
                 {**self._frozen, "arc": self._arc_frozen})
             self._log(metrics, plan)
-            self.global_step += 1
-            if self.global_step % self.cfg.ckpt_every_steps == 0:
-                self.save_checkpoint()
+            self._post_step(t0)
         self.save_checkpoint("last")
+        self._log_run_summary(t0)
         return self.gen_params

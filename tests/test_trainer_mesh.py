@@ -103,8 +103,8 @@ def test_trainer_fit_dp8(subject_dir, tmp_path):
     recs = [json.loads(l)
             for l in open(os.path.join(str(tmp_path / "run"),
                                        "metrics.jsonl"))]
-    assert {r["iter_type"] for r in recs} >= {"recon", "compos_distill"}
-    assert all(np.isfinite(r["loss"]) for r in recs)
+    assert {r.get("iter_type") for r in recs} >= {"recon", "compos_distill"}
+    assert all(np.isfinite(r["loss"]) for r in recs if "loss" in r)
 
 
 def test_trainer_resume_keeps_mesh_placement(subject_dir, tmp_path):
@@ -222,3 +222,29 @@ def test_trainer_dp8_equals_dp1(subject_dir, tmp_path):
     deltas = [float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
               for a, b in zip(l8, l1)]
     assert max(deltas) < 3e-5, f"dp8 vs dp1 param divergence: {max(deltas)}"
+
+
+def test_zs_trainer_dp8_equals_dp1(tmp_path):
+    """The same dp-invariance certificate for the zero-shot flagship mode:
+    ZeroShotTrainer.fit (SubjBasisGenerator trainable under Prodigy with
+    ZeRO-1-sharded state) at dp8 x bs1 equals dp1 x bs8 on the same seed
+    and global batch (VERDICT r4 #3)."""
+    from test_zs_trainer import build_zs_trainer
+
+    (tmp_path / "a").mkdir()
+    (tmp_path / "b").mkdir()
+    kw = {"max_steps": 3, "seed": 0}
+    pk = {"composition_regs_iter_gap": 10**6}
+    tr8 = build_zs_trainer(tmp_path / "a",
+                           cfg_kw={**kw, "num_devices": 8, "batch_size": 1},
+                           plan_kw=pk)
+    tr1 = build_zs_trainer(tmp_path / "b",
+                           cfg_kw={**kw, "num_devices": 1, "batch_size": 8},
+                           plan_kw=pk)
+    tr8.fit()
+    tr1.fit()
+    l8 = jax.tree_util.tree_leaves(jax.device_get(tr8.gen_params))
+    l1 = jax.tree_util.tree_leaves(jax.device_get(tr1.gen_params))
+    deltas = [float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+              for a, b in zip(l8, l1)]
+    assert max(deltas) < 5e-5, f"zs dp8 vs dp1 divergence: {max(deltas)}"

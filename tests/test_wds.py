@@ -315,14 +315,14 @@ def test_zs_trainer_wds_integration(tmp_path, shard):
     assert tr.global_step == 4
     recs = [json.loads(l) for l in open(
         os.path.join(tr.cfg.logdir, "metrics.jsonl"))]
-    recon = [r for r in recs if r["iter_type"] == "recon"]
+    recon = [r for r in recs if r.get("iter_type") == "recon"]
     assert recon and all(r.get("wds_comp") == 1.0 for r in recon)
     assert all("fg_wds_complem" in r for r in recon)
     # the wds complementary battery actually computes (VERDICT r3 #7:
     # weighted metrics must be NONZERO through the wired path, not just
     # present — weight 0 in the shipped config hides wiring regressions)
     assert all(abs(r["fg_wds_complem"]) > 0 for r in recon)
-    assert all(np.isfinite(r["loss"]) for r in recs)
+    assert all(np.isfinite(r["loss"]) for r in recs if "loss" in r)
 
 
 def test_repl_bg_as_wbg():

@@ -118,6 +118,26 @@ def test_zs_trainer_recon_and_compos(tmp_path):
     assert os.path.exists(os.path.join(log, "subj_basis_last.pkl"))
     # both iteration types actually ran (gap=1 -> compos every other step)
     import json
-    iter_types = {json.loads(l)["iter_type"]
+    iter_types = {json.loads(l).get("iter_type")
                   for l in open(os.path.join(log, "metrics.jsonl"))}
     assert "compos_distill" in iter_types
+
+
+def test_zs_trainer_validation_and_summary(tmp_path):
+    """Zero-shot validation pass (`val/` rows via the loss-only zs recon
+    program) + run-summary rows, mirroring the static trainer's
+    (`ddpm.py:645-651`, `main.py:702-722`)."""
+    import json
+
+    tr = build_zs_trainer(tmp_path, cfg_kw={"max_steps": 2,
+                                            "val_every_steps": 1,
+                                            "val_batches": 1})
+    tr.fit()
+    recs = [json.loads(l)
+            for l in open(os.path.join(tr.cfg.logdir, "metrics.jsonl"))]
+    val = [r for r in recs if any(k.startswith("val/") for k in r)]
+    assert len(val) == 2  # steps 1 and 2
+    for r in val:
+        assert np.isfinite(r["val/loss"]) and np.isfinite(r["val/recon"])
+    summaries = [r for r in recs if r.get("run_summary")]
+    assert summaries and summaries[-1]["steps_per_sec"] > 0
