@@ -541,6 +541,11 @@ class Trainer:
         (`ddpm.py:5528`); with EMA on, a second pass over the shadow
         weights logs `val/*_ema` exactly like the reference's
         `ema_scope()` arm."""
+        if self._val_sampler is None:
+            raise RuntimeError(
+                "validation stream not built — construct the trainer with "
+                "TrainerConfig(val_every_steps > 0) (or train.py "
+                "--val_every N)")
         B = self.cfg.batch_size * self._dp
         loss_fn = self._get_val_loss()
         arms = [("", self.mgr.embedders)]

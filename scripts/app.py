@@ -178,7 +178,7 @@ def run_gradio(app: App, port: int):
                                  size=size, n_samples=n, sampler=sampler,
                                  compel=compel))
 
-    d = DEFAULTS
+    d = app.defaults  # persisted settings as initial values
     gr.Interface(
         fn,
         [gr.Textbox(value=d["prompt"]), gr.Textbox(value=d["neg_prompt"]),
@@ -196,9 +196,12 @@ def main(argv=None):
     p = argparse.ArgumentParser(add_help=False)
     p.add_argument("--port", type=int, default=7860)
     p.add_argument("--host", type=str, default="127.0.0.1")
+    p.add_argument("--settings", type=str, default="webui-settings.yaml",
+                   help="typed persisted UI settings (the reference's "
+                        "webui-setting-config.yaml analog); '' disables")
     extra, rest = p.parse_known_args(argv)
     opt = parse_args(rest + ["--prompt", "unused"])
-    app = App(opt)
+    app = App(opt, settings_path=extra.settings or None)
     try:
         import gradio  # noqa: F401
 
