@@ -85,7 +85,12 @@ def aot_wrap(sig, jitted, allow: bool = True):
 
                     t0 = _time.time()
                     with open(path, "rb") as f:
-                        serialized, in_tree, out_tree = pickle.load(f)
+                        raw = f.read()
+                    if raw[:4] == b"AOTZ":  # zlib-compressed entry
+                        import zlib
+
+                        raw = zlib.decompress(raw[4:])
+                    serialized, in_tree, out_tree = pickle.loads(raw)
                     t1 = _time.time()
                     # pin to the default device: on a multi-device platform
                     # the default reload assigns the whole device set and
@@ -109,8 +114,16 @@ def aot_wrap(sig, jitted, allow: bool = True):
 
                     os.makedirs(cache_dir, exist_ok=True)
                     tmp = path + f".tmp{os.getpid()}"
+                    # zlib-1 shrinks SD-sized executables ~3.3x (389 ->
+                    # ~118 MB at ~36 MB/s compress, ~100+ MB/s decompress)
+                    # — makes shipping a prewarmed cache dir practical;
+                    # uncompressed legacy entries still load
+                    import zlib
+
+                    blob = b"AOTZ" + zlib.compress(
+                        pickle.dumps(se.serialize(compiled)), 1)
                     with open(tmp, "wb") as f:
-                        pickle.dump(se.serialize(compiled), f)
+                        f.write(blob)
                     os.replace(tmp, path)
                 except Exception as e:  # cache is best-effort
                     print(f"# AOT cache write failed: {e}")

