@@ -529,8 +529,14 @@ class ZeroShotTrainer(Trainer):
             clip_bg=feats.clip_bg if feats.clip_bg.shape[0] == B
             else jnp.broadcast_to(feats.clip_bg,
                                   (B,) + feats.clip_bg.shape[1:]),
-            id_embs=id_embs, dropout_key=self._dropout_key(),
-            **self._skip_weights_kw(), **noise_kw)
+            id_embs=id_embs,
+            # validation (`with_reg_kw=False`) must neither advance the
+            # TRAINING rng stream (that would make val_every_steps change
+            # the training trajectory) nor run generator dropout (the
+            # reference's Lightning validation runs in eval mode)
+            dropout_key=(self._dropout_key() if with_reg_kw else None),
+            **(self._skip_weights_kw() if with_reg_kw else {}),
+            **noise_kw)
 
     def _get_val_loss(self):
         """Loss-only zs recon program for the validation pass (overrides
@@ -549,6 +555,11 @@ class ZeroShotTrainer(Trainer):
         (`ddpm.py:645-651`)."""
         import json as _json
 
+        if self._val_sampler is None:
+            raise RuntimeError(
+                "validation stream not built — construct the trainer with "
+                "TrainerConfig(val_every_steps > 0) (or train.py "
+                "--val_every N)")
         B = self.cfg.batch_size * self._dp
         loss_fn = self._get_val_loss()
         sums: Dict[str, float] = {}

@@ -182,12 +182,24 @@ def save_settings(inference: InferenceSettings,
 
 
 def update_settings(path: str = DEFAULT_SETTINGS_PATH, **changes):
-    """Load → apply field changes → save; returns the new settings pair."""
+    """Load → apply field changes → save; returns the new settings pair.
+
+    Bare keys target `InferenceSettings` first (falling back to
+    `TrainSettings` for train-only names); fields whose names exist on
+    BOTH dataclasses (seed, debug, broad_class,
+    clip_last_layers_skip_weights) must use a `train.`-prefixed key to
+    reach the TrainSettings copy — e.g. ``update_settings(p,
+    **{"train.seed": 7})``.
+    """
     inf, tr = load_settings(path)
     fields = {f.name: f for f in dataclasses.fields(InferenceSettings)}
     tfields = {f.name: f for f in dataclasses.fields(TrainSettings)}
     for k, v in changes.items():
-        if k in fields:
+        if k.startswith("train."):
+            k = k[len("train."):]
+            if k in tfields:
+                setattr(tr, k, _coerce(tfields[k], v))
+        elif k in fields:
             setattr(inf, k, _coerce(fields[k], v))
         elif k in tfields:
             setattr(tr, k, _coerce(tfields[k], v))

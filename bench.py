@@ -169,7 +169,11 @@ def main():
         # noise: pipelined device time was flat 4.49-4.51 s/batch across
         # r03/r04/r05 while sync latency swung 4.83-5.22 s. The *_device
         # fields divide the pipelined wall (pure back-to-back device
-        # programs) instead and are the numbers to trend.
+        # programs) instead and are the numbers to trend. Caveat: the
+        # scan/unet split still subtracts the SYNC-measured t_text/t_vae
+        # (~0.1-0.2 s of their own dispatch RTT), a small constant
+        # UNDERestimate of scan — `device_batch_s` is fully RTT-free, and
+        # the `roofline` trace table below is the precise attribution.
         dev_batch = pipelined / R
         dev_scan = max(dev_batch - t_text - t_vae, 0.0)
         stages = {
@@ -224,7 +228,7 @@ def main():
             if not trace_dir:  # don't re-trace if ADAFACE_TRACE_DIR ran one
                 with jax.profiler.trace(td):
                     run(98)
-            buckets = {"roofline": analyze_trace(td, steps=STEPS)}
+            buckets = {"roofline": analyze_trace(td)}
         except Exception as e:
             print(f"# bucket table failed: {e}", file=sys.stderr)
 

@@ -94,7 +94,15 @@ def main(argv=None):
                           width=size, seed=0, sampler=sampler)
             dt = time.time() - t0
             done.append((point, sampler, dt))
-            print(f"# {point} {sampler}: compiled+cached in {dt:.1f}s")
+            print(f"# {point} {sampler} {'fp32' if opt.fp32 else 'bf16'}: "
+                  f"compiled+cached in {dt:.1f}s")
+    if not opt.fp32:
+        # dtype is part of the cache key: bf16 entries only serve bf16
+        # processes (bench.py and the recommended serving arm are bf16;
+        # `txt2img.py` needs `--bf16` to hit them — its bare default is
+        # fp32, which needs a `--fp32` prewarm pass of its own)
+        print("# NOTE: prewarmed the bf16 arm — serve with `txt2img.py "
+              "--bf16` (or re-run with --fp32 for the fp32 arm)")
     n_files = len([f for f in os.listdir(cache) if f.endswith(".aot")]) \
         if os.path.isdir(cache) else 0
     total = sum(os.path.getsize(os.path.join(cache, f))

@@ -110,7 +110,9 @@ class App:
                 height=int(p["size"]), width=int(p["size"]),
                 seed=int(p["seed"]), sampler=p["sampler"],
                 compel_cfg_weight_level=float(p["compel"]))
-        self._persist(p)
+            # inside the lock: concurrent requests would otherwise race
+            # the settings load-modify-write and self.defaults
+            self._persist(p)
         return np.concatenate(list(imgs), axis=1)  # horizontal strip
 
     def _persist(self, p):

@@ -95,6 +95,44 @@ def _t2i(argv):
     return getattr(opt, "scores", None)
 
 
+def _score_dir(gen_dir, ref_dir, prompt, face_sim=False):
+    """Score an existing generated-images dir against a reference dir with
+    the in-repo evaluators (the `compare_folders` path txt2img's inline
+    eval uses, without re-generating anything)."""
+    from adaface_tpu.evaluation.eval_utils import compare_folders
+    from adaface_tpu.evaluation.scorers import init_evaluators
+
+    scorer, dino = init_evaluators()
+    ci, ct, dn = compare_folders(scorer, dino, gen_dir, ref_dir, prompt)
+    out = {"clip_i": float(ci), "clip_t": float(ct), "dino": float(dn)}
+    if face_sim:
+        try:
+            import jax
+            import jax.numpy as jnp
+
+            from adaface_tpu.evaluation.eval_utils import (
+                compare_face_folders, list_image_files)
+            from adaface_tpu.face_app import FaceApp
+            from adaface_tpu.models.arcface import IResNet, IResNetConfig
+
+            rec = IResNet(IResNetConfig.tiny())
+            rp = rec.init(jax.random.PRNGKey(3),
+                          jnp.zeros((1, 16, 16, 3)))["params"]
+            app = FaceApp(recognizer=rec, params=rp)
+
+            def embed(im):
+                fs = app.get(im)
+                return fs[0].normed_embedding if fs else None
+
+            s, nf_gen, _nf_gt = compare_face_folders(embed, gen_dir, ref_dir)
+            n_gen = len(list_image_files(gen_dir))
+            out.update({"face_sim": float(s),
+                        "face_exception_rate": nf_gen / max(n_gen, 1)})
+        except Exception as e:
+            print(f"# face-sim scoring skipped: {e!r}")
+    return out
+
+
 def _common(opt, extra):
     args = ["--outdir", os.path.join(opt.outdir, extra)]
     if opt.mock:
@@ -198,10 +236,12 @@ def config4(opt):
         "--prompt", f"a photo of a {opt.subject_string}",
         "--out", outd, "--ckpt", opt.sd_ckpt or ""])
     zst.main(zopt)
-    # score generated vs the reference photos dir
+    # score the just-generated dir against the reference photos directly
+    # (running txt2img again would RE-generate; and --skip_save +
+    # --compare_with is rejected by its CLI)
     ref_dir = os.path.dirname(opt.ref_images[0])
-    return _t2i(["--outdir", outd, "--prompt", "unused", "--skip_save",
-                 "--compare_with", ref_dir]) or {"generated": True}
+    return _score_dir(outd, ref_dir, f"a photo of a {opt.subject_string}",
+                      face_sim=True)
 
 
 def config5(opt):
@@ -315,7 +355,9 @@ def main(argv=None):
         print(f"=== parity config {c} ===", flush=True)
         try:
             results[f"config{c}"] = runners[c](opt)
-        except Exception as e:  # a config crash is a result, not an abort
+        # a config crash is a result, not an abort — incl. SystemExit from
+        # argparse/CLI guards inside the in-process runners
+        except (Exception, SystemExit) as e:
             results[f"config{c}"] = f"ERROR: {e!r}"
         print(f"config {c}: {results[f'config{c}']}", flush=True)
 

@@ -17,9 +17,9 @@ into buckets, each against its own ceiling:
 - einsum cross-attention (Lk=77) + data formatting: HBM-bound; achieved
   GB/s from `bytes_accessed` vs ~819 GB/s v5e HBM.
 
-Usage: python scripts/perf_bucket_table.py <trace_dir> [steps]
-Importable: `analyze_trace(trace_dir, steps)` -> dict (used by bench.py to
-carry the table in the bench JSON).
+Usage: python scripts/perf_bucket_table.py <trace_dir>
+Importable: `analyze_trace(trace_dir)` -> dict (used by bench.py to carry
+the table in the bench JSON).
 """
 
 import collections
@@ -82,7 +82,7 @@ def _flash_ideal_ms(shape, calls):
     return flops / (BF16_PEAK_TFS * 1e12) * 1e3
 
 
-def analyze_trace(trace_dir, steps=50):
+def analyze_trace(trace_dir):
     rows = _leaf_self_times(trace_dir)
     conv = {"us": 0.0, "flops": 0.0, "n": 0}
     ein = {"us": 0.0, "bytes": 0.0, "n": 0}
@@ -175,8 +175,7 @@ def analyze_trace(trace_dir, steps=50):
 
 def main():
     trace_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/trace5"
-    steps = int(sys.argv[2]) if len(sys.argv) > 2 else 50
-    out = analyze_trace(trace_dir, steps)
+    out = analyze_trace(trace_dir)
     print(json.dumps(out, indent=2))
 
 

@@ -78,7 +78,7 @@ def test_analyze_trace_buckets_and_nesting(tmp_path):
         {"ph": "X", "pid": 3, "tid": 3, "ts": 50_000, "dur": 500,
          "name": "reduce.2", "args": {"hlo_category": "reduce"}},
     ]
-    out = analyze_trace(_write_trace(tmp_path, evs), steps=1)
+    out = analyze_trace(_write_trace(tmp_path, evs))
     b = out["buckets"]
     assert b["conv_gemm"]["ms"] == pytest.approx(10.0)  # 7+3 self-times
     # flops were fabricated at exactly 162 TF/s -> 100% of ceiling

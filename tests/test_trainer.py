@@ -274,7 +274,8 @@ def test_train_cli_zeroshot_mode(subject_dir, tmp_path):
     ckpt = os.path.join(logdir, "subj_basis_last.pkl")
     assert os.path.exists(ckpt)
     with open(os.path.join(logdir, "metrics.jsonl")) as f:
-        recs = [json.loads(l) for l in f if l.strip()]
+        recs = [json.loads(l) for l in f
+                if l.strip() and "run_summary" not in l]
     assert len(recs) == 2
     assert all(np.isfinite(r["loss"]) for r in recs if "loss" in r)
     # resume continues from the saved global step
@@ -284,5 +285,6 @@ def test_train_cli_zeroshot_mode(subject_dir, tmp_path):
                      "--resume", ckpt]))
     assert rc in (0, None)
     with open(os.path.join(logdir2, "metrics.jsonl")) as f:
-        recs = [json.loads(l) for l in f if l.strip()]
+        recs = [json.loads(l) for l in f
+                if l.strip() and "run_summary" not in l]
     assert [r["step"] for r in recs] == [2]

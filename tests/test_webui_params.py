@@ -87,3 +87,15 @@ def test_flat_reference_file_loads(tmp_path):
     p.write_text("seed: 61311\nskip_grid: false\nref_prompt: None\n")
     inf, _ = load_settings(str(p))
     assert inf.seed == 61311 and inf.skip_grid is False
+
+
+def test_update_settings_train_prefix(tmp_path):
+    """Fields present on BOTH dataclasses (seed, debug, ...) reach the
+    TrainSettings copy via a `train.`-prefixed key; bare keys keep the
+    inference-first routing."""
+    path = str(tmp_path / "s.yaml")
+    inf, tr = update_settings(path, seed=7, **{"train.seed": 99})
+    assert inf.seed == 7 and tr.seed == 99
+    # train-only bare keys still route to TrainSettings
+    inf2, tr2 = update_settings(path, logdir="logs/q")
+    assert tr2.logdir == "logs/q" and inf2.seed == 7

@@ -132,11 +132,16 @@ def test_zs_trainer_validation_and_summary(tmp_path):
     tr = build_zs_trainer(tmp_path, cfg_kw={"max_steps": 2,
                                             "val_every_steps": 1,
                                             "val_batches": 1})
+    # a standalone val pass must not perturb the TRAINING rng stream
+    # (dropout_key/skip_weights draw from the val stream, dropout off)
+    train_stream_before = tr.rng.bit_generator.state
+    tr.run_validation()
+    assert tr.rng.bit_generator.state == train_stream_before
     tr.fit()
     recs = [json.loads(l)
             for l in open(os.path.join(tr.cfg.logdir, "metrics.jsonl"))]
     val = [r for r in recs if any(k.startswith("val/") for k in r)]
-    assert len(val) == 2  # steps 1 and 2
+    assert len(val) == 3  # standalone + steps 1 and 2
     for r in val:
         assert np.isfinite(r["val/loss"]) and np.isfinite(r["val/recon"])
     summaries = [r for r in recs if r.get("run_summary")]
