@@ -98,10 +98,18 @@ def aot_wrap(sig, jitted, allow: bool = True):
                     loaded = se.deserialize_and_load(
                         serialized, in_tree, out_tree,
                         execution_devices=[jax.devices()[0]])
+                    import sys as _sys
+
+                    # stderr: callers like bench.py reserve stdout for
+                    # their single machine-readable JSON line
                     print(f"# AOT cache hit: read {t1 - t0:.1f}s, "
-                          f"load {_time.time() - t1:.1f}s ({path})")
+                          f"load {_time.time() - t1:.1f}s ({path})",
+                          file=_sys.stderr)
                 except Exception as e:  # stale/incompatible: recompile
-                    print(f"# AOT cache load failed ({e}); recompiling")
+                    import sys as _sys
+
+                    print(f"# AOT cache load failed ({e}); recompiling",
+                          file=_sys.stderr)
                     loaded = None
             if loaded is None:
                 # NOTE: the slot is only written on SUCCESS — a raised
@@ -126,7 +134,9 @@ def aot_wrap(sig, jitted, allow: bool = True):
                         f.write(blob)
                     os.replace(tmp, path)
                 except Exception as e:  # cache is best-effort
-                    print(f"# AOT cache write failed: {e}")
+                    import sys as _sys
+
+                    print(f"# AOT cache write failed: {e}", file=_sys.stderr)
                 loaded = compiled
             state[fname] = loaded
         return state[fname](*args)
