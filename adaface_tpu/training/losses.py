@@ -76,11 +76,19 @@ def _demean(x):
 def ref_cosine_loss(delta, ref_delta, emb_weights=None, exponent: float = 2.0,
                     do_demean_first: bool = True, ref_grad_scale: float = 0.05,
                     aim_to_align: bool = True,
-                    margin: float = 0.0) -> jnp.ndarray:
+                    margin: float = 0.0,
+                    instance_axis: Optional[int] = None) -> jnp.ndarray:
     """Weighted cosine alignment of `delta` to `ref_delta`
-    (`calc_ref_cosine_loss`, `ldm/util.py`): demean both over the embedding
-    dim, gradient-scale + signed-pow the reference side
-    (x·|x|^(e-1)), per-token cosine-embedding loss, weight-averaged."""
+    (`calc_ref_cosine_loss`, `ldm/util.py:438-540`): demean both over the
+    embedding dim, gradient-scale + signed-pow the reference side
+    (x·|x|^(e-1)), per-token cosine-embedding loss, weight-averaged.
+
+    `instance_axis`: the reference loops instances and averages their
+    per-instance weighted means (each instance counts equally even when
+    its mask mass differs — e.g. delta batches over different-length
+    prompts). Pass the batch axis of `losses` to reproduce that; None
+    keeps the global weighted mean (equivalent whenever per-instance
+    masses are equal, which holds at every other call site)."""
     if do_demean_first:
         delta = _demean(delta)
         ref_delta = _demean(ref_delta)
@@ -93,6 +101,13 @@ def ref_cosine_loss(delta, ref_delta, emb_weights=None, exponent: float = 2.0,
     bn = ref_pow / safe_norm(ref_pow)
     cos = jnp.sum(an * bn, axis=-1)
     losses = (1.0 - cos) if aim_to_align else jnp.maximum(cos, 0.0)
+    if emb_weights is not None and instance_axis is not None:
+        w = jnp.broadcast_to(emb_weights, losses.shape)
+        axes = tuple(i for i in range(losses.ndim) if i != instance_axis)
+        per = jnp.sum(losses * w, axis=axes) / (jnp.sum(w, axis=axes) + 1e-8)
+        if margin > 0:  # the reference clamps per instance (`:528-532`)
+            per = jnp.maximum(per - margin, 0.0)
+        return per.mean()
     if emb_weights is not None:
         w = jnp.broadcast_to(emb_weights, losses.shape)
         loss = jnp.sum(losses * w) / (jnp.sum(w) + 1e-8)
@@ -124,7 +139,11 @@ def prompt_delta_loss(
         agg = single_mask.astype(jnp.float32) + comp_mask.astype(jnp.float32)
         weights = (agg ** 2 / 4.0).at[:, 0].set(0.0)  # exclude BOS
         weights = weights[None]  # broadcast over L
-    return ref_cosine_loss(d_subj, d_cls, emb_weights=weights)
+    # instance_axis=1: each instance's weighted mean counts equally, like
+    # the reference's per-sample loop (prompt lengths differ per instance
+    # in recon-iter delta batches)
+    return ref_cosine_loss(d_subj, d_cls, emb_weights=weights,
+                           instance_axis=1)
 
 
 def calc_align_coeffs(a: jnp.ndarray, b: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:

@@ -1,0 +1,192 @@
+"""Direct `ldm/util.py` oracles: the reference's own loss/mixing helpers
+(imported from /root/reference, never copied) evaluated on random inputs
+vs this repo's re-designs in the [L, B, T, D] layout. Stronger than the
+formula-level tests in test_losses.py — these certify against the
+reference CODE, including its per-sample averaging and layout quirks."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax.numpy as jnp  # noqa: E402
+
+from tests.reference_oracle import (  # noqa: E402
+    import_reference_module,
+    reference_available,
+)
+
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(not reference_available(),
+                       reason="reference tree unavailable"),
+]
+
+L, T, D = 16, 11, 24
+
+
+def _to_tucked(x_lbtd):
+    """[L, B, T, D] numpy -> the reference's [B*L, T, D] per-instance-
+    adjacent tucking (`embedding_manager.py:1341-1353`)."""
+    import torch
+
+    L_, B, T_, D_ = x_lbtd.shape
+    return torch.tensor(
+        np.transpose(x_lbtd, (1, 0, 2, 3)).reshape(B * L_, T_, D_))
+
+
+def test_ortho_subtract_matches_reference():
+    import torch
+
+    u = import_reference_module("ldm.util")
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((5, 7, D)).astype(np.float32)
+    b = rng.standard_normal((5, 7, D)).astype(np.float32)
+    ref = u.ortho_subtract(torch.tensor(a), torch.tensor(b)).numpy()
+    from adaface_tpu.training.losses import ortho_subtract
+
+    got = np.asarray(ortho_subtract(jnp.asarray(a), jnp.asarray(b)))
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-6)
+
+
+def test_ref_cosine_loss_matches_reference_per_instance_masks():
+    """The reference loops instances and averages their per-instance
+    weighted means — instances with DIFFERENT mask masses count equally
+    (`ldm/util.py:456-540`). `instance_axis` reproduces that."""
+    import torch
+
+    u = import_reference_module("ldm.util")
+    rng = np.random.default_rng(1)
+    B = 3
+    delta = rng.standard_normal((B, L, T, D)).astype(np.float32)
+    ref_d = rng.standard_normal((B, L, T, D)).astype(np.float32)
+    # per-instance masks with different masses
+    mask = np.zeros((B, 1, T, 1), np.float32)
+    mask[0, :, :3] = 1.0
+    mask[1, :, :7] = 0.5
+    mask[2, :, :T] = 0.25
+    ref = u.calc_ref_cosine_loss(
+        torch.tensor(delta), torch.tensor(ref_d),
+        emb_mask=torch.tensor(mask), exponent=2,
+        do_demean_first=True, first_n_dims_to_flatten=3,
+        ref_grad_scale=0.05, aim_to_align=True)
+    ref = float(ref)  # already averaged over instances (`:535`)
+    from adaface_tpu.training.losses import ref_cosine_loss
+
+    # ours is [L, B, T, D]-native: transpose, weights [L?, B, T]
+    got = float(ref_cosine_loss(
+        jnp.asarray(np.transpose(delta, (1, 0, 2, 3))),
+        jnp.asarray(np.transpose(ref_d, (1, 0, 2, 3))),
+        emb_weights=jnp.asarray(mask[:, 0, :, 0])[None],
+        exponent=2.0, do_demean_first=True, ref_grad_scale=0.05,
+        aim_to_align=True, instance_axis=1))
+    np.testing.assert_allclose(got, ref, rtol=3e-5)
+
+
+def test_prompt_delta_loss_matches_reference():
+    """`calc_prompt_emb_delta_loss` (`ldm/util.py:2278-2331`) on a 4-type
+    battery with per-instance prompt lengths."""
+    import torch
+
+    u = import_reference_module("ldm.util")
+    rng = np.random.default_rng(2)
+    B = 2
+    types = rng.standard_normal((4, B, L, T, D)).astype(np.float32)
+    # valid-token masks: single shorter than comp, different per instance
+    single = np.zeros((B, T), np.float32)
+    comp = np.zeros((B, T), np.float32)
+    single[0, :4] = 1
+    comp[0, :9] = 1
+    single[1, :6] = 1
+    comp[1, :T] = 1
+    # reference input layouts: embeddings [4B, 16, 77, 768], mask [4B, 77, 1]
+    static = torch.tensor(types.reshape(4 * B, L, T, D))
+    pmask = torch.tensor(
+        np.concatenate([single, comp, single, comp], 0)[..., None])
+    ref = float(u.calc_prompt_emb_delta_loss(static, pmask))
+
+    from adaface_tpu.training.losses import prompt_delta_loss
+
+    ours_args = [jnp.asarray(np.transpose(types[i], (1, 0, 2, 3)))
+                 for i in range(4)]
+    got = float(prompt_delta_loss(*ours_args,
+                                  single_mask=jnp.asarray(single),
+                                  comp_mask=jnp.asarray(comp)))
+    np.testing.assert_allclose(got, ref, rtol=3e-5)
+
+
+def test_mix_static_vk_embeddings_matches_reference():
+    import torch
+
+    u = import_reference_module("ldm.util")
+    rng = np.random.default_rng(3)
+    B = 2
+    subj = rng.standard_normal((L, B, T, D)).astype(np.float32)
+    cls = rng.standard_normal((L, B, T, D)).astype(np.float32)
+    subj_cols = [2, 3, 4]
+    t_frac = np.asarray([0.9, 0.35], np.float32)
+    training_percent = 0.6
+
+    c_static = torch.cat([_to_tucked(subj), _to_tucked(cls)], dim=0)
+    out = u.mix_static_vk_embeddings(
+        c_static, torch.tensor(subj_cols), training_percent,
+        t_frac=torch.tensor(t_frac))
+    c_vk = out[0].numpy()  # [2*B*L, 2T, D]: [subj_emb2 ; mix_emb]
+    ref_subj_vk = np.transpose(
+        c_vk[:B * L].reshape(B, L, 2 * T, D), (1, 0, 2, 3))
+    ref_mix_vk = np.transpose(
+        c_vk[B * L:].reshape(B, L, 2 * T, D), (1, 0, 2, 3))
+
+    from adaface_tpu.training.mixing import mix_static_vk_embeddings
+
+    mask = np.zeros((B, T), np.float32)
+    mask[:, subj_cols] = 1.0
+    subj_vk, mix_vk = mix_static_vk_embeddings(
+        jnp.asarray(subj), jnp.asarray(cls), jnp.asarray(mask),
+        training_percent, jnp.asarray(t_frac))
+    np.testing.assert_allclose(np.asarray(subj_vk), ref_subj_vk,
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(mix_vk), ref_mix_vk,
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_calc_dyn_loss_scale_matches_reference():
+    import torch
+
+    u = import_reference_module("ldm.util")
+    from adaface_tpu.training.losses import calc_dyn_loss_scale
+
+    for loss_val, base, scale_base in [(0.3, 0.2, 2.0), (0.01, 0.2, 2.0),
+                                       (5.0, 0.2, 2.0), (0.3, 0.0, 2.0)]:
+        ref = u.calc_dyn_loss_scale(torch.tensor(loss_val), base, scale_base)
+        got = calc_dyn_loss_scale(loss_val, base, scale_base)
+        assert float(got) == pytest.approx(float(ref), rel=1e-6), \
+            (loss_val, base)
+
+
+def test_distribute_embedding_matches_reference():
+    import torch
+
+    u = import_reference_module("ldm.util")
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal((L, T, D)).astype(np.float32)  # one instance
+    cols = [3, 4, 5, 6]
+    ref = u.distribute_embedding_to_M_tokens(
+        torch.tensor(x), torch.tensor(cols)).numpy()
+
+    from adaface_tpu.personalization.embedding_manager import EmbeddingManager
+
+    slot = np.full((1, T), -1, np.int32)
+    slot[0, cols] = np.arange(len(cols))
+    got = np.asarray(EmbeddingManager.distribute_cls_embeddings(
+        jnp.asarray(x)[:, None], jnp.asarray(slot)))[:, 0]
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+    # K=1 and no-placeholder instances pass through unchanged
+    slot1 = np.full((1, T), -1, np.int32)
+    slot1[0, 3] = 0
+    same = np.asarray(EmbeddingManager.distribute_cls_embeddings(
+        jnp.asarray(x)[:, None], jnp.asarray(slot1)))[:, 0]
+    np.testing.assert_allclose(same, x, rtol=0, atol=0)

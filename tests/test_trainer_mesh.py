@@ -47,7 +47,7 @@ def subject_dir(tmp_path_factory):
 
 
 def _build(subject_dir, logdir, num_devices=8, max_steps=4, batch_size=1,
-           compos_gap=3):
+           compos_gap=3, **cfg_kw):
     tok = HashTokenizer()
     pipe = StableDiffusionPipeline.from_random(
         jax.random.PRNGKey(0), tok,
@@ -64,10 +64,11 @@ def _build(subject_dir, logdir, num_devices=8, max_steps=4, batch_size=1,
                         num_vectors=9, init_key=jax.random.PRNGKey(1),
                         emb_dim=64)
     ds = PersonalizedDataset([SubjectSpec("s", subject_dir)], size=32, seed=0)
-    cfg = TrainerConfig(max_steps=max_steps, batch_size=batch_size,
-                        num_devices=num_devices, use_prodigy=True,
-                        ckpt_every_steps=100, log_every_steps=100, seed=0,
-                        logdir=logdir)
+    cfg = TrainerConfig(**{**dict(max_steps=max_steps,
+                                  batch_size=batch_size,
+                                  num_devices=num_devices, use_prodigy=True,
+                                  ckpt_every_steps=100, log_every_steps=100,
+                                  seed=0, logdir=logdir), **cfg_kw})
     return Trainer(pipe, ds, cfg,
                    IterPlanConfig(composition_regs_iter_gap=compos_gap,
                                   max_steps=max_steps))
@@ -248,3 +249,27 @@ def test_zs_trainer_dp8_equals_dp1(tmp_path):
     deltas = [float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
               for a, b in zip(l8, l1)]
     assert max(deltas) < 5e-5, f"zs dp8 vs dp1 divergence: {max(deltas)}"
+
+
+def test_trainer_validation_dp8(subject_dir, tmp_path):
+    """Validation over the dp mesh: the val batch dp-shards through
+    `shard_train_batch` and the loss-only program runs on replicated
+    trainables — `val/` metrics finite, training state untouched."""
+    import json
+
+    tr = _build(subject_dir, str(tmp_path / "v"), num_devices=8,
+                max_steps=2, compos_gap=10**6, val_every_steps=1,
+                val_batches=1)
+    before = jax.device_get(tr.mgr.embedders)
+    rec = tr.run_validation()
+    assert np.isfinite(rec["val/loss"]) and np.isfinite(rec["val/recon"])
+    # a val pass must not move params or advance the training stream
+    after = jax.device_get(tr.mgr.embedders)
+    assert all(np.array_equal(np.asarray(a), np.asarray(b))
+               for a, b in zip(jax.tree_util.tree_leaves(before),
+                               jax.tree_util.tree_leaves(after)))
+    tr.fit()
+    recs = [json.loads(l)
+            for l in open(os.path.join(tr.cfg.logdir, "metrics.jsonl"))]
+    val = [r for r in recs if any(k.startswith("val/") for k in r)]
+    assert len(val) == 3  # standalone + steps 1, 2
