@@ -30,13 +30,19 @@ def rand_annealed(rng: np.random.Generator, training_percent: float,
     return float(rng.uniform(lb, ub))
 
 
-def _resize_bilinear_nhwc(x: np.ndarray, oh: int, ow: int) -> np.ndarray:
+def _resize_bilinear_nhwc(x: np.ndarray, oh: int, ow: int,
+                          scale: float | None = None) -> np.ndarray:
     """Bilinear resize [B, H, W, C] -> [B, oh, ow, C] with torch
     F.interpolate(align_corners=False) semantics: src = (dst+0.5)*scale-0.5,
-    clamped."""
+    clamped. When the caller resized via `scale_factor` (the reference's
+    path), torch maps coordinates with the EXACT factor, not the realized
+    oh/h ratio (recompute_scale_factor=False) — pass `scale` to match;
+    the feather ring at the fg boundary differs otherwise."""
     b, h, w, c = x.shape
-    ys = np.clip((np.arange(oh) + 0.5) * (h / oh) - 0.5, 0, h - 1)
-    xs = np.clip((np.arange(ow) + 0.5) * (w / ow) - 0.5, 0, w - 1)
+    inv_h = (1.0 / scale) if scale else (h / oh)
+    inv_w = (1.0 / scale) if scale else (w / ow)
+    ys = np.clip((np.arange(oh) + 0.5) * inv_h - 0.5, 0, h - 1)
+    xs = np.clip((np.arange(ow) + 0.5) * inv_w - 0.5, 0, w - 1)
     y0 = np.floor(ys).astype(np.int64)
     x0 = np.floor(xs).astype(np.int64)
     y1 = np.minimum(y0 + 1, h - 1)
@@ -85,7 +91,7 @@ def init_x_with_fg_from_training_image(
 
     sh, sw = max(int(h * scale), 1), max(int(w * scale), 1)
     packed = np.concatenate([x_orig, fgm], axis=-1)
-    scaled = _resize_bilinear_nhwc(packed, sh, sw)
+    scaled = _resize_bilinear_nhwc(packed, sh, sw, scale=scale)
     ph1, pw1 = (h - sh) // 2, (w - sw) // 2
     padded = np.zeros((b, h, w, packed.shape[-1]), np.float32)
     padded[:, ph1:ph1 + sh, pw1:pw1 + sw] = scaled

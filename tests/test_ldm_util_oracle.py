@@ -190,3 +190,92 @@ def test_distribute_embedding_matches_reference():
     same = np.asarray(EmbeddingManager.distribute_cls_embeddings(
         jnp.asarray(x)[:, None], jnp.asarray(slot1)))[:, 0]
     np.testing.assert_allclose(same, x, rtol=0, atol=0)
+
+
+def test_elastic_matching_loss_matches_reference():
+    """`calc_elastic_matching_loss` (`ldm/util.py:2481-2616`): q-similarity
+    transport maps, map alignment, fg transport-reconstruction cosine, and
+    soft-background comp-vs-mix match — our dense-mask static-shape form
+    vs the reference's fg-column gathering."""
+    import torch
+
+    u = import_reference_module("ldm.util")
+    rng = np.random.default_rng(5)
+    C, N = 40, 16
+    ca_q = rng.standard_normal((4, C, N)).astype(np.float32)
+    ca_feat = rng.standard_normal((4, C, N)).astype(np.float32)
+    fg = (rng.random(N) < 0.4).astype(np.float32)
+    fg[0] = 1.0  # non-empty
+
+    r_map, r_fg, r_bg, r_sc_prob, r_mc_prob = u.calc_elastic_matching_loss(
+        torch.tensor(ca_q), torch.tensor(ca_feat),
+        torch.tensor(fg).reshape(1, 1, N))
+
+    from adaface_tpu.training.losses import elastic_matching_loss
+
+    g_map, g_fg, g_bg, (g_sc_prob, g_mc_prob) = elastic_matching_loss(
+        jnp.asarray(ca_q), jnp.asarray(ca_feat), jnp.asarray(fg)[None])
+    np.testing.assert_allclose(float(g_map), float(r_map), rtol=3e-5)
+    np.testing.assert_allclose(float(g_fg), float(r_fg), rtol=3e-5)
+    np.testing.assert_allclose(float(g_bg), float(r_bg), rtol=3e-5)
+    np.testing.assert_allclose(np.asarray(g_sc_prob).ravel(),
+                               r_sc_prob.numpy().ravel(), rtol=3e-5,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g_mc_prob).ravel(),
+                               r_mc_prob.numpy().ravel(), rtol=3e-5,
+                               atol=1e-6)
+
+
+def test_init_x_with_fg_matches_reference():
+    """`init_x_with_fg_from_training_image` (`ldm/util.py:2403-2457`) with
+    randomness pinned in both implementations (noise -> 0, scale and
+    noise-amount -> fixed): masked noise-fill, bilinear fg down-scale,
+    center pad, bool re-mask and annealed noise blend all line up."""
+    import torch
+
+    u = import_reference_module("ldm.util")
+    rng = np.random.default_rng(6)
+    B, H, W = 2, 16, 16
+    x = rng.standard_normal((B, H, W, 4)).astype(np.float32)
+    m = np.zeros((B, H, W, 1), np.float32)
+    m[0, 3:10, 4:12] = 1.0
+    m[1, 2:14, 1:13] = 1.0  # large fg -> extra-scale branch
+
+    SCALE, AMT = 0.85, 0.3
+    # pin the reference's randomness
+    orig_randn_like = torch.randn_like
+    orig_uniform = u.np.random.uniform
+    orig_rand_annealed = u.rand_annealed
+    try:
+        torch.randn_like = lambda t: torch.zeros_like(t)
+        u.np.random.uniform = lambda lo, hi: SCALE
+        u.rand_annealed = lambda *a, **k: AMT
+        x_t = torch.tensor(np.transpose(x, (0, 3, 1, 2)))
+        m_t = torch.tensor(np.transpose(m, (0, 3, 1, 2)))
+        rx, _rf, rff = u.init_x_with_fg_from_training_image(
+            x_t, m_t, m_t, training_percent=0.5,
+            fg_noise_anneal_mean_range=(0.1, 0.4))
+    finally:
+        torch.randn_like = orig_randn_like
+        u.np.random.uniform = orig_uniform
+        u.rand_annealed = orig_rand_annealed
+    ref_x = np.transpose(rx.numpy(), (0, 2, 3, 1))
+    ref_fgm = np.transpose(rff.numpy(), (0, 2, 3, 1))
+
+    from adaface_tpu.training.x_init import init_x_with_fg_from_training_image
+
+    class StubRng:
+        def __init__(self):
+            self.uniforms = [SCALE, AMT]
+
+        def standard_normal(self, shape):
+            return np.zeros(shape, np.float32)
+
+        def uniform(self, lo, hi):
+            return self.uniforms.pop(0)
+
+    gx, gm = init_x_with_fg_from_training_image(
+        StubRng(), x, m, training_percent=0.5)
+    np.testing.assert_allclose(gm, (ref_fgm > 0).astype(np.float32),
+                               rtol=0, atol=0)
+    np.testing.assert_allclose(gx, ref_x, rtol=2e-4, atol=2e-5)
