@@ -279,3 +279,36 @@ def test_init_x_with_fg_matches_reference():
     np.testing.assert_allclose(gm, (ref_fgm > 0).astype(np.float32),
                                rtol=0, atol=0)
     np.testing.assert_allclose(gx, ref_x, rtol=2e-4, atol=2e-5)
+
+
+def test_compel_cfg_matches_reference():
+    """`prob_apply_compel_cfg` (`ldm/util.py:2063-2094`) with the
+    probability gate pinned open: offset-from-empty scaling by 1.1^level,
+    per-instance batch mask, and skipped-token restoration."""
+    import torch
+
+    u = import_reference_module("ldm.util")
+    rng = np.random.default_rng(7)
+    B, T_, D_ = 4, 9, 12
+    ctx = rng.standard_normal((B, T_, D_)).astype(np.float32)
+    empty = rng.standard_normal((1, T_, D_)).astype(np.float32)
+    bm = np.asarray([0, 1, 1, 0], np.float32)
+    level = 2.0
+
+    orig_random = u.random.random
+    try:
+        u.random.random = lambda: 0.0  # always apply
+        ref = u.prob_apply_compel_cfg(
+            torch.tensor(ctx), torch.tensor(empty), 1.0, level,
+            batch_mask=torch.tensor(bm)).numpy()
+    finally:
+        u.random.random = orig_random
+
+    from adaface_tpu.ops.compel import apply_compel_cfg
+
+    got = np.asarray(apply_compel_cfg(
+        jnp.asarray(ctx), jnp.asarray(empty), level,
+        batch_mask=jnp.asarray(bm)))
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-6)
+    # unmasked instances keep the original context bit-exactly
+    np.testing.assert_allclose(got[0], ctx[0], rtol=0, atol=0)
