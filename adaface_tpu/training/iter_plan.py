@@ -110,8 +110,13 @@ def probably_anneal_t(t: np.ndarray, training_percent: float,
         return t
     lb, ub = ratio_range
     t = np.asarray(t)
-    lo = np.clip((t * lb).astype(np.int64), 0, num_timesteps - 1)
-    hi = np.minimum((t * ub).astype(np.int64) + 1, num_timesteps)
+    # float32 products like the reference's torch scalar arithmetic —
+    # float64 rounds t*ratio differently at e.g. 700*1.3 (911 vs 910),
+    # shifting a bound by 1
+    lo = np.clip((t.astype(np.float32) * np.float32(lb)).astype(np.int64),
+                 0, num_timesteps - 1)
+    hi = np.minimum((t.astype(np.float32) * np.float32(ub)).astype(np.int64)
+                    + 1, num_timesteps)
     return rng.integers(lo, hi)
 
 

@@ -312,3 +312,49 @@ def test_compel_cfg_matches_reference():
     np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-6)
     # unmasked instances keep the original context bit-exactly
     np.testing.assert_allclose(got[0], ctx[0], rtol=0, atol=0)
+
+
+def test_probably_anneal_t_bounds_match_reference():
+    """`probably_anneal_t` (`ldm/util.py:1748-1770`): with the keep-flip
+    pinned to 'anneal' and the draw pinned to its lower bound, the
+    per-element [lb, ub) rescale bounds arithmetic must match."""
+    import torch
+
+    u = import_reference_module("ldm.util")
+    t = np.asarray([0, 3, 250, 700, 999], np.int64)
+    T_total, ratio = 1000, (0.8, 1.3)
+
+    captured = []
+    orig_randint = u.np.random.randint
+    orig_random = u.random.random
+    try:
+        u.random.random = lambda: 1.0  # never keep
+
+        def rec(lo, hi):
+            captured.append((int(lo), int(hi)))
+            return lo
+
+        u.np.random.randint = rec
+        ref = u.probably_anneal_t(torch.tensor(t), 0.5, T_total,
+                                  ratio).numpy()
+    finally:
+        u.np.random.randint = orig_randint
+        u.random.random = orig_random
+
+    from adaface_tpu.training.iter_plan import probably_anneal_t
+
+    class SR:
+        def random(self):
+            return 1.0  # >= keep_p -> anneal
+
+        def integers(self, lo, hi):
+            return np.asarray(lo)
+
+    got = probably_anneal_t(t, 0.5, T_total, ratio, rng=SR())
+    np.testing.assert_array_equal(got, ref)
+    # the ub side too (torch computes t*ratio in float32 — 700*1.3 -> 910
+    # there but 911 in float64; our bounds mirror the float32 arithmetic)
+    f32 = lambda ti, r: int(np.float32(ti) * np.float32(r))
+    assert captured == [(min(max(f32(ti, ratio[0]), 0), T_total - 1),
+                         min(f32(ti, ratio[1]) + 1, T_total))
+                        for ti in t]
