@@ -226,16 +226,45 @@ def _token_score(attn: jnp.ndarray, token_mask: jnp.ndarray) -> jnp.ndarray:
                       token_mask.astype(jnp.float32))
 
 
+def _bilinear_2tap(x: jnp.ndarray, oh: int, ow: int) -> jnp.ndarray:
+    """[B, H, W] bilinear resize with torch
+    `F.interpolate(mode='bilinear', align_corners=False)` semantics:
+    half-pixel mapping, 2 taps per axis, NO antialias filter (torch's
+    default even when downsampling — `jax.image.resize` antialiases,
+    which blurs differently)."""
+    x = x.astype(jnp.float32)
+    B, H, W = x.shape
+    ys = jnp.clip((jnp.arange(oh) + 0.5) * (H / oh) - 0.5, 0, H - 1)
+    xs = jnp.clip((jnp.arange(ow) + 0.5) * (W / ow) - 0.5, 0, W - 1)
+    y0 = jnp.floor(ys).astype(jnp.int32)
+    x0 = jnp.floor(xs).astype(jnp.int32)
+    y1 = jnp.minimum(y0 + 1, H - 1)
+    x1 = jnp.minimum(x0 + 1, W - 1)
+    wy = (ys - y0)[None, :, None]
+    wx = (xs - x0)[None, None, :]
+    top = x[:, y0][:, :, x0] * (1 - wx) + x[:, y0][:, :, x1] * wx
+    bot = x[:, y1][:, :, x0] * (1 - wx) + x[:, y1][:, :, x1] * wx
+    return top * (1 - wy) + bot * wy
+
+
 def _resize_fg_mask_to_q(fg_mask: jnp.ndarray, q_len: int) -> jnp.ndarray:
     """[B, H, W(, 1)] spatial mask -> binarized [B, Q] at the attention's
-    spatial resolution (nearest; `resize_mask_for_feat_or_attn`)."""
+    spatial resolution. The reference takes max(nearest, bilinear)
+    downsamples before binarizing (`resize_mask_for_feat_or_attn`,
+    `ldm/util.py:1810-1834`, mode="nearest|bilinear") — the bilinear arm
+    keeps a 1-cell feather ring around small fg regions that a
+    nearest-only subsample drops."""
     if fg_mask.ndim == 4:
         fg_mask = fg_mask[..., 0]
+    fg_mask = fg_mask.astype(jnp.float32)
     B, H, W = fg_mask.shape
     s = int(round(q_len ** 0.5))
+    # nearest (torch F.interpolate 'nearest': src = floor(dst * in/out))
     ri = (jnp.arange(s) * (H / s)).astype(jnp.int32)
     ci = (jnp.arange(s) * (W / s)).astype(jnp.int32)
-    small = fg_mask[:, ri][:, :, ci].reshape(B, s * s)
+    near = fg_mask[:, ri][:, :, ci]
+    bilin = _bilinear_2tap(fg_mask, s, s)
+    small = jnp.maximum(near, bilin).reshape(B, s * s)
     return (small > 1e-6).astype(jnp.float32)
 
 
@@ -378,9 +407,10 @@ def fg_bg_xlayer_consist_loss(ca_attnscores: dict,
             a = head_avg_map(attn, masks)
             ax = head_avg_map(attn_x, masks)
             sx = int(round(ax.shape[1] ** 0.5))
-            a_grid = to_grid(a)
-            a_small = jax.image.resize(
-                a_grid, (a_grid.shape[0], sx, sx, 1), "bilinear")
+            a_grid = to_grid(a)[..., 0]  # [B, s, s]
+            # 2-tap bilinear like torch F.interpolate (`ddpm.py:4334`) —
+            # jax.image.resize would antialias the downsample
+            a_small = _bilinear_2tap(a_grid, sx, sx)
             a_small = a_small.reshape(a.shape[0], sx * sx)
             acc.append(w * ref_cosine_loss(a_small, ax, exponent=2.0,
                                            do_demean_first=True,

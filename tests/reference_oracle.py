@@ -93,6 +93,30 @@ def import_reference_module(name: str):
             sbg.SubjBasisGenerator = SubjBasisGenerator
             sbg.CLIPVisionModelWithMask = object
             sys.modules["ldm.modules.subj_basis_generator"] = sbg
+        # `ldm.models.diffusion.ddpm` additionally needs these at import
+        # time (the oracle only drives its pure loss METHODS, never
+        # instantiates the Lightning module)
+        if "pytorch_lightning.utilities.distributed" not in sys.modules:
+            plu = types.ModuleType("pytorch_lightning.utilities")
+            plud = types.ModuleType("pytorch_lightning.utilities.distributed")
+            plud.rank_zero_only = lambda fn: fn
+            plu.distributed = plud
+            sys.modules["pytorch_lightning.utilities"] = plu
+            sys.modules["pytorch_lightning.utilities.distributed"] = plud
+        if "insightface" not in sys.modules:
+            insf = types.ModuleType("insightface")
+            insa = types.ModuleType("insightface.app")
+            insa.FaceAnalysis = object
+            insf.app = insa
+            sys.modules["insightface"] = insf
+            sys.modules["insightface.app"] = insa
+        if "evaluation.clip_eval" not in sys.modules:
+            ev = types.ModuleType("evaluation")
+            evc = types.ModuleType("evaluation.clip_eval")
+            evc.CLIPEvaluator = object
+            ev.clip_eval = evc
+            sys.modules["evaluation"] = ev
+            sys.modules["evaluation.clip_eval"] = evc
         if REFERENCE_ROOT not in sys.path:
             sys.path.insert(0, REFERENCE_ROOT)
         _stubbed = True

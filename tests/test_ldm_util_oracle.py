@@ -358,3 +358,129 @@ def test_probably_anneal_t_bounds_match_reference():
     assert captured == [(min(max(f32(ti, ratio[0]), 0), T_total - 1),
                          min(f32(ti, ratio[1]) + 1, T_total))
                         for ti in t]
+
+
+def _rand_attnscores(rng, layers, B, h, Q, T_):
+    import torch
+
+    scores = {}
+    for l in layers:
+        a = rng.random((B, h, Q, T_)).astype(np.float32)
+        a = a / a.sum(-1, keepdims=True)  # softmax-like rows
+        scores[l] = a
+    return scores, {l: torch.tensor(v) for l, v in scores.items()}
+
+
+def test_fg_bg_complementary_loss_matches_reference():
+    """`calc_fg_bg_complementary_loss` (`ddpm.py:4039-4253`): the live
+    recon-battery loss driven through the reference's own method (stub
+    self — the bg path touches no instance state) vs our dense-mask form:
+    complementary cosine + the three margin-contrast suppressions."""
+    import torch
+    import types
+
+    d = import_reference_module("ldm.models.diffusion.ddpm")
+    rng = np.random.default_rng(8)
+    B, h, Q, T_ = 2, 2, 64, 12
+    layers = [7, 8, 12, 16, 17, 18, 19, 20, 21, 22, 23, 24]
+    scores_np, scores_t = _rand_attnscores(rng, layers, B, h, Q, T_)
+    # K_fg=3 subject slots, K_bg=2 bg slots, different columns per instance
+    subj_idx = (torch.tensor([0, 0, 0, 1, 1, 1]),
+                torch.tensor([5, 6, 7, 4, 5, 6]))
+    bg_idx = (torch.tensor([0, 0, 1, 1]), torch.tensor([9, 10, 8, 9]))
+    fg = np.zeros((B, 16, 16), np.float32)
+    fg[0, 2:9, 3:12] = 1.0
+    fg[1, 5:14, 2:7] = 1.0
+    inst = torch.ones(B)
+
+    ref = d.LatentDiffusion.calc_fg_bg_complementary_loss(
+        types.SimpleNamespace(), scores_t, subj_idx, bg_idx, BLOCK_SIZE=B,
+        fg_grad_scale=0.1, fg_mask=torch.tensor(fg)[:, None],
+        instance_mask=inst)
+    ref = [float(x) for x in ref]
+
+    from adaface_tpu.training.losses import fg_bg_complementary_loss
+
+    subj_m = np.zeros((B, T_), np.float32)
+    subj_m[0, [5, 6, 7]] = 1
+    subj_m[1, [4, 5, 6]] = 1
+    bg_m = np.zeros((B, T_), np.float32)
+    bg_m[0, [9, 10]] = 1
+    bg_m[1, [8, 9]] = 1
+    got = fg_bg_complementary_loss(
+        {l: jnp.asarray(v) for l, v in scores_np.items()},
+        jnp.asarray(subj_m), jnp.asarray(bg_m), fg_mask=jnp.asarray(fg),
+        instance_mask=jnp.ones(B), fg_grad_scale=0.1)
+    got = [float(x) for x in got]
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-6)
+
+
+def test_fg_mb_suppress_loss_matches_reference():
+    """`calc_fg_mb_suppress_loss` (`ddpm.py:3928-4037`) — the
+    subject-only suppression arm used when no bg token rides along."""
+    import torch
+    import types
+
+    d = import_reference_module("ldm.models.diffusion.ddpm")
+    rng = np.random.default_rng(9)
+    B, h, Q, T_ = 2, 2, 64, 12
+    layers = [7, 8, 12, 16, 17, 18, 19, 20, 21, 22, 23, 24]
+    scores_np, scores_t = _rand_attnscores(rng, layers, B, h, Q, T_)
+    subj_idx = (torch.tensor([0, 0, 0, 1, 1, 1]),
+                torch.tensor([5, 6, 7, 4, 5, 6]))
+    fg = np.zeros((B, 16, 16), np.float32)
+    fg[0, 1:6, 2:9] = 1.0
+    fg[1, 8:15, 6:13] = 1.0
+
+    ref = float(d.LatentDiffusion.calc_fg_mb_suppress_loss(
+        types.SimpleNamespace(), scores_t, subj_idx, BLOCK_SIZE=B,
+        fg_mask=torch.tensor(fg)[:, None], instance_mask=torch.ones(B)))
+
+    from adaface_tpu.training.losses import fg_mb_suppress_loss
+
+    subj_m = np.zeros((B, T_), np.float32)
+    subj_m[0, [5, 6, 7]] = 1
+    subj_m[1, [4, 5, 6]] = 1
+    got = float(fg_mb_suppress_loss(
+        {l: jnp.asarray(v) for l, v in scores_np.items()},
+        jnp.asarray(subj_m), jnp.asarray(fg),
+        instance_mask=jnp.ones(B)))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-6)
+
+
+def test_fg_bg_xlayer_consist_loss_matches_reference():
+    """`calc_fg_bg_xlayer_consist_loss` (`ddpm.py:4255-4375`): each
+    layer's head-averaged subject/bg attention map aligned with the layer
+    below across resolutions (torch 2-tap bilinear downsample)."""
+    import torch
+    import types
+
+    d = import_reference_module("ldm.models.diffusion.ddpm")
+    rng = np.random.default_rng(10)
+    B, h, T_ = 2, 2, 12
+    layer_q = {7: 16, 8: 16, 12: 16, 16: 64, 17: 64, 18: 64}
+    scores_np, scores_t = {}, {}
+    for l, Q in layer_q.items():
+        s, st = _rand_attnscores(rng, [l], B, h, Q, T_)
+        scores_np[l] = s[l]
+        scores_t[l] = st[l]
+    subj_idx = (torch.tensor([0, 0, 0, 1, 1, 1]),
+                torch.tensor([5, 6, 7, 4, 5, 6]))
+    bg_idx = (torch.tensor([0, 0, 1, 1]), torch.tensor([9, 10, 8, 9]))
+
+    ref_fg, ref_bg = d.LatentDiffusion.calc_fg_bg_xlayer_consist_loss(
+        types.SimpleNamespace(), scores_t, subj_idx, bg_idx, SSB_SIZE=B)
+
+    from adaface_tpu.training.losses import fg_bg_xlayer_consist_loss
+
+    subj_m = np.zeros((B, T_), np.float32)
+    subj_m[0, [5, 6, 7]] = 1
+    subj_m[1, [4, 5, 6]] = 1
+    bg_m = np.zeros((B, T_), np.float32)
+    bg_m[0, [9, 10]] = 1
+    bg_m[1, [8, 9]] = 1
+    got_fg, got_bg = fg_bg_xlayer_consist_loss(
+        {l: jnp.asarray(v) for l, v in scores_np.items()},
+        jnp.asarray(subj_m), jnp.asarray(bg_m))
+    np.testing.assert_allclose(float(got_fg), float(ref_fg), rtol=1e-4)
+    np.testing.assert_allclose(float(got_bg), float(ref_bg), rtol=1e-4)
