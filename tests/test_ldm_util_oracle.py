@@ -484,3 +484,47 @@ def test_fg_bg_xlayer_consist_loss_matches_reference():
         jnp.asarray(subj_m), jnp.asarray(bg_m))
     np.testing.assert_allclose(float(got_fg), float(ref_fg), rtol=1e-4)
     np.testing.assert_allclose(float(got_bg), float(ref_bg), rtol=1e-4)
+
+
+def test_prompt_mix_loss_matches_reference():
+    """`calc_prompt_mix_loss` (`ddpm.py:3710-3925`) at one distill layer:
+    attn delta alignment (exponent 3), attn norm distill, and the
+    spatially-reweighted + avg-pooled feature delta alignment."""
+    import torch
+    import types
+
+    d = import_reference_module("ldm.models.diffusion.ddpm")
+    rng = np.random.default_rng(11)
+    h, C, T_ = 2, 20, 12
+    HW, Q = 16, 256
+    layer = 16
+    outfeat = rng.standard_normal((4, C, HW, HW)).astype(np.float32)
+    attn = rng.random((4, h, Q, T_)).astype(np.float32)
+    attn = attn / attn.sum(-1, keepdims=True)
+    fg_2b = (torch.tensor([0, 0, 0, 1, 1, 1]),
+             torch.tensor([5, 6, 7, 5, 6, 7]))  # K_fg=3, blocks ss/sc
+
+    ref_feat, ref_attn_delta, ref_attn_norm = \
+        d.LatentDiffusion.calc_prompt_mix_loss(
+            types.SimpleNamespace(), {layer: torch.tensor(outfeat)}, None,
+            {layer: torch.tensor(attn)}, fg_2b, BLOCK_SIZE=1)
+
+    from adaface_tpu.training.losses import prompt_mix_layer_losses
+
+    subj_m = np.zeros((T_,), np.float32)
+    subj_m[[5, 6, 7]] = 1
+    subj_attn = np.einsum("bhqt,t->bhq", attn, subj_m)
+    got_feat, got_attn_delta, got_attn_norm = prompt_mix_layer_losses(
+        jnp.asarray(np.transpose(outfeat, (0, 2, 3, 1))),
+        jnp.asarray(subj_attn))
+    # ours returns UNWEIGHTED per-layer losses (the train step applies the
+    # normalized layer weights); the reference bakes them in — all three
+    # of its tables are {7:.5, 8:.5, 12..24:1}, sum 11, so layer 16
+    # carries 1/11
+    w = 1.0 / 11.0
+    np.testing.assert_allclose(float(got_attn_norm) * w,
+                               float(ref_attn_norm), rtol=1e-4)
+    np.testing.assert_allclose(float(got_attn_delta) * w,
+                               float(ref_attn_delta), rtol=1e-4)
+    np.testing.assert_allclose(float(got_feat) * w, float(ref_feat),
+                               rtol=1e-4)
