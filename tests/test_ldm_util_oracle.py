@@ -528,3 +528,51 @@ def test_prompt_mix_loss_matches_reference():
                                float(ref_attn_delta), rtol=1e-4)
     np.testing.assert_allclose(float(got_feat) * w, float(ref_feat),
                                rtol=1e-4)
+
+
+def test_comp_fg_bg_preserve_loss_matches_reference():
+    """`calc_comp_fg_bg_preserve_loss` (`ddpm.py:4385-4549`) at a
+    no-pooling layer (8x8 features): channel-fold of q, feature LayerNorm,
+    elastic matching, and the soft-bg attention suppressions. The learned
+    `ca_outfeat_lns` are replaced by affine-free LayerNorms on both sides
+    (our re-design standardizes parameter-free)."""
+    import torch
+    import types
+
+    d = import_reference_module("ldm.models.diffusion.ddpm")
+    rng = np.random.default_rng(12)
+    h, C, dh, T_ = 2, 20, 16, 12
+    HW, Q = 8, 64
+    layer = 7
+    outfeat = rng.standard_normal((4, C, HW, HW)).astype(np.float32)
+    q = rng.standard_normal((4, h, Q, dh)).astype(np.float32)
+    attn = rng.random((4, h, Q, T_)).astype(np.float32)
+    attn = attn / attn.sum(-1, keepdims=True)
+    fg = np.zeros((1, 16, 16), np.float32)
+    fg[0, 3:11, 2:10] = 1.0
+    subj_idx = (torch.tensor([0, 0, 0]), torch.tensor([5, 6, 7]))
+
+    lns = {str(layer): torch.nn.LayerNorm(C, elementwise_affine=False)}
+    ref = d.LatentDiffusion.calc_comp_fg_bg_preserve_loss(
+        types.SimpleNamespace(),
+        {layer: torch.tensor(outfeat)}, lns,
+        {layer: torch.tensor(q)}, None,
+        {layer: torch.tensor(attn)},
+        fg_mask=torch.tensor(fg)[:, None],  # [1, 1, 16, 16]
+        batch_have_fg_mask=torch.ones(1),
+        subj_indices=subj_idx, BLOCK_SIZE=1)
+    # (map_align, sc_ss, mc_ms(disabled=0), sc_mc, subj_sup, mix_sup)
+    ref5 = [float(ref[i]) for i in (0, 1, 3, 4, 5)]
+
+    from adaface_tpu.training.losses import comp_fg_bg_preserve_loss
+
+    subj_m = np.zeros((4, T_), np.float32)
+    subj_m[:, [5, 6, 7]] = 1  # token-aligned across the 4 blocks
+    got = comp_fg_bg_preserve_loss(
+        {layer: jnp.asarray(np.transpose(outfeat, (0, 2, 3, 1)))},
+        {layer: jnp.asarray(q)},
+        {layer: jnp.asarray(attn)},
+        fg_mask=jnp.asarray(fg)[..., None],  # [1, 16, 16, 1]
+        subj_token_mask=jnp.asarray(subj_m))
+    got5 = [float(x) for x in got]
+    np.testing.assert_allclose(got5, ref5, rtol=2e-3, atol=1e-6)
