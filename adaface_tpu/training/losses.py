@@ -727,11 +727,13 @@ def padding_embs_align_loss(
         subj = grad_scale(subj_sum, subj_grad_scale)  # [B, L, D]
         # per-token cosine vs the subject embedding; weight by the mask
         embs = jnp.transpose(prompt_embs, (1, 2, 0, 3)).astype(jnp.float32)
-        # [B, T, L, D] vs [B, 1, L, D]
+        # [B, T, L, D] vs [B, 1, L, D]; instance_axis=0: the reference
+        # loops instances and divides by SSB_SIZE — each instance counts
+        # equally even when its padding-token count differs
         return ref_cosine_loss(
             embs, subj[:, None], emb_weights=token_mask[:, :, None],
             exponent=2.0, do_demean_first=True, ref_grad_scale=1.0,
-            aim_to_align=False)
+            aim_to_align=False, instance_axis=0)
 
     loss_pad = contrast(pad_mask, subj_contrast_paddings_grad_scale)
     loss_bg = (contrast(bg_token_mask.astype(jnp.float32),
